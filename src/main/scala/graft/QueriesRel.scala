@@ -1,0 +1,344 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core — SURVEY.md §2.1–2.4, 2.6, 2.7 (scans, filters, joins,
+  * aggregations, sort/limit/pagination, set ops).
+  *
+  * Scale notes (north star = 100 TB, SURVEY.md §7.5):
+  *  - Dimension joins (`customer`, `nation`, `region`) are explicitly
+  *    `broadcast()` — at 1000 executors a shuffle of the fact side on a
+  *    dimension key is the single biggest avoidable cost.
+  *  - Fact⋈fact joins are left to AQE (sort-merge w/ runtime skew split).
+  *  - All aggregations are partial+final hash aggs (map-side combine free).
+  *  - Every query ends in a total ORDER BY with a unique tiebreak so the
+  *    DuckDB hash-compare is deterministic (§7.5 #5); the sort is for the
+  *    verification dump, not a scale bottleneck (top-level sorts of small
+  *    aggregate outputs, or bounded LIMIT pushes TakeOrdered).
+  */
+object QueriesRel {
+  import Tables._
+
+  val all: Seq[Q] = Seq(
+
+    // S11 healthcheck — reference `drivers/aiochclient_lab.py:11-12` SELECT 1.
+    Q("q00_select_one",
+      (s, _) => s.sql("SELECT 1 AS one"),
+      Some("SELECT 1 AS one")),
+
+    // S1/P1 scan + projection — reference `s3_rankings_collector.py:134`.
+    // Column pruning reaches the parquet scan (ReadSchema shows 5 cols).
+    Q("q01_scan_project",
+      (s, d) => lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_quantity
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P3 range predicate on a time column — reference
+    // `s3_rankings_collector.py:136` (`last_time_scheduled > ts`).
+    // Predicate pushes down to the parquet scan (PushedFilters).
+    Q("q02_filter_range",
+      (s, d) => orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_date"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+             |       CAST(o_orderdate AS DATE) AS o_date
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_totalprice > 150000.0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // P4 conjunctive equality+range+prefix — reference
+    // `rankings_generator.py:124` (status/tracked/timestamp conjunction).
+    Q("q03_filter_conjunctive",
+      (s, d) => orders(s, d)
+        .filter(col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 100000.0 &&
+          col("o_orderpriority").startsWith("1-"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders
+             |WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+             |  AND o_orderpriority LIKE '1-%'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // P5 null-rejection — reference `rankings_generator.py:158-162`
+    // (drop rows with null url/rank before emitting).
+    Q("q04_filter_notnull",
+      (s, d) => lineitem(s, d)
+        .na.drop(Seq("l_returnflag", "l_quantity"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem
+             |WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // A1 per-group COUNT(*) — reference progress counters
+    // `concurrently.py:20-23`.
+    Q("q05_group_count",
+      (s, d) => orders(s, d)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // A2 grouped measures (flagship; TPC-H Q1 shape). The reference's
+    // measure columns volume/cpc/traffic (`rankings_generator.py:169-177`)
+    // aggregate exactly like quantity/extendedprice here.
+    Q("q06_group_measures",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 2) AS avg_qty,
+             |  round(avg(l_extendedprice), 2) AS avg_price,
+             |  CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // A3 multi-key group (domain × date analog) — fact grain
+    // `rankings_data/rankings_en-ca_1.csv:1`.
+    Q("q07_group_multikey",
+      (s, d) => orders(s, d)
+        .groupBy(col("o_orderstatus"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("o_orderstatus", "mon"),
+      Some("""SELECT o_orderstatus,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // A4 exact COUNT(DISTINCT) — LowCardinality design implies distinct
+    // analytics (`rankings_generator.py:144`).
+    Q("q08_count_distinct",
+      (s, d) => lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("d_part"),
+          countDistinct(col("l_suppkey")).as("d_supp")),
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_part,
+             |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d_supp
+             |FROM lineitem""".stripMargin)),
+
+    // A5 approximate distinct (HLL) — the 5B-row-scale answer to A4
+    // (`random_data_generator.py:21-22`). No oracle: approximate.
+    Q("q08b_approx_distinct",
+      (s, d) => lineitem(s, d)
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("apx_part")),
+      None),
+
+    // A6 rollup (domain→date OLAP subtotal parity). Null grouping keys are
+    // coalesced to 'ALL' so ordering is total and engine-independent.
+    Q("q09_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |       coalesce(l_linestatus, 'ALL') AS ls,
+             |       CAST(count(*) AS BIGINT) AS cnt,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // J1 key-lookup join — reference per-topic DynamoDB get_item fan-out
+    // (`s3_rankings_collector.py:85-95`) → broadcast hash join of the small
+    // key table against the fact table. customer (dim) is broadcast.
+    Q("q10_lookup_join",
+      (s, d) => orders(s, d)
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+             |       round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // J2 anti-join — reference idempotency flag check
+    // (`ranking_urls_ingestor.py:88-90`: skip already-processed chunks).
+    Q("q11_anti_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS
+             |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J3 semi-join — reference keep-only-topics-with-index
+    // (`ranking_urls_generator.py:234-239`).
+    Q("q12_semi_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE EXISTS
+             |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J4 inner fact⋈fact join at shuffle scale — delegated to ClickHouse in
+    // the reference; here a sort-merge join under AQE (skew-safe at 100 TB).
+    Q("q13_inner_join",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // J5 left outer join — enrich-with-optional analog of nullable
+    // `subdomain` (`rankings_generator.py:167`). count(col) skips nulls in
+    // both engines, so zero-order customers show cnt 0.
+    Q("q14_left_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("num_orders"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS num_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // J6 theta/range join — epoch-window matching analog
+    // (`s3_rankings_collector.py:87`). Small dims → broadcast nested loop.
+    Q("q15_range_join",
+      (s, d) => nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") < col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("cnt"), min("n_name").as("first_nation"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, CAST(count(*) AS BIGINT) AS cnt,
+             |       min(n_name) AS first_nation
+             |FROM nation JOIN region ON n_regionkey < r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // O1/O2 sort + LIMIT/OFFSET pagination — reference
+    // `s3_rankings_collector.py:137-138`, `rankings_generator.py:125-127`.
+    // Unique tiebreak o_orderkey makes the page deterministic (§7.5 #5).
+    Q("q25_page_offset",
+      (s, d) => orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(100).limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey ASC
+             |LIMIT 20 OFFSET 100""".stripMargin)),
+
+    // O3 global head — reference `drivers/connection_test.py:26`
+    // (LIMIT 10); ordered for determinism → TakeOrderedAndProject.
+    Q("q26_limit_head",
+      (s, d) => orders(s, d)
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 10""".stripMargin)),
+
+    // O6 resume-from-checkpoint skip — reference
+    // `ranking_urls_generator.py:255-257` (`chunk_no > start_chunk_no`).
+    Q("q27_resume_filter",
+      (s, d) => events(s, d)
+        .filter(col("event_id") > 9000L)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE event_id > 9000 ORDER BY event_id""".stripMargin)),
+
+    // U1 UNION ALL shard concatenation — reference `ingest.py:45-49`
+    // (3 folders into one table).
+    Q("q28_union_all",
+      (s, d) => {
+        val o = orders(s, d)
+        val hi = o.filter(col("o_totalprice") > 250000.0)
+          .select(col("o_orderkey").as("k"), lit("hi").as("src"))
+        val lo = o.filter(col("o_totalprice") < 5000.0)
+          .select(col("o_orderkey").as("k"), lit("lo").as("src"))
+        hi.unionByName(lo).orderBy("k", "src")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey AS k, 'hi' AS src FROM orders
+             |  WHERE o_totalprice > 250000.0
+             |  UNION ALL
+             |  SELECT o_orderkey AS k, 'lo' AS src FROM orders
+             |  WHERE o_totalprice < 5000.0)
+             |ORDER BY k, src""".stripMargin)),
+
+    // U2 EXCEPT — set form of the J2 anti-join (SURVEY.md §2.7).
+    Q("q29_except",
+      (s, d) => customer(s, d).select("c_custkey")
+        .except(orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // F12 integer div/mod chunking — reference `_chunkify`
+    // (`ranking_urls_generator.py:54-55`) + offset arithmetic
+    // (`rankings_generator.py:118`).
+    Q("q33_chunkify",
+      (s, d) => {
+        val w = Window.orderBy("o_orderkey")
+        orders(s, d)
+          .select(col("o_orderkey"),
+            ((row_number().over(w) - 1) / 1000)
+              .cast("long").as("chunk"))
+          .groupBy("chunk")
+          .agg(count(lit(1)).as("cnt"),
+            min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+          .orderBy("chunk")
+      },
+      Some("""SELECT chunk, CAST(count(*) AS BIGINT) AS cnt,
+             |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM (SELECT o_orderkey,
+             |        CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 1000
+             |             AS BIGINT) AS chunk
+             |      FROM orders)
+             |GROUP BY chunk ORDER BY chunk""".stripMargin))
+  )
+}

@@ -1,0 +1,441 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scalars
+
+/** Extension tier — SURVEY.md §2.11 / BASELINE.json north star: the
+  * operations a large-scale training-data pipeline needs, designed for
+  * 100 TB and verified against DuckDB at sf0.01.
+  *
+  * Scale design notes:
+  *  - Exact dedup (q40): hash-groupBy — one shuffle on the content hash;
+  *    at 100 TB, group on sha2 (fixed 32B key) instead of raw text so the
+  *    shuffle carries hashes, not documents.
+  *  - MinHash (q47/q53): signatures are computed per-row (no shuffle); LSH
+  *    banding turns near-dup search from O(n²) into an equi-join on band
+  *    keys — the only shuffle is on (band, key), which is the scalable path.
+  *    The cross-engine-deterministic token hash (md5-hex→long) lives in
+  *    Scalars.tokenHash so DuckDB replays the identical signature.
+  *  - Brute-force cosine (q41) broadcasts the *query set* and streams the
+  *    corpus — correct baseline at any corpus size as long as |queries| is
+  *    broadcastable. The LSH-bucketed variant (q51) is the scale path:
+  *    equi-join on sign-bucket instead of a nested loop.
+  *  - Pairwise ops (q48/q50) are intentionally bounded to a small id-range:
+  *    at scale they would be preceded by the LSH candidate stage (q53).
+  */
+object QueriesText {
+  import Tables._
+
+  // ---- shared cosine machinery -------------------------------------------
+  /** Elementwise dot product of two float-array columns in double precision,
+    * summed left-to-right (matches DuckDB list_sum(list_transform(...))).
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB rendition of the same computation (1-based list indexing; 64-dim
+    * vectors per FIXTURES.md §B). Summation order matches Spark's aggregate.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> " +
+      s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  // ---- minhash constants (shared with the DuckDB oracle) -----------------
+  private val MinhashAB = Seq((2971L, 1129L), (3511L, 2029L),
+    (4111L, 3037L), (5519L, 4073L))
+  private val P = Scalars.HashP
+
+  /** DuckDB token hash identical to Scalars.tokenHash. */
+  private def tokSql(w: String): String =
+    s"(('0x' || substr(md5($w), 1, 15))::BIGINT)"
+  private def mhSql(w: String, a: Long, b: Long): String =
+    s"(($a * (${tokSql(w)} % $P) + $b) % $P)"
+
+  private def minhashCol(words: Column, a: Long, b: Long): Column =
+    array_min(transform(words, w => Scalars.minhashFn(w, a, b)))
+  private def minhashSqlExpr(a: Long, b: Long): String =
+    s"CAST(list_aggregate(list_transform(ws, w -> ${mhSql("w", a, b)}), " +
+      s"'min') AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    // X1 exact dedup: content-hash groupBy, keep min doc_id per hash.
+    // Shuffles 32-byte sha2 keys, never document bodies.
+    Q("q40_text_dedup",
+      (s, d) => {
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        documents(s, d)
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT min(doc_id) AS doc_id FROM documents
+             |GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // X3 brute-force cosine top-k: broadcast the query set, stream the
+    // corpus once; per-query top-5 via row_number (SURVEY.md W1 pattern).
+    Q("q41_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val q = embeddings(s, d).filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+              |           FROM embeddings WHERE vec_id < 3),
+              |pairs AS (
+              |  SELECT q_id, vec_id,
+              |    ${cosSql("embedding", "q_emb")} AS cos
+              |  FROM embeddings, q WHERE vec_id <> q_id),
+              |scored AS (
+              |  SELECT q_id, vec_id, cos,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, vec_id ASC) AS rn
+              |  FROM pairs)
+              |SELECT q_id, rn, vec_id, round(cos, 6) AS cos_sim
+              |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
+    // X4 text stats: per-language counts and means.
+    Q("q42_text_stats",
+      (s, d) => documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_words"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          round(avg("n_words"), 2).as("avg_words"))
+        .orderBy("lang"),
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+             |  round(avg(n_chars), 2) AS avg_chars,
+             |  round(avg(len(str_split(text, ' '))), 2) AS avg_words
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Language-ID heuristic: stopword-hit ratio over an inline English
+    // stopword list (n-gram/stopword heuristic per the north star).
+    Q("q43_lang_id",
+      (s, d) => {
+        val stops = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
+        documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("words"))
+          .select(col("doc_id"),
+            size(col("words")).as("n_words"),
+            size(filter(col("words"), w => array_contains(stops, w)))
+              .as("n_stop"))
+          .withColumn("stop_ratio",
+            round(col("n_stop").cast("double") / col("n_words"), 4))
+          .withColumn("lang_guess",
+            when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("unk")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws
+             |           FROM documents)
+             |SELECT doc_id, len(ws) AS n_words,
+             |  len(list_filter(ws, w -> list_contains(
+             |    ['the','a','of','and','to','in'], w))) AS n_stop,
+             |  round(CAST(len(list_filter(ws, w -> list_contains(
+             |    ['the','a','of','and','to','in'], w))) AS DOUBLE)
+             |    / len(ws), 4) AS stop_ratio,
+             |  CASE WHEN round(CAST(len(list_filter(ws, w -> list_contains(
+             |    ['the','a','of','and','to','in'], w))) AS DOUBLE)
+             |    / len(ws), 4) >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: length / alpha-ratio / word-count composite.
+    Q("q44_quality_score",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          size(split(col("text"), " ")).as("n_words"),
+          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
+            length(col("text"))).as("alpha_ratio_raw"))
+        .select(col("doc_id"), col("n_chars_m"), col("n_words"),
+          round(col("alpha_ratio_raw"), 4).as("alpha_ratio"),
+          round(least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
+            col("alpha_ratio_raw") * 0.5, 4).as("quality"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  length(text) AS n_chars_m,
+             |  len(str_split(text, ' ')) AS n_words,
+             |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+             |    AS DOUBLE) / length(text), 4) AS alpha_ratio,
+             |  round(least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0,
+             |    1.0) * 0.5 +
+             |    (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+             |     AS DOUBLE) / length(text)) * 0.5, 4) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens + chars/4.
+    Q("q45_token_count",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(expr(
+            "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("re_tokens"),
+          ceil(col("n_chars").cast("double") / 4.0).cast("long")
+            .as("est_bpe"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(str_split(text, ' ')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |    AS re_tokens,
+             |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprint: md5 over the sorted distinct vocabulary —
+    // rolling-hash-style content signature, identical in both engines.
+    Q("q46_fingerprint",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          sort_array(array_distinct(split(col("text"), " "))).as("vocab"))
+        .select(col("doc_id"),
+          md5(array_join(col("vocab"), ",")).as("fp"),
+          size(col("vocab")).as("n_uniq"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(
+             |    str_split(text, ' '))), ',')) AS fp,
+             |  len(list_distinct(str_split(text, ' '))) AS n_uniq
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // X2 MinHash signatures (4 hash fns over the word set) — per-row, no
+    // shuffle; the deterministic md5-based hash family is replayed exactly
+    // by the oracle.
+    Q("q47_minhash_sig",
+      (s, d) => {
+        val words = array_distinct(split(col("text"), " "))
+        val mh = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+          minhashCol(col("ws"), a, b).as(s"h$i")
+        }
+        documents(s, d)
+          .select(col("doc_id"), words.as("ws"))
+          .select((col("doc_id") +: mh): _*)
+          .orderBy("doc_id")
+      },
+      Some {
+        val hs = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+          s"  ${minhashSqlExpr(a, b)} AS h$i"
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' '))
+           |             AS ws FROM documents)
+           |SELECT doc_id,
+           |$hs
+           |FROM t ORDER BY doc_id""".stripMargin
+      }),
+
+    // X2 LSH banding: 2 bands × 2 hashes; candidate pairs share a band key.
+    // This equi-join on (band, key) is the 100 TB near-dup path — no O(n²).
+    Q("q53_minhash_band_pairs",
+      (s, d) => {
+        val words = array_distinct(split(col("text"), " "))
+        val sigs = documents(s, d)
+          .select(col("doc_id"), words.as("ws"))
+          .select(col("doc_id"),
+            minhashCol(col("ws"), MinhashAB(0)._1, MinhashAB(0)._2).as("h0"),
+            minhashCol(col("ws"), MinhashAB(1)._1, MinhashAB(1)._2).as("h1"),
+            minhashCol(col("ws"), MinhashAB(2)._1, MinhashAB(2)._2).as("h2"),
+            minhashCol(col("ws"), MinhashAB(3)._1, MinhashAB(3)._2).as("h3"))
+        val bands = sigs.select(col("doc_id"),
+          explode(array(
+            concat_ws("-", lit("b0"), col("h0"), col("h1")),
+            concat_ws("-", lit("b1"), col("h2"), col("h3")))).as("band_key"))
+        val a = bands.select(col("doc_id").as("a_id"), col("band_key"))
+        val b = bands.select(col("doc_id").as("b_id"), col("band_key"))
+        a.join(b, Seq("band_key"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' '))
+           |             AS ws FROM documents),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM t),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig)
+           |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |WHERE a.doc_id < b.doc_id
+           |ORDER BY a_id, b_id""".stripMargin
+      }),
+
+    // n-gram (word-set) Jaccard similarity on a bounded id range — at scale
+    // this runs on q53's candidate pairs instead of all pairs.
+    Q("q48_ngram_jaccard",
+      (s, d) => {
+        val dd = documents(s, d).filter(col("doc_id") < 60)
+          .select(col("doc_id"),
+            array_distinct(split(col("text"), " ")).as("ws"))
+        val a = dd.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
+        val b = dd.select(col("doc_id").as("b_id"), col("ws").as("b_ws"))
+        a.join(broadcast(b), col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("a_ws"), col("b_ws"))).as("inter"),
+            size(col("a_ws")).as("na"), size(col("b_ws")).as("nb"))
+          .withColumn("jaccard",
+            round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")), 4))
+          .filter(col("jaccard") >= 0.8)
+          .select("a_id", "b_id", "jaccard")
+          .orderBy("a_id", "b_id")
+      },
+      Some("""WITH dd AS (SELECT doc_id, list_distinct(str_split(text, ' '))
+             |              AS ws FROM documents WHERE doc_id < 60),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    len(list_intersect(a.ws, b.ws)) AS inter,
+             |    len(a.ws) AS na, len(b.ws) AS nb
+             |  FROM dd a JOIN dd b ON a.doc_id < b.doc_id)
+             |SELECT a_id, b_id,
+             |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+             |FROM pairs
+             |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.8
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // SimHash (16-bit) over the word set with the shared token hash.
+    Q("q49_simhash",
+      (s, d) => {
+        val words = array_distinct(split(col("text"), " "))
+        // bit b contribution: +1 if bit b of tokenHash(w) set, else -1
+        def bitSum(b: Int): Column = aggregate(
+          col("ws"), lit(0L),
+          (acc, w) => acc + when(
+            shiftright(Scalars.tokenHash(w), b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L))
+        val sim = (0 until 16).map { b =>
+          when(bitSum(b) > 0, lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _)
+        documents(s, d)
+          .select(col("doc_id"), words.as("ws"))
+          .select(col("doc_id"), sim.as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def bitSumSql(b: Int): String =
+          s"list_sum(list_transform(ws, w -> CASE WHEN " +
+            s"((${tokSql("w")} >> $b) & 1) = 1 THEN 1 ELSE -1 END))"
+        val sim = (0 until 16).map { b =>
+          s"(CASE WHEN ${bitSumSql(b)} > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' '))
+           |             AS ws FROM documents)
+           |SELECT doc_id, CAST($sim AS BIGINT) AS simhash
+           |FROM t ORDER BY doc_id""".stripMargin
+      }),
+
+    // Embedding-cosine near-dup pairs on a bounded id range (the synthetic
+    // vectors are near-orthogonal, so the demo threshold is 0.35; at scale
+    // the q51 LSH bucket join prunes the pair space first).
+    Q("q50_embed_neardup",
+      (s, d) => {
+        val e = embeddings(s, d).filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+        a.join(broadcast(b), col("a_id") < col("b_id"))
+          .withColumn("cos", cosine(col("a_e"), col("b_e")))
+          .filter(col("cos") >= 0.35)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+              |           WHERE vec_id < 200),
+              |pairs AS (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    ${cosSql("a.embedding", "b.embedding")} AS cos
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, round(cos, 6) AS cos_sim
+              |FROM pairs WHERE cos >= 0.35 ORDER BY a_id, b_id""".stripMargin)),
+
+    // ANN via sign-LSH buckets: bucket = sign bits of the first 8 dims;
+    // candidates share a bucket (equi-join), then exact cosine re-rank.
+    Q("q51_ann_lsh",
+      (s, d) => {
+        val bucket = (0 until 8).map { j =>
+          when(element_at(col("embedding"), j + 1) > 0f, lit(1 << j))
+            .otherwise(0)
+        }.reduce(_ + _)
+        val e = embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bucket"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        e.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("q_id", "rn")
+      },
+      Some {
+        val bSql = (0 until 8).map { j =>
+          s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding, ($bSql) AS bucket
+           |           FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+           |      FROM e WHERE vec_id < 3),
+           |pairs AS (
+           |  SELECT q.q_id, e.vec_id,
+           |    ${cosSql("e.embedding", "q.q_emb")} AS cos
+           |  FROM e JOIN q ON e.bucket = q.bucket
+           |  WHERE e.vec_id <> q.q_id),
+           |scored AS (
+           |  SELECT q_id, vec_id, cos, row_number() OVER (
+           |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+           |  FROM pairs)
+           |SELECT q_id, rn, vec_id, round(cos, 6) AS cos_sim
+           |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
+      }),
+
+    // Multimodal plumbing: opaque binary column + typed metadata. The
+    // "decode" is a deterministic fake (real image/audio libs are absent —
+    // see ops/Multimodal.scala for the mapPartitions decode seam).
+    Q("q52_binary_meta",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .select(col("doc_id"),
+          length(col("blob")).as("n_bytes"),
+          pmod(length(col("blob")), lit(640)).as("fake_width"),
+          pmod(length(col("blob")) * 7, lit(480)).as("fake_height"),
+          md5(col("blob")).as("content_hash"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+             |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT)
+             |    AS fake_width,
+             |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT)
+             |    AS fake_height,
+             |  md5(text) AS content_hash
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

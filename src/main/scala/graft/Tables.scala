@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Typed readers for the driver testdata tables (TESTDATA.md / FIXTURES.md §B)
+  * and the reference-shaped tables (FIXTURES.md §A; schema evidence:
+  * reference `rankings_generator.py:143-151`, `ranking_urls_generator.py:99-116`).
+  *
+  * Schemas are declared explicitly (no inferSchema) mirroring the reference's
+  * insert-time `types_check: True` discipline (`ranking_urls_ingestor.py:78`).
+  * At 100 TB the fact tables would be written `partitionBy("date")` parquet —
+  * the analog of ClickHouse MergeTree date ordering (SURVEY.md §1.1).
+  */
+object Tables {
+
+  /** Read one driver testdata table. Parquet carries its own schema; the
+    * vectorized reader + column pruning/pushdown come free.
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** `events.ts` is parquet timestamp[ns], which Spark cannot read natively;
+    * `spark.sql.legacy.parquet.nanosAsLong` maps it to LongType epoch-nanos.
+    * Queries derive epoch-seconds via integer division (never double math —
+    * 1.7e18 ns exceeds double's 53-bit mantissa) so DuckDB's `epoch_ns(ts)`
+    * agrees exactly (see q30/q37/q39).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
+
+  // ---------------------------------------------------------------------
+  // Reference-table schemas (used by unit tests + CSV ingest paths).
+  // rankings_v1: reference `rankings_data/rankings_en-ca_1.csv:1` header +
+  // type docstring `rankings_generator.py:143-151`.
+  // ---------------------------------------------------------------------
+  val rankingsV1Schema: StructType = StructType(Seq(
+    StructField("domain", StringType, nullable = false),
+    StructField("date", DateType, nullable = false),
+    StructField("term", StringType, nullable = false),
+    StructField("url", StringType, nullable = true),
+    StructField("rank", IntegerType, nullable = true),   // UInt8 1..100
+    StructField("volume", LongType, nullable = false),   // UInt32
+    StructField("cpc", DoubleType, nullable = false)
+  ))
+
+  /** ranking_urls: `Ranking` dataclass (`ranking_urls_generator.py:99-116`)
+    * minus `url`, plus `url_prefix` (ingest derive, `ranking_urls_ingestor.py:57-59`).
+    */
+  val rankingUrlsSchema: StructType = StructType(Seq(
+    StructField("domain", StringType, nullable = false),
+    StructField("root_domain", StringType, nullable = true),
+    StructField("date", DateType, nullable = false),
+    StructField("url_bone", StringType, nullable = false),
+    StructField("url_prefix", StringType, nullable = true),
+    StructField("term", StringType, nullable = false),
+    StructField("rank", IntegerType, nullable = false),
+    StructField("volume", LongType, nullable = false),
+    StructField("cpc", DoubleType, nullable = false),
+    StructField("competition", DoubleType, nullable = false),
+    StructField("category_strings", ArrayType(StringType), nullable = false),
+    StructField("mm_difficulty", DoubleType, nullable = false),
+    StructField("traffic", DoubleType, nullable = false),
+    StructField("traffic_pct", DoubleType, nullable = false),
+    StructField("serp_features", ArrayType(StringType), nullable = false),
+    StructField("results_count", LongType, nullable = false)
+  ))
+
+  /** CSV ingest of rankings_v1 shards — the Spark realization of the
+    * reference's `clickhouse-client INSERT ... FORMAT CSV` loop
+    * (`ingest.py:14-19`): positional columns against a declared schema,
+    * FAILFAST mirroring `types_check`.
+    */
+  def readRankingsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(rankingsV1Schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
+  /** Typed row for rankings_v1 (reference `Ranking` dataclass,
+    * `rankings_generator.py:60-77`).
+    */
+  case class Ranking(
+      domain: String,
+      date: java.sql.Date,
+      term: String,
+      url: Option[String],
+      rank: Option[Int],
+      volume: Long,
+      cpc: Double)
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar column functions — SURVEY.md §2.8. Each is a pure `Column =>
+  * Column` built from codegen'd built-in expressions (no UDFs), so filter
+  * pushdown and whole-stage codegen stay intact at 100 TB scale.
+  *
+  * Reference behavior being re-expressed (file:line in /root/reference):
+  *  - urlBone: `rankings_generator.py:132-139` (strip scheme + `www.` +
+  *    trailing `/`, case-insensitive scheme test via lower()).
+  *  - urlPrefix: `ranking_urls_ingestor.py:58` regex `(https?://(?:www\.)?)`.
+  *  - registeredDomain/subdomain: simplified last-two-labels rule standing in
+  *    for tldextract (`rankings_generator.py:165-167`); `www`/empty subdomain
+  *    → NULL.
+  *  - epochToDateStr: `rankings_generator.py:155`
+  *    `datetime.fromtimestamp(ts).date().strftime("%Y-%m-%d")` (UTC session).
+  *  - parsePyList: `ranking_urls_ingestor.py:60-61` `ast.literal_eval` on
+  *    Python-list strings (single-quoted, no embedded quotes/commas — the
+  *    reference's faker words are safe, `rankings_generator.py:172`).
+  *  - chunkId: `ranking_urls_generator.py:54-55` stride chunking.
+  */
+object Scalars {
+
+  /** Strip `http(s)://(www.)` prefix case-insensitively and a trailing `/`. */
+  def urlBone(url: Column): Column =
+    regexp_replace(
+      regexp_replace(url, "(?i)^https?://(www\\.)?", ""),
+      "/$", "")
+
+  /** Extract the scheme+www prefix; empty string when absent (pandas
+    * `str.extract` yields NaN — we keep "" to stay join/group-friendly and
+    * the declared query documents it).
+    */
+  def urlPrefix(url: Column): Column =
+    regexp_extract(url, "(https?://(?:www\\.)?)", 1)
+
+  /** Simplified registered-domain: last two dot-labels. Full PSL parity is
+    * not SQL-expressible and lives in unit tests only (SURVEY.md §7.5).
+    */
+  def registeredDomain(fqdn: Column): Column =
+    regexp_extract(fqdn, "([^.]+\\.[^.]+)$", 1)
+
+  /** Subdomain = fqdn minus registered domain minus separating dot; NULL when
+    * empty (mirrors `subdomain or None`, `rankings_generator.py:167`).
+    */
+  def subdomain(fqdn: Column): Column = {
+    val reg = registeredDomain(fqdn)
+    // substring arithmetic keeps it expressible identically in DuckDB
+    when(length(fqdn) - length(reg) > 1,
+      fqdn.substr(lit(1), length(fqdn) - length(reg) - 1))
+  }
+
+  /** Epoch seconds → "yyyy-MM-dd" (session TZ pinned UTC). */
+  def epochToDateStr(epochSec: Column): Column =
+    date_format(from_unixtime(epochSec), "yyyy-MM-dd")
+
+  /** Python-list string `['a', 'b']` → array<string>. */
+  def parsePyList(s: Column): Column =
+    from_json(translate(s, "'", "\""),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+
+  /** Stride chunk id for a 1-based row_number: floor((rn-1)/size). */
+  def chunkId(rowNumber1Based: Column, size: Int): Column =
+    floor((rowNumber1Based - 1) / size).cast("long")
+
+  /** Cross-engine deterministic 60-bit token hash: first 15 hex digits of
+    * md5, as a non-negative long. DuckDB equivalent:
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`. Used by minhash/simhash so
+    * the DuckDB oracle can replay the exact same hash (SURVEY.md §2.11).
+    */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Universal-hash family over tokenHash, mod a 31-bit prime so products
+    * stay in long range: h_i(t) = (a_i * (base % P) + b_i) % P.
+    */
+  val HashP = 1000000007L
+  def minhashFn(t: Column, a: Long, b: Long): Column =
+    (lit(a) * (tokenHash(t) % HashP) + lit(b)) % HashP
+
+  /** Cross-engine-exact round-to-2dp for row-level derived doubles.
+    * Spark's round() rounds the *shortest decimal rendering* of the double
+    * (BigDecimal.valueOf), DuckDB rounds the *binary value* — they disagree
+    * on near-half products (e.g. 21745.35*0.9 = 19570.814999999998...).
+    * floor(x*100 + 0.5)/100 is pure IEEE arithmetic, so both engines get
+    * bit-identical results from identical inputs. Positive domains only.
+    */
+  def round2(x: Column): Column = floor(x * 100 + lit(0.5)) / 100
+
+  /** DuckDB rendition of round2 for oracle SQL. */
+  def round2Sql(x: String): String = s"(floor(($x) * 100 + 0.5) / 100)"
+}

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/verify_local.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already produced
+<outDir>/<query>/ parquet dumps and <outDir>/oracle_sql.json. Registers each
+testdata table as a DuckDB view named by its basename (matching the driver
+contract's bare-name SQL), runs each oracle, and compares against the Spark
+dump: same columns (sorted by name), same row count, same values in row
+order (floats to 1e-9 rel tolerance for reporting; exact compare flagged).
+"""
+import sys, os, json, glob, math
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name in sorted(oracle):
+    sql = oracle[name]
+    dump_dir = f"{out}/{name}"
+    if not os.path.isdir(dump_dir):
+        fails.append((name, "no spark dump"))
+        continue
+    try:
+        exp = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        fails.append((name, f"oracle error: {str(e)[:200]}"))
+        continue
+    got = con.execute(
+        f"SELECT * FROM read_parquet('{dump_dir}/*.parquet')"
+    ).fetch_arrow_table()
+    # driver semantics: sort columns by name, then compare values
+    ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
+    if ecols != gcols:
+        fails.append((name, f"cols: oracle={ecols} spark={gcols}"))
+        continue
+    if exp.num_rows != got.num_rows:
+        fails.append((name, f"rows: oracle={exp.num_rows} spark={got.num_rows}"))
+        continue
+    bad = None
+    for c in ecols:
+        ev, gv = exp.column(c).to_pylist(), got.column(c).to_pylist()
+        for i, (a, b) in enumerate(zip(ev, gv)):
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if a != b and not (math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)):
+                    bad = f"col {c} row {i}: oracle={a!r} spark={b!r}"
+                    break
+                if a != b:
+                    bad = f"col {c} row {i}: ULP diff oracle={a!r} spark={b!r}"
+                    break
+            elif a != b:
+                bad = f"col {c} row {i}: oracle={a!r} spark={b!r}"
+                break
+        if bad:
+            break
+    if bad:
+        fails.append((name, bad))
+    else:
+        passes.append(name)
+
+for name in sorted(set(os.path.basename(d) for d in glob.glob(f"{out}/q*"))):
+    if name not in oracle:
+        skips.append(name)
+
+print(f"PASS {len(passes)}: {' '.join(passes)}")
+if skips:
+    print(f"NO-ORACLE {len(skips)}: {' '.join(skips)}")
+if fails:
+    print(f"FAIL {len(fails)}:")
+    for n, r in fails:
+        print(f"  {n}: {r}")
+    sys.exit(1)
+print("all green")
