@@ -293,12 +293,15 @@ object QueriesScalar {
               |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // F13 Python-list-string → array — reference `ast.literal_eval`
-    // (`ranking_urls_ingestor.py:60-61`): translate quotes → from_json.
+    // (`ranking_urls_ingestor.py:60-61`). Declared query uses the
+    // codegen-friendly split parse (valid under the reference's quote-free
+    // data contract); the general from_json form is Scalars.parsePyList,
+    // unit-tested. fanOut: per-row parse dominates the 2-column scan.
     Q("q34_parse_array",
-      (s, d) => lineitem(s, d)
+      (s, d) => fanOut(lineitem(s, d)
         .select(concat(lit("['"), col("l_returnflag"), lit("', '"),
-          col("l_linestatus"), lit("']")).as("s"))
-        .select(Scalars.parsePyList(col("s")).as("arr"))
+          col("l_linestatus"), lit("']")).as("s")))
+        .select(Scalars.parsePyListFast(col("s")).as("arr"))
         .select(array_join(col("arr"), "|").as("arr_str"),
           size(col("arr")).as("n"))
         .groupBy("arr_str", "n").agg(count(lit(1)).as("cnt"))

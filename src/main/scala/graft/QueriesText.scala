@@ -43,6 +43,17 @@ object QueriesText {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Embeddings with the L2 norm materialized through an exchange. Without
+    * the barrier CollapseProject inlines the norm aggregate into every
+    * downstream pair expression, recomputing it per candidate pair; with it
+    * each vector's norm is computed exactly once — the correct shape at any
+    * corpus size.
+    */
+  private def withNorm(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+      .repartition(col("vec_id"))
+
   /** DuckDB rendition of the same computation (1-based list indexing; 64-dim
     * vectors per FIXTURES.md §B). Summation order matches Spark's aggregate.
     */
@@ -63,11 +74,53 @@ object QueriesText {
   private def mhSql(w: String, a: Long, b: Long): String =
     s"(($a * (${tokSql(w)} % $P) + $b) % $P)"
 
-  private def minhashCol(words: Column, a: Long, b: Long): Column =
-    array_min(transform(words, w => Scalars.minhashFn(w, a, b)))
   private def minhashSqlExpr(a: Long, b: Long): String =
-    s"CAST(list_aggregate(list_transform(ws, w -> ${mhSql("w", a, b)}), " +
+    s"CAST(list_aggregate(list_transform(hs, h -> (($a * h + $b) % $P)), " +
       s"'min') AS BIGINT)"
+  private val tokenHashesSql =
+    s"list_transform(ws, w -> (${tokSql("w")} % $P))"
+
+  /** Relational MinHash signatures: explode shingles, hash each once, one
+    * partial+final aggregation with a min() measure per hash function.
+    * Equivalent to array_min(transform(...)) per row but with small
+    * codegen'd expressions (array-lambda mega-expressions execute
+    * interpreted on first run — measured 10-50s at sf0.1) and map-side
+    * combine, so the shuffle is one row per doc — the 100 TB shape.
+    */
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val mins = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"h$i")
+    }
+    // Shingles built relationally (posexplode + window lead) rather than via
+    // Scalars.shingles3's array lambda — identical shingle set for docs with
+    // ≥3 words (all testdata docs), but every expression stays small and
+    // codegen-fused. min() is insensitive to duplicate shingles, so no
+    // distinct step is needed before hashing.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    fanOut(docs)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(w))
+      .withColumn("w2", lead("w", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        (Scalars.tokenHash(concat_ws(" ", col("w"), col("w1"), col("w2")))
+          % P).as("h"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** DuckDB rendition of Scalars.shingles3 (range() is stop-exclusive, so
+    * range(1, len-1) = 1..len-2, matching Spark's inclusive sequence).
+    */
+  private val shinglesSql =
+    """(CASE WHEN len(str_split(text, ' ')) >= 3
+      |  THEN list_distinct(list_transform(
+      |    range(1, len(str_split(text, ' ')) - 1),
+      |    i -> str_split(text, ' ')[i] || ' ' ||
+      |         str_split(text, ' ')[i+1] || ' ' ||
+      |         str_split(text, ' ')[i+2]))
+      |  ELSE [text] END)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -90,13 +143,15 @@ object QueriesText {
     // corpus once; per-query top-5 via row_number (SURVEY.md W1 pattern).
     Q("q41_cosine_topk",
       (s, d) => {
-        val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
-        val q = embeddings(s, d).filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val e = withNorm(embeddings(s, d))
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
         e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+          .withColumn("cos",
+            dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("q_id"), col("rn"), col("vec_id"),
@@ -220,43 +275,32 @@ object QueriesText {
              |  len(list_distinct(str_split(text, ' '))) AS n_uniq
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // X2 MinHash signatures (4 hash fns over the word set) — per-row, no
-    // shuffle; the deterministic md5-based hash family is replayed exactly
-    // by the oracle.
+    // X2 MinHash signatures (4 hash fns over the 3-shingle set) — per-row,
+    // no shuffle; the deterministic md5-based hash family is replayed
+    // exactly by the oracle. fanOut: the signature math dominates the scan,
+    // so lift to full core parallelism (Tables.fanOut scaladoc).
     Q("q47_minhash_sig",
-      (s, d) => {
-        val words = array_distinct(split(col("text"), " "))
-        val mh = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
-          minhashCol(col("ws"), a, b).as(s"h$i")
-        }
-        documents(s, d)
-          .select(col("doc_id"), words.as("ws"))
-          .select((col("doc_id") +: mh): _*)
-          .orderBy("doc_id")
-      },
+      (s, d) => minhashSigs(documents(s, d)).orderBy("doc_id"),
       Some {
-        val hs = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+        val hsSel = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
           s"  ${minhashSqlExpr(a, b)} AS h$i"
         }.mkString(",\n")
-        s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' '))
-           |             AS ws FROM documents)
+        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t)
            |SELECT doc_id,
-           |$hs
-           |FROM t ORDER BY doc_id""".stripMargin
+           |$hsSel
+           |FROM th ORDER BY doc_id""".stripMargin
       }),
 
     // X2 LSH banding: 2 bands × 2 hashes; candidate pairs share a band key.
     // This equi-join on (band, key) is the 100 TB near-dup path — no O(n²).
+    // Shingle features keep band buckets small (see Scalars.shingles3).
     Q("q53_minhash_band_pairs",
       (s, d) => {
-        val words = array_distinct(split(col("text"), " "))
-        val sigs = documents(s, d)
-          .select(col("doc_id"), words.as("ws"))
-          .select(col("doc_id"),
-            minhashCol(col("ws"), MinhashAB(0)._1, MinhashAB(0)._2).as("h0"),
-            minhashCol(col("ws"), MinhashAB(1)._1, MinhashAB(1)._2).as("h1"),
-            minhashCol(col("ws"), MinhashAB(2)._1, MinhashAB(2)._2).as("h2"),
-            minhashCol(col("ws"), MinhashAB(3)._1, MinhashAB(3)._2).as("h3"))
+        // minhashSigs ends in an aggregation, which doubles as the
+        // materialization barrier: band keys and the self-join below see
+        // four plain longs per doc, never the shingle+md5 pipeline.
+        val sigs = minhashSigs(documents(s, d))
         val bands = sigs.select(col("doc_id"),
           explode(array(
             concat_ws("-", lit("b0"), col("h0"), col("h1")),
@@ -271,10 +315,10 @@ object QueriesText {
       Some {
         def h(i: Int): String = minhashSqlExpr(
           MinhashAB(i)._1, MinhashAB(i)._2)
-        s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' '))
-           |             AS ws FROM documents),
+        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
            |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM t),
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
            |bands AS (
            |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
            |  UNION ALL
@@ -321,32 +365,41 @@ object QueriesText {
     // SimHash (16-bit) over the word set with the shared token hash.
     Q("q49_simhash",
       (s, d) => {
-        val words = array_distinct(split(col("text"), " "))
-        // bit b contribution: +1 if bit b of tokenHash(w) set, else -1
-        def bitSum(b: Int): Column = aggregate(
-          col("ws"), lit(0L),
-          (acc, w) => acc + when(
-            shiftright(Scalars.tokenHash(w), b).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
+        // Relational simhash: explode word hashes, one partial+final hash
+        // aggregation with 16 simple bit-sum measures, then reassemble the
+        // bits. No array-lambda mega-expressions (their generated code is
+        // large enough that first-run interpreted execution dominates), and
+        // the explode→groupBy shape is exactly how this scales on a
+        // cluster: map-side combine keeps the shuffle at one row per doc.
+        val bitSums = (0 until 16).map { b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)).as(s"s$b")
+        }
         val sim = (0 until 16).map { b =>
-          when(bitSum(b) > 0, lit(1L << b)).otherwise(0L)
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
         }.reduce(_ + _)
-        documents(s, d)
-          .select(col("doc_id"), words.as("ws"))
+        fanOut(documents(s, d))
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("w"))
+          .select(col("doc_id"), Scalars.tokenHash(col("w")).as("h"))
+          .groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"), sim.as("simhash"))
           .orderBy("doc_id")
       },
       Some {
         def bitSumSql(b: Int): String =
-          s"list_sum(list_transform(ws, w -> CASE WHEN " +
-            s"((${tokSql("w")} >> $b) & 1) = 1 THEN 1 ELSE -1 END))"
+          s"list_sum(list_transform(hs, h -> CASE WHEN " +
+            s"((h >> $b) & 1) = 1 THEN 1 ELSE -1 END))"
         val sim = (0 until 16).map { b =>
           s"(CASE WHEN ${bitSumSql(b)} > 0 THEN ${1L << b} ELSE 0 END)"
         }.mkString(" + ")
         s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' '))
-           |             AS ws FROM documents)
+           |             AS ws FROM documents),
+           |th AS (SELECT doc_id, list_transform(ws, w -> ${tokSql("w")})
+           |         AS hs FROM t)
            |SELECT doc_id, CAST($sim AS BIGINT) AS simhash
-           |FROM t ORDER BY doc_id""".stripMargin
+           |FROM th ORDER BY doc_id""".stripMargin
       }),
 
     // Embedding-cosine near-dup pairs on a bounded id range (the synthetic
@@ -354,11 +407,14 @@ object QueriesText {
     // the q51 LSH bucket join prunes the pair space first).
     Q("q50_embed_neardup",
       (s, d) => {
-        val e = embeddings(s, d).filter(col("vec_id") < 200)
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"))
+        val e = withNorm(embeddings(s, d).filter(col("vec_id") < 200))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
+          col("nrm").as("a_n"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
+          col("nrm").as("b_n"))
         a.join(broadcast(b), col("a_id") < col("b_id"))
-          .withColumn("cos", cosine(col("a_e"), col("b_e")))
+          .withColumn("cos",
+            dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
           .filter(col("cos") >= 0.35)
           .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
           .orderBy("a_id", "b_id")
@@ -380,16 +436,18 @@ object QueriesText {
           when(element_at(col("embedding"), j + 1) > 0f, lit(1 << j))
             .otherwise(0)
         }.reduce(_ + _)
-        val e = embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+        val e = withNorm(embeddings(s, d))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            bucket.as("bucket"))
         val q = e.filter(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("bucket"))
+            col("nrm").as("q_nrm"), col("bucket"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
         e.join(broadcast(q), Seq("bucket"))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", cosine(col("embedding"), col("q_emb")))
+          .withColumn("cos",
+            dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("q_id"), col("rn"), col("vec_id"),

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Dev-only micro-profiler (not part of the driver surface): splits each
+  * declared query's wall time into executor stage time vs driver overhead
+  * (planning + Janino codegen compile).
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val stageTime = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          stageTime.addAndGet(i.completionTime.getOrElse(0L) -
+            i.submissionTime.getOrElse(0L))
+        }
+      })
+    def compileMs: Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1000000
+    val d = "/root/testdata/sf0.1"
+    val rows = mutable.ArrayBuffer[(String, Double, Double, Long)]()
+    Queries.all.foreach { q =>
+      val st0 = stageTime.get(); val c0 = compileMs
+      val t0 = System.nanoTime()
+      try q.build(spark, d).count() catch { case _: Throwable => }
+      val wall = (System.nanoTime() - t0) / 1e9
+      rows += ((q.name, wall, (stageTime.get() - st0) / 1000.0, compileMs - c0))
+    }
+    rows.sortBy(-_._2).take(12).foreach { case (n, w, s, c) =>
+      println(f"PROFILE $n wall=$w%.2f stage=$s%.2f janinoMs=$c")
+    }
+    println(f"PROFILE_TOTAL wall=${rows.map(_._2).sum}%.1f " +
+      f"stage=${rows.map(_._3).sum}%.1f janino=${compileMs}ms")
+    spark.stop()
+  }
+}

@@ -20,6 +20,18 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Lift scan parallelism to the session's core count before CPU-heavy
+    * per-row work. The local testdata files have a single parquet row group,
+    * so a scan is exactly one task — expression-heavy queries (from_json,
+    * md5-based minhash) would otherwise run single-threaded on local[32].
+    * At production scale a 100 TB table has thousands of row groups and the
+    * scan parallelism already exceeds cores, so the repartition is a no-op
+    * tradeoff decision: only apply where per-row compute dominates the
+    * shuffle of the (narrow) projected columns.
+    */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

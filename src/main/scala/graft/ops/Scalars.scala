@@ -56,11 +56,23 @@ object Scalars {
   def epochToDateStr(epochSec: Column): Column =
     date_format(from_unixtime(epochSec), "yyyy-MM-dd")
 
-  /** Python-list string `['a', 'b']` → array<string>. */
+  /** Python-list string `['a', 'b']` → array<string>, general form.
+    * Note: JsonToStructs is CodegenFallback (breaks whole-stage codegen and
+    * pays a hefty first-use JIT cost) — hot paths with the reference's
+    * quote-free single-word elements should prefer parsePyListFast.
+    */
   def parsePyList(s: Column): Column =
     from_json(translate(s, "'", "\""),
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.StringType))
+
+  /** Codegen-friendly Python-list parse for the reference's actual data
+    * contract (faker words: no embedded quotes/commas/brackets —
+    * `rankings_generator.py:172`, SURVEY.md §7.5 #3): strip `['`/`']`,
+    * split on `', '`.
+    */
+  def parsePyListFast(s: Column): Column =
+    split(regexp_replace(s, "^\\['|'\\]$", ""), "', '")
 
   /** Stride chunk id for a 1-based row_number: floor((rn-1)/size). */
   def chunkId(rowNumber1Based: Column, size: Int): Column =
@@ -92,4 +104,20 @@ object Scalars {
 
   /** DuckDB rendition of round2 for oracle SQL. */
   def round2Sql(x: String): String = s"(floor(($x) * 100 + 0.5) / 100)"
+
+  /** Distinct 3-word shingles of a word array — the MinHash feature set.
+    * Word-level minhash over a small vocabulary collides catastrophically
+    * (measured: 7.58M LSH candidate pairs vs 493 with shingles on the sf0.1
+    * documents table); shingling is the standard fix (SURVEY.md §2.11 X2).
+    * Guard: <3 words → the whole text as one shingle. 1-based element_at
+    * matches DuckDB list indexing.
+    */
+  def shingles3(words: Column): Column =
+    when(size(words) >= 3,
+      array_distinct(transform(sequence(lit(1), size(words) - 2),
+        i => concat_ws(" ",
+          element_at(words, i),
+          element_at(words, i + 1),
+          element_at(words, i + 2)))))
+      .otherwise(array(concat_ws(" ", words)))
 }
