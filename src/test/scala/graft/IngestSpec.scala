@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+
+/** Batch CSV ingest path (SURVEY.md §2.1 S1/S6/S7/S8): declared schema,
+  * FAILFAST type checking (the `types_check: True` analog,
+  * `ranking_urls_ingestor.py:78`), shard-concat union, partitioned write.
+  */
+class IngestSpec extends SparkSpec {
+
+  private def mkShard(rows: Seq[String]): String = {
+    val dir = Files.createTempDirectory("csvshard").toString
+    val header = "domain,date,term,url,rank,volume,cpc"
+    Files.write(Paths.get(dir, "part1.csv"),
+      (header +: rows).mkString("\n").getBytes)
+    dir
+  }
+
+  test("S1/S7: CSV shard reads positionally against the declared schema") {
+    val dir = mkShard(Seq(
+      "foo.com,2023-01-01,term a,https://foo.com/x,5,1000,2.34",
+      "bar.com,2023-02-01,term b,,,-,0.5")) // null url/rank, bad volume
+    // FAILFAST: the malformed numeric row must abort the read
+    val ex = intercept[SparkException] {
+      Tables.readRankingsCsv(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains("MALFORMED_RECORD") ||
+      ex.getCause != null)
+  }
+
+  test("S1 happy path + P5 null-rejection filter") {
+    val dir = mkShard(Seq(
+      "foo.com,2023-01-01,term a,https://foo.com/x,5,1000,2.34",
+      "bar.com,2023-02-01,term b,,,2000,0.5")) // null url+rank (valid types)
+    val df = Tables.readRankingsCsv(spark, dir)
+    assert(df.count() == 2)
+    // reference drops rows with null url/rank (`rankings_generator.py:158-162`)
+    val clean = df.na.drop(Seq("url", "rank"))
+    assert(clean.count() == 1)
+    val r = clean.collect().head
+    assert(r.getAs[String]("domain") == "foo.com")
+    assert(r.getAs[Int]("rank") == 5)
+    assert(r.getAs[java.sql.Date]("date").toString == "2023-01-01")
+  }
+
+  test("S6/S7: multi-shard union ingested to date-partitioned parquet") {
+    val d1 = mkShard(Seq("a.com,2023-01-01,t1,https://a.com/1,1,10,0.1"))
+    val d2 = mkShard(Seq("b.com,2023-01-02,t2,https://b.com/2,2,20,0.2"))
+    val out = Files.createTempDirectory("warehouse").toString
+    val df = Tables.readRankingsCsv(spark, d1)
+      .unionByName(Tables.readRankingsCsv(spark, d2))
+    df.write.mode("overwrite").partitionBy("date").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    // partition pruning: a date filter must prune to a single partition dir
+    val pruned = back.filter(col("date") === "2023-01-01")
+    assert(pruned.count() == 1)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("flagship entry returns rows (driver t1 smoke shape)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared oracle query has matching column sets documented") {
+    // guard against the #1 driver-contract risk: a queries key without
+    // an oracleSql entry is only legal for documented no-oracle ops
+    val noOracle = Set("q08b_approx_distinct")
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- noOracle
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+}

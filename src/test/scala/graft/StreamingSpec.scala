@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.StreamingIngest
+
+/** Streaming ingest semantics (SURVEY.md §2.10, §5 #5): AvailableNow over a
+  * dir of CSV shards, checkpointed exactly-once across restarts, windowed
+  * aggregation parity with the batch form.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def writeShard(dir: String, name: String, rows: Seq[String]): Unit = {
+    val header = "domain,date,term,url,rank,volume,cpc"
+    Files.write(Paths.get(dir, name),
+      (header +: rows).mkString("\n").getBytes)
+  }
+
+  private def mkTmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("T1/T4/T5: AvailableNow ingest is exactly-once across restart") {
+    val in = mkTmp("shards")
+    val out = mkTmp("ingested")
+    val ckpt = mkTmp("ckpt")
+    writeShard(in, "shard1.csv", Seq(
+      "foo.com,2023-01-01,term1,https://foo.com/a,1,100,0.5",
+      "foo.com,2023-01-02,term2,https://foo.com/b,2,200,1.5"))
+    writeShard(in, "shard2.csv", Seq(
+      "bar.com,2023-01-01,term3,https://bar.com/c,3,300,2.5"))
+
+    val stream1 = StreamingIngest.csvStream(spark, Tables.rankingsV1Schema, in,
+      maxFilesPerTrigger = 1)
+    val q1 = StreamingIngest.ingestAvailableNow(stream1, out, ckpt)
+    q1.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 3)
+
+    // restart with no new files → no duplicates (flag-store analog)
+    val q2 = StreamingIngest.ingestAvailableNow(
+      StreamingIngest.csvStream(spark, Tables.rankingsV1Schema, in, 1),
+      out, ckpt)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() == 3)
+
+    // new shard arrives → only it is ingested (resume-from-offset)
+    writeShard(in, "shard3.csv", Seq(
+      "baz.com,2023-01-03,term4,https://baz.com/d,4,400,3.5"))
+    val q3 = StreamingIngest.ingestAvailableNow(
+      StreamingIngest.csvStream(spark, Tables.rankingsV1Schema, in, 1),
+      out, ckpt)
+    q3.awaitTermination(60000)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 4)
+    assert(rows.filter(col("domain") === "baz.com").count() == 1)
+  }
+
+  test("T7: foreachBatch skips empty batches and sees all rows once") {
+    val in = mkTmp("shards2")
+    val ckpt = mkTmp("ckpt2")
+    writeShard(in, "s1.csv", Seq(
+      "foo.com,2023-01-01,t,https://foo.com/a,1,100,0.5"))
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = StreamingIngest.ingestForeachBatch(
+      StreamingIngest.csvStream(spark, Tables.rankingsV1Schema, in, 10),
+      ckpt) { (batch, _) =>
+      batches.incrementAndGet(); seen.addAndGet(batch.count())
+    }
+    q.awaitTermination(60000)
+    assert(seen.get() == 1 && batches.get() == 1)
+  }
+
+  test("T8: streaming tumbling-window agg matches the batch date_trunc form") {
+    import spark.implicits._
+    val in = mkTmp("events_json")
+    // three events across two hours, as JSON lines with epoch-second ts
+    Files.write(Paths.get(in, "e.json"), Seq(
+      """{"ts": 3600, "v": 1.0}""",
+      """{"ts": 3700, "v": 2.0}""",
+      """{"ts": 7300, "v": 4.0}""").mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).json(in)
+      .withColumn("t", to_timestamp(col("ts")))
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "1 hour")).agg(sum("v").as("sv"))
+      .select(col("window.start").cast("long").as("h"), col("sv"))
+    val ckpt = mkTmp("ckpt3")
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("win_agg")
+      .outputMode("complete")
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("win_agg").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(3600L -> 3.0, 7200L -> 4.0))
+  }
+}
