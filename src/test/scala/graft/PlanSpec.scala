@@ -1,0 +1,67 @@
+package graft
+
+/** Physical-plan quality gates (the "would this survive 100×" checks the
+  * builder prompt demands): column pruning, filter pushdown, broadcast
+  * joins for dims, partial aggregation, whole-stage codegen. Encoded as
+  * tests so a regression in plan shape fails the build, not just the bench.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.byName(name).build(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q01 scan prunes to exactly the projected columns") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "unprojected column read")
+    assert(!p.contains("l_shipdate"), "unprojected column read")
+  }
+
+  test("q02 pushes range predicates into the parquet scan") {
+    val p = plan("q02_filter_range")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThan") || p.contains("GreaterThanOrEqual"),
+      s"no pushed range filter in:\n$p")
+  }
+
+  test("q10 dimension lookup join broadcasts the dimension side") {
+    assert(plan("q10_lookup_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q11/q12 existence checks use broadcast anti/semi joins on small dims") {
+    assert(plan("q11_anti_join").contains("LeftAnti"))
+    assert(plan("q12_semi_join").contains("LeftSemi"))
+  }
+
+  test("q06 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q06_group_measures")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("q38 wide derive stays inside whole-stage codegen") {
+    // AQE reveals codegen spans only in the final (executed) plan
+    val df = Queries.byName("q38_wide_derive").build(spark, sf)
+    df.collect()
+    // codegen'd operators render with the "*(n)" prefix in the final plan
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("q41 broadcasts the query vectors, not the corpus") {
+    val p = plan("q41_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q53 band join is an equi-join (no nested loop over pairs)") {
+    val p = plan("q53_minhash_band_pairs")
+    assert(!p.contains("CartesianProduct"), "pair search degenerated to cross join")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("q31 date-window filter reaches the scan") {
+    val p = plan("q31_date_window")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+  }
+}
