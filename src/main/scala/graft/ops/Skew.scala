@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities (SURVEY.md §7.5 #7; builder-prompt scale list).
+  *
+  * AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default) handles sort-merge skew at runtime; explicit salting remains
+  * the tool when (a) the skewed side aggregates before joining, or (b) a
+  * hot key concentrates in a shuffle-hash join where AQE can't split.
+  * The reference's analog is its manual chunking of hot topic pages
+  * (`ranking_urls_generator.py:44-47` — 5M-row pages cut into 1000-key
+  * chunks).
+  */
+object Skew {
+
+  /** Two-phase (partial → final) aggregation over a salted key: use when a
+    * single group key dominates (e.g. one domain owning most fact rows) so
+    * the partial aggregate spreads the hot key over `saltBuckets` reducers.
+    * For algebraic aggregates only (sum/count/min/max).
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      saltBuckets: Int): DataFrame =
+    df.select(key.as("k"), value.as("v"),
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)).as("salt"))
+      .groupBy("k", "salt")
+      .agg(sum("v").as("psum"), count(lit(1)).as("pcnt"))
+      .groupBy("k")
+      .agg(sum("psum").as("sum_v"), sum("pcnt").as("cnt"))
+
+  /** Salted equi-join of a skewed fact against a small dimension: the dim
+    * side is replicated `saltBuckets` times (explode) and the fact side
+    * tags each row with a random-but-deterministic salt, so a hot join key
+    * fans out over `saltBuckets` tasks instead of one.
+    *
+    * Result equals `fact.join(dim, factKey === dimKey)` exactly.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      saltBuckets: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(col(factKey), monotonically_increasing_id()),
+        lit(saltBuckets)))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedFact.join(saltedDim,
+      saltedFact(factKey) === saltedDim(dimKey) &&
+        saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+}
