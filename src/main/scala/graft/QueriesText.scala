@@ -475,6 +475,65 @@ object QueriesText {
            |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
       }),
 
+    // ANN via IVF: coarse quantization against a fixed centroid set (the
+    // first 10 vectors stand in for k-means centroids — deterministic and
+    // oracle-replayable), then exact re-rank within the query's cell. The
+    // cell assignment is one pass over the corpus against broadcast
+    // centroids; search cost scales with cell size, not corpus size.
+    Q("q54_ann_ivf",
+      (s, d) => {
+        val e = withNorm(embeddings(s, d))
+        val cents = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+        val wCell = Window.partitionBy("vec_id")
+          .orderBy(col("cdot").desc, col("c_id").asc)
+        val assigned = e.join(broadcast(cents), lit(true))
+          .withColumn("cdot", dot(col("embedding"), col("c_emb")))
+          .withColumn("crn", row_number().over(wCell))
+          .filter(col("crn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("c_id").as("cell"))
+        val q = assigned.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("cell"))
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        assigned.join(broadcast(q), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+              |               FROM embeddings WHERE vec_id < 10),
+              |scoredcells AS (
+              |  SELECT e.vec_id, e.embedding, c.c_id,
+              |    ${dotSql("e.embedding", "c.c_emb")} AS cdot,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "c.c_emb")} DESC,
+              |               c.c_id ASC) AS crn
+              |  FROM embeddings e CROSS JOIN cents c),
+              |assigned AS (
+              |  SELECT vec_id, embedding, c_id AS cell
+              |  FROM scoredcells WHERE crn = 1),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell
+              |      FROM assigned WHERE vec_id < 3),
+              |pairs AS (
+              |  SELECT q.q_id, a.vec_id,
+              |    ${cosSql("a.embedding", "q.q_emb")} AS cos
+              |  FROM assigned a JOIN q ON a.cell = q.cell
+              |  WHERE a.vec_id <> q.q_id),
+              |scored AS (
+              |  SELECT q_id, vec_id, cos, row_number() OVER (
+              |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+              |  FROM pairs)
+              |SELECT q_id, rn, vec_id, round(cos, 6) AS cos_sim
+              |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // "decode" is a deterministic fake (real image/audio libs are absent —
     // see ops/Multimodal.scala for the mapPartitions decode seam).
