@@ -138,9 +138,9 @@ object QueriesScalar {
             .as("first_long"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  len(str_split(text, ' ')) AS n_words,
-             |  len(list_filter(str_split(text, ' '),
-             |      w -> length(w) > 4)) AS n_long,
+             |  CAST(len(str_split(text, ' ')) AS INT) AS n_words,
+             |  CAST(len(list_filter(str_split(text, ' '),
+             |      w -> length(w) > 4)) AS INT) AS n_long,
              |  array_to_string(list_filter(str_split(text, ' '),
              |      w -> length(w) > 4)[1:3], ',') AS first_long
              |FROM documents ORDER BY doc_id""".stripMargin)),
@@ -157,7 +157,8 @@ object QueriesScalar {
           .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
           .orderBy("o_orderpriority", "rn")
       },
-      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+      Some("""SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey,
+             |       o_totalprice FROM (
              |  SELECT o_orderpriority, o_orderkey, o_totalprice,
              |    row_number() OVER (PARTITION BY o_orderpriority
              |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -180,8 +181,9 @@ object QueriesScalar {
       },
       Some("""SELECT c_custkey, c_mktsegment,
              |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
-             |  dense_rank() OVER (PARTITION BY c_mktsegment
-             |    ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC) AS dr
+             |  CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+             |    ORDER BY CAST(floor(c_acctbal / 1000) AS BIGINT) DESC) AS INT)
+             |    AS dr
              |FROM customer
              |ORDER BY c_mktsegment, dr, c_custkey""".stripMargin)),
 
@@ -338,7 +340,7 @@ object QueriesScalar {
         .filter(array_contains(col("words"), "spark"))
         .select(col("doc_id"), size(col("words")).as("n_words"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, len(str_split(text, ' ')) AS n_words
+      Some("""SELECT doc_id, CAST(len(str_split(text, ' ')) AS INT) AS n_words
              |FROM documents
              |WHERE list_contains(str_split(text, ' '), 'spark')
              |ORDER BY doc_id""".stripMargin)),

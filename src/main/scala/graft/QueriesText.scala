@@ -169,7 +169,8 @@ object QueriesText {
               |    row_number() OVER (PARTITION BY q_id
               |      ORDER BY cos DESC, vec_id ASC) AS rn
               |  FROM pairs)
-              |SELECT q_id, rn, vec_id, round(cos, 6) AS cos_sim
+              |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
+              |       round(cos, 6) AS cos_sim
               |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
 
     // X4 text stats: per-language counts and means.
@@ -206,9 +207,9 @@ object QueriesText {
       },
       Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws
              |           FROM documents)
-             |SELECT doc_id, len(ws) AS n_words,
-             |  len(list_filter(ws, w -> list_contains(
-             |    ['the','a','of','and','to','in'], w))) AS n_stop,
+             |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+             |  CAST(len(list_filter(ws, w -> list_contains(
+             |    ['the','a','of','and','to','in'], w))) AS INT) AS n_stop,
              |  round(CAST(len(list_filter(ws, w -> list_contains(
              |    ['the','a','of','and','to','in'], w))) AS DOUBLE)
              |    / len(ws), 4) AS stop_ratio,
@@ -231,8 +232,8 @@ object QueriesText {
             col("alpha_ratio_raw") * 0.5, 4).as("quality"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  length(text) AS n_chars_m,
-             |  len(str_split(text, ' ')) AS n_words,
+             |  CAST(length(text) AS INT) AS n_chars_m,
+             |  CAST(len(str_split(text, ' ')) AS INT) AS n_words,
              |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
              |    AS DOUBLE) / length(text), 4) AS alpha_ratio,
              |  round(least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0,
@@ -253,9 +254,9 @@ object QueriesText {
             .as("est_bpe"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  len(str_split(text, ' ')) AS ws_tokens,
-             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-             |    AS re_tokens,
+             |  CAST(len(str_split(text, ' ')) AS INT) AS ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             |    AS INT) AS re_tokens,
              |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -272,7 +273,7 @@ object QueriesText {
       Some("""SELECT doc_id,
              |  md5(array_to_string(list_sort(list_distinct(
              |    str_split(text, ' '))), ',')) AS fp,
-             |  len(list_distinct(str_split(text, ' '))) AS n_uniq
+             |  CAST(len(list_distinct(str_split(text, ' '))) AS INT) AS n_uniq
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // X2 MinHash signatures (4 hash fns over the 3-shingle set) — per-row,
@@ -471,7 +472,8 @@ object QueriesText {
            |  SELECT q_id, vec_id, cos, row_number() OVER (
            |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
            |  FROM pairs)
-           |SELECT q_id, rn, vec_id, round(cos, 6) AS cos_sim
+           |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
+           |       round(cos, 6) AS cos_sim
            |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
       }),
 
@@ -531,7 +533,8 @@ object QueriesText {
               |  SELECT q_id, vec_id, cos, row_number() OVER (
               |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
               |  FROM pairs)
-              |SELECT q_id, rn, vec_id, round(cos, 6) AS cos_sim
+              |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
+              |       round(cos, 6) AS cos_sim
               |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
 
     // Multimodal plumbing: opaque binary column + typed metadata. The

@@ -42,6 +42,15 @@ for name in sorted(oracle):
     if ecols != gcols:
         fails.append((name, f"cols: oracle={ecols} spark={gcols}"))
         continue
+    # be strict about physical types too (the driver may hash raw arrays)
+    tmism = [
+        f"{c}: oracle={exp.schema.field(c).type} spark={got.schema.field(c).type}"
+        for c in ecols
+        if exp.schema.field(c).type != got.schema.field(c).type
+    ]
+    if tmism:
+        fails.append((name, "type mismatch: " + "; ".join(tmism)))
+        continue
     if exp.num_rows != got.num_rows:
         fails.append((name, f"rows: oracle={exp.num_rows} spark={got.num_rows}"))
         continue
