@@ -396,6 +396,57 @@ object QueriesScalar {
               |  (l_orderkey % 7) AS key_mod
               |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Sessionization (gap 30 min) — the batch form of stateful stream
+    // sessionization (ops/Sessionize.scala holds the
+    // flatMapGroupsWithState variant): lag-gap flag → running sum =
+    // session id → per-session aggregate. Two shuffles total (window by
+    // user, then group), both on user_id — at scale one exchange since the
+    // partitioning is reused.
+    Q("q55_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("sec").asc, col("event_id").asc)
+        val cum = Window.partitionBy("user_id")
+          .orderBy(col("sec").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            (col("ts") / lit(1000000000L)).cast("long").as("sec"))
+          .withColumn("prev", lag("sec", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev").isNull || col("sec") - col("prev") > 1800L, 1L)
+              .otherwise(0L))
+          .withColumn("session_no", sum("new_sess").over(cum))
+          .groupBy("user_id", "session_no")
+          .agg(count(lit(1)).as("n_events"),
+            min("sec").as("start_sec"), max("sec").as("end_sec"))
+          .orderBy("user_id", "session_no")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    epoch_ns(ts) // 1000000000 AS sec
+             |  FROM events),
+             |flagged AS (
+             |  SELECT user_id, event_id, sec,
+             |    CASE WHEN lag(sec, 1) OVER (PARTITION BY user_id
+             |           ORDER BY sec ASC, event_id ASC) IS NULL
+             |         OR sec - lag(sec, 1) OVER (PARTITION BY user_id
+             |           ORDER BY sec ASC, event_id ASC) > 1800
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM e),
+             |sessions AS (
+             |  SELECT user_id, sec,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+             |      ORDER BY sec ASC, event_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS session_no
+             |  FROM flagged)
+             |SELECT user_id, session_no,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  min(sec) AS start_sec, max(sec) AS end_sec
+             |FROM sessions GROUP BY user_id, session_no
+             |ORDER BY user_id, session_no""".stripMargin)),
+
     // T8 tumbling-window aggregation, deterministic batch form
     // (`date_trunc` hour); the true streaming runner (`window()` +
     // watermark) is exercised in StreamingSpec (SURVEY.md §2.10).
