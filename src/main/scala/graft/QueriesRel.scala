@@ -318,6 +318,68 @@ object QueriesRel {
              |EXCEPT SELECT o_custkey AS c_custkey FROM orders
              |ORDER BY c_custkey""".stripMargin)),
 
+    // A6 cube — all grouping-set combinations (rollup's sibling; OLAP
+    // parity beyond the declared rollup).
+    Q("q56_cube",
+      (s, d) => lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"))
+        .orderBy("rf", "ls"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |       coalesce(l_linestatus, 'ALL') AS ls,
+             |       CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // U2b INTERSECT — the set complement of q29's EXCEPT.
+    Q("q57_intersect",
+      (s, d) => customer(s, d).select("c_custkey")
+        .intersect(orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |INTERSECT SELECT o_custkey AS c_custkey FROM orders
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J7 full outer join — beyond the reference surface (SURVEY.md §2.3
+    // "if needed later"); supplier and customer nation-key margins differ,
+    // so both null sides appear.
+    Q("q58_full_outer",
+      (s, d) => {
+        val su = supplier(s, d).groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_supp"))
+        val cu = customer(s, d).groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"))
+        su.join(cu, col("s_nationkey") === col("c_nationkey"), "full")
+          .select(
+            coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+          .orderBy("nationkey")
+      },
+      Some("""WITH su AS (SELECT s_nationkey, CAST(count(*) AS BIGINT)
+             |              AS n_supp FROM supplier GROUP BY s_nationkey),
+             |cu AS (SELECT c_nationkey, CAST(count(*) AS BIGINT)
+             |         AS n_cust FROM customer GROUP BY c_nationkey)
+             |SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+             |  coalesce(n_supp, 0) AS n_supp,
+             |  coalesce(n_cust, 0) AS n_cust
+             |FROM su FULL OUTER JOIN cu ON s_nationkey = c_nationkey
+             |ORDER BY nationkey""".stripMargin)),
+
+    // J8 cross join — small dims only (region × region distance matrix
+    // shape); at scale a guarded operation by design.
+    Q("q59_cross_join",
+      (s, d) => region(s, d).select(col("r_name").as("a"))
+        .crossJoin(region(s, d).select(col("r_name").as("b")))
+        .orderBy("a", "b"),
+      Some("""SELECT r1.r_name AS a, r2.r_name AS b
+             |FROM region r1 CROSS JOIN region r2
+             |ORDER BY a, b""".stripMargin)),
+
     // F12 integer div/mod chunking — reference `_chunkify`
     // (`ranking_urls_generator.py:54-55`) + offset arithmetic
     // (`rankings_generator.py:118`).
