@@ -61,6 +61,41 @@ class IngestSpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("S5: XML sitemap reads as rows (native Spark 4 XML source)") {
+    // reference fixture shape: `tax sherpa sitemap.xml:1-431` url records
+    val dir = Files.createTempDirectory("sitemap").toString
+    Files.write(Paths.get(dir, "sitemap.xml"),
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset>
+        |  <url><loc>https://a.com/page1</loc><lastmod>2023-01-01</lastmod><priority>0.8</priority></url>
+        |  <url><loc>https://a.com/page2</loc><lastmod>2023-02-01</lastmod><priority>0.5</priority></url>
+        |</urlset>""".stripMargin.getBytes)
+    val df = spark.read.option("rowTag", "url").xml(dir)
+    assert(df.count() == 2)
+    assert(df.select("loc").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("https://a.com/page1", "https://a.com/page2"))
+  }
+
+  test("S4: blob key fields parsed from input_file_name") {
+    // reference: S3 key encodes term/timestamp (`ranking_urls_generator.py:216-219`)
+    val dir = Files.createTempDirectory("blobs").toString
+    Files.write(Paths.get(dir, "seo tips_en-us_1678887190.json"),
+      """{"rank": 1}""".getBytes)
+    Files.write(Paths.get(dir, "pet food_en-ca_1678887200.json"),
+      """{"rank": 2}""".getBytes)
+    val df = spark.read.json(dir)
+      .withColumn("fname", regexp_extract(
+        input_file_name(), "([^/]+)\\.json$", 1))
+      .withColumn("term", element_at(split(col("fname"), "_"), 1))
+      .withColumn("ts", element_at(split(col("fname"), "_"), -1).cast("long"))
+    val rows = df.select("term", "ts", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(rows.toSeq == Seq(
+      ("seo%20tips", 1678887190L, 1L), ("pet%20food", 1678887200L, 2L)) ||
+      rows.toSeq == Seq(
+        ("seo tips", 1678887190L, 1L), ("pet food", 1678887200L, 2L)))
+  }
+
   test("flagship entry returns rows (driver t1 smoke shape)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
