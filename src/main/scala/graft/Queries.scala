@@ -14,7 +14,8 @@ final case class Q(
   * surface. Split by tier; see QueriesRel / QueriesScalar / QueriesText.
   */
 object Queries {
-  lazy val all: Seq[Q] = QueriesRel.all ++ QueriesScalar.all ++ QueriesText.all
+  lazy val all: Seq[Q] = QueriesRel.all ++ QueriesScalar.all ++
+    QueriesText.all ++ QueriesOlap.all ++ QueriesPipeline.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,250 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scalars
+
+/** Advanced OLAP tier — grouping sets, pivot, statistical and positional
+  * aggregates, the full window-function family, and subquery forms. These
+  * extend SURVEY.md §2.4/§2.5 beyond the reference's delegated surface to
+  * the analytics ClickHouse users actually run on rankings-style fact
+  * tables (share-of-segment, rank percentiles, movement windows).
+  *
+  * Scale notes:
+  *  - Pivot with an explicit value list (q61) is a single partial+final
+  *    hash agg — never use auto-discovery pivot at 100 TB (it runs an extra
+  *    distinct job over the fact table to find values).
+  *  - Statistical aggs (q62) are single-pass partial+final (Spark's
+  *    central-moment aggregates merge exactly); no extra shuffle vs sum().
+  *  - Exact percentiles (q63) buffer per-group values — fine for bounded
+  *    group counts; at unbounded cardinality switch to approx_percentile
+  *    (same call shape, sketch-mergeable). Declared exact so DuckDB's
+  *    quantile_cont interpolation matches bit-for-bit after rounding.
+  *  - Window queries (q65/q66/q69) partition by a key — no global-order
+  *    single-partition window on the fact-table path (§7.5 #7).
+  *  - Subqueries (q67/q68) rewrite to joins in Catalyst: IN → left semi,
+  *    scalar agg → cross of a 1-row broadcast. The declared SQL forms prove
+  *    the optimizer path, not a new executor.
+  */
+object QueriesOlap {
+  import Tables._
+
+  val all: Seq[Q] = Seq(
+
+    // A6c explicit GROUPING SETS — the general form of q09 rollup / q56
+    // cube: per-flag, per-status, and grand-total groups in one pass.
+    Q("q60_grouping_sets",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                |       coalesce(l_linestatus, 'ALL') AS ls,
+                |       count(1) AS cnt,
+                |       round(sum(l_extendedprice), 2) AS sum_price
+                |FROM lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY rf, ls""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             |       coalesce(l_linestatus, 'ALL') AS ls,
+             |       CAST(count(*) AS BIGINT) AS cnt,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY rf, ls""".stripMargin)),
+
+    // A8 pivot (long→wide reshape) with an explicit value list: status ×
+    // return-flag quantity matrix. One partial+final agg, no discovery job.
+    Q("q61_pivot",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum("l_quantity"), 2))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+             |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+             |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+             |FROM lineitem GROUP BY l_linestatus
+             |ORDER BY l_linestatus""".stripMargin)),
+
+    // A9 statistical aggregates — stddev / correlation / covariance per
+    // group, single-pass central-moment form (volume-vs-cpc analytics on
+    // the reference's measure columns). Rounding absorbs the last-ulp
+    // difference between the engines' merge orders (§7.5 #1).
+    Q("q62_stats_agg",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+            .as("cov_qty_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(stddev_samp(l_quantity), 2) AS sd_qty,
+             |  round(stddev_samp(l_extendedprice), 2) AS sd_price,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // A10 exact percentiles (quartiles of price per return flag). Spark's
+    // percentile() and DuckDB's quantile_cont() share the linear-
+    // interpolation definition, so they agree to the ulp on sorted input.
+    Q("q63_percentiles",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // A11 ordered string aggregation (group members as a sorted CSV list —
+    // the reporting form of collect_list). Sorted before joining so the
+    // aggregation order, which neither engine guarantees, cannot leak in.
+    Q("q64_string_agg",
+      (s, d) => nation(s, d)
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name,
+             |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // W5 distribution window family: quartile bucket (ntile), percent_rank,
+    // cume_dist over price within each priority class. The per-partition
+    // order carries the unique o_orderkey tiebreak so every rank function
+    // is deterministic (§7.5 #5). percent_rank values like k/(n-1) are
+    // non-terminating binary fractions, so rounding goes through the
+    // floor-form Scalars.roundAt on both sides (§7.5 #1).
+    Q("q65_window_family",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        orders(s, d)
+          .filter(col("o_totalprice") > 400000.0)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            Scalars.roundAt(percent_rank().over(w), 6).as("pct_rank"),
+            Scalars.roundAt(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some(s"""SELECT o_orderpriority, o_orderkey,
+              |  CAST(ntile(4) OVER w AS INT) AS quartile,
+              |  ${Scalars.roundAtSql("percent_rank() OVER w", 6)} AS pct_rank,
+              |  ${Scalars.roundAtSql("cume_dist() OVER w", 6)} AS cume
+              |FROM orders
+              |WHERE o_totalprice > 400000.0
+              |WINDOW w AS (PARTITION BY o_orderpriority
+              |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+              |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
+    // W6 positional window values: per priority class, the highest-,
+    // second-highest-, and lowest-priced order keys in one full-frame pass.
+    Q("q66_first_last",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val full = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        orders(s, d)
+          .select(col("o_orderpriority"),
+            first(col("o_orderkey")).over(full).as("top_key"),
+            nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+            last(col("o_orderkey")).over(full).as("bottom_key"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") === 1)
+          .select("o_orderpriority", "top_key", "second_key", "bottom_key")
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, top_key, second_key, bottom_key
+             |FROM (SELECT o_orderpriority,
+             |  first_value(o_orderkey) OVER wf AS top_key,
+             |  nth_value(o_orderkey, 2) OVER wf AS second_key,
+             |  last_value(o_orderkey) OVER wf AS bottom_key,
+             |  row_number() OVER w AS rn
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice DESC, o_orderkey ASC),
+             |       wf AS (PARTITION BY o_orderpriority
+             |              ORDER BY o_totalprice DESC, o_orderkey ASC
+             |              ROWS BETWEEN UNBOUNDED PRECEDING
+             |                AND UNBOUNDED FOLLOWING))
+             |WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // Q1 IN-subquery (uncorrelated) — Catalyst rewrites to a left-semi
+    // join; the segment dimension side auto-broadcasts below the threshold.
+    Q("q67_in_subquery",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders")
+        customer(s, d).createOrReplaceTempView("customer")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                |WHERE o_custkey IN (SELECT c_custkey FROM customer
+                |                    WHERE c_mktsegment = 'BUILDING')
+                |  AND o_totalprice > 300000.0
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_mktsegment = 'BUILDING')
+             |  AND o_totalprice > 300000.0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Q2 scalar subquery — price as a ratio of the global mean; Catalyst
+    // plans the 1-row aggregate as a broadcast, not a per-row re-scan.
+    Q("q68_scalar_subquery",
+      (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey,
+                |  round(o_totalprice /
+                |    (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
+                |FROM orders WHERE o_totalprice > 450000.0
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  round(o_totalprice /
+             |    (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
+             |FROM orders WHERE o_totalprice > 450000.0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // W7 sliding-frame moving average (3-order trailing mean per customer —
+    // the rank-movement smoothing a rankings time-series needs). A 3-value
+    // mean is a row-level derived double → floor-form rounding (§7.5 #1).
+    Q("q69_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(-2, Window.currentRow)
+        orders(s, d)
+          .filter(col("o_custkey") < 200L)
+          .select(col("o_custkey"), col("o_orderkey"),
+            Scalars.round2(avg(col("o_totalprice")).over(w)).as("mavg3"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey,
+              |  ${Scalars.round2Sql(
+                   """avg(o_totalprice) OVER (
+                     |    PARTITION BY o_custkey
+                     |    ORDER BY o_orderdate ASC, o_orderkey ASC
+                     |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)}
+              |    AS mavg3
+              |FROM orders WHERE o_custkey < 200
+              |ORDER BY o_custkey, o_orderkey""".stripMargin))
+  )
+}

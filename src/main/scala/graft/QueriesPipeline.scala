@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Scalars
+
+/** Training-data pipeline tier II — SURVEY.md §2.11 extension beyond the
+  * first wave (QueriesText): order-sensitive content fingerprints, blocked
+  * dedup cluster assignment, corpus n-gram statistics, deterministic
+  * hash-based sampling, and length-distribution profiling.
+  *
+  * Scale notes:
+  *  - Rolling hash (q70) folds per-row over the token array — embarrassingly
+  *    parallel, no shuffle; the lambda body is three integer ops so the
+  *    generated code stays small (the array-lambda pitfall in BASELINE.md
+  *    applies to mega-expressions, not this).
+  *  - Blocked dedup (q71) is the standard first stage of entity-resolution
+  *    at scale: a cheap blocking key bounds the candidate space before any
+  *    pairwise work; the only shuffle is on the block key.
+  *  - Top-n-grams (q72) is explode → partial+final count → TakeOrdered:
+  *    map-side combine keeps the shuffle at distinct-bigram cardinality,
+  *    and the top-k never materializes a global sort.
+  *  - Hash sampling (q73) replaces rand()-based sampling with a content
+  *    hash: reproducible across runs/engines and stable under re-partition,
+  *    which rand() sampling is not — the property a 100 TB pipeline needs
+  *    for resumable subset builds.
+  */
+object QueriesPipeline {
+  import Tables._
+
+  private val P = Scalars.HashP
+
+  val all: Seq[Q] = Seq(
+
+    // X8b order-sensitive document fingerprint: polynomial rolling hash
+    // h = fold(31·h + tokenHash(w) mod P) over the token stream. Unlike
+    // q46's sorted-vocab md5, token *order* matters (detects shuffled
+    // near-copies). DuckDB replays the fold exactly via list_reduce with a
+    // prepended zero seed.
+    Q("q70_rolling_hash",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          transform(split(col("text"), " "),
+            w => Scalars.tokenHash(w) % P).as("hs"))
+        .select(col("doc_id"),
+          aggregate(col("hs"), lit(0L),
+            (h, x) => (h * 31L + x) % P).as("rhash"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(list_reduce(
+              |    list_prepend(0, list_transform(str_split(text, ' '),
+              |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $P)),
+              |    (h, x) -> (h * 31 + x) % $P) AS BIGINT) AS rhash
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // X1b blocked dedup cluster assignment: blocking key (lang, length
+    // bucket) → representative = min doc_id per block; emit non-singleton
+    // block members with their representative. At 100 TB this bounds the
+    // pairwise stage (q48/q50) to within-block candidates.
+    Q("q71_block_dedup",
+      (s, d) => {
+        val w = Window.partitionBy("lang", "bucket")
+        documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            expr("n_chars DIV 100").as("bucket"))
+          .withColumn("rep_id", min(col("doc_id")).over(w))
+          .withColumn("block_n", count(lit(1)).over(w))
+          .filter(col("block_n") > 1)
+          .select(col("doc_id"), col("lang"), col("bucket"),
+            col("rep_id"), col("block_n"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, bucket, rep_id,
+             |       CAST(block_n AS BIGINT) AS block_n
+             |FROM (SELECT doc_id, lang, n_chars // 100 AS bucket,
+             |        min(doc_id) OVER w AS rep_id,
+             |        count(*) OVER w AS block_n
+             |      FROM documents
+             |      WINDOW w AS (PARTITION BY lang, n_chars // 100))
+             |WHERE block_n > 1 ORDER BY doc_id""".stripMargin)),
+
+    // X4b corpus top-k n-grams: relational bigram build (posexplode +
+    // window lead, the shingle shape from QueriesText.minhashSigs), then
+    // partial+final count and a bounded top-20 with a total tiebreak.
+    Q("q72_top_bigrams",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        fanOut(documents(s, d))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead("w", 1).over(w))
+          .filter(col("w1").isNotNull)
+          .select(concat_ws(" ", col("w"), col("w1")).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT str_split(text, ' ') AS s FROM documents),
+             |b AS (SELECT unnest(list_transform(range(1, len(s)),
+             |        i -> s[i] || ' ' || s[i+1])) AS bigram FROM t)
+             |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+             |FROM b GROUP BY bigram
+             |ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin)),
+
+    // X10 deterministic hash sampling: ~10% subset keyed on content hash —
+    // reproducible across engines and partitionings (rand() is neither).
+    Q("q73_hash_sample",
+      (s, d) => documents(s, d)
+        .filter(Scalars.tokenHash(col("text")) % 100L < 10L)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 10
+             |ORDER BY doc_id""".stripMargin)),
+
+    // X4c corpus length profile: fixed-width histogram of document sizes
+    // (the data-quality profile every corpus build reports).
+    Q("q74_length_histogram",
+      (s, d) => documents(s, d)
+        .select(expr("n_chars DIV 200").as("bucket"), col("n_chars"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("bucket"),
+      Some("""SELECT n_chars // 200 AS bucket,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin))
+  )
+}

@@ -537,6 +537,48 @@ object QueriesText {
               |       round(cos, 6) AS cos_sim
               |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
 
+    // X1c end-to-end near-dup prune: the q53 LSH candidate pairs applied as
+    // a dedup decision — drop every doc that appears as the larger id of a
+    // candidate pair (keep-first policy), then report the per-language kept
+    // counts. This is the full 100 TB dedup flow: signature → band join →
+    // anti-join, with no pairwise scan outside the candidate set.
+    Q("q75_near_dup_prune",
+      (s, d) => {
+        val sigs = minhashSigs(documents(s, d))
+        val bands = sigs.select(col("doc_id"),
+          explode(array(
+            concat_ws("-", lit("b0"), col("h0"), col("h1")),
+            concat_ws("-", lit("b1"), col("h2"), col("h3")))).as("band_key"))
+        val a = bands.select(col("doc_id").as("a_id"), col("band_key"))
+        val b = bands.select(col("doc_id").as("b_id"), col("band_key"))
+        val drop = a.join(b, Seq("band_key"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("b_id").as("doc_id")).distinct()
+        documents(s, d)
+          .join(drop, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |drop AS (SELECT DISTINCT b.doc_id
+           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+           |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+           |GROUP BY lang ORDER BY lang""".stripMargin
+      }),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // "decode" is a deterministic fake (real image/audio libs are absent —
     // see ops/Multimodal.scala for the mapPartitions decode seam).

@@ -105,6 +105,20 @@ object Scalars {
   /** DuckDB rendition of round2 for oracle SQL. */
   def round2Sql(x: String): String = s"(floor(($x) * 100 + 0.5) / 100)"
 
+  /** round2 generalized to n decimal places (n ≤ 15 so 10^n is exact in
+    * double). Same positive-domain floor-form contract as round2.
+    */
+  def roundAt(x: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(x * p + lit(0.5)) / p
+  }
+
+  /** DuckDB rendition of roundAt for oracle SQL. */
+  def roundAtSql(x: String, n: Int): String = {
+    val p = math.pow(10, n).toLong
+    s"(floor(($x) * $p + 0.5) / $p)"
+  }
+
   /** Distinct 3-word shingles of a word array — the MinHash feature set.
     * Word-level minhash over a small vocabulary collides catastrophically
     * (measured: 7.58M LSH candidate pairs vs 493 with shingles on the sf0.1

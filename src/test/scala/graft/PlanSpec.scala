@@ -64,4 +64,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
       s"shipdate filter not pushed:\n$p")
   }
+
+  test("q61 pivot is one partial+final agg (no value-discovery job)") {
+    val p = plan("q61_pivot")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("q67 IN-subquery rewrites to a semi join, not a per-row probe") {
+    val p = plan("q67_in_subquery")
+    assert(p.contains("LeftSemi"), s"IN not decorrelated to semi join:\n$p")
+  }
+
+  test("q72 top-bigrams counts partially before the shuffle and bounds the sort") {
+    val p = plan("q72_top_bigrams")
+    assert(p.contains("partial_count"), s"no map-side combine in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 materialized a global sort:\n$p")
+  }
+
+  test("q65 window family partitions by key (no single-partition window)") {
+    val p = plan("q65_window_family")
+    assert(p.contains("Window"), s"no window operator in:\n$p")
+    assert(!p.toLowerCase.contains("singlepartition") ||
+      p.contains("o_orderpriority"),
+      s"window moved all data to one partition:\n$p")
+  }
 }
