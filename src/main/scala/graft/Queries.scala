@@ -15,7 +15,8 @@ final case class Q(
   */
 object Queries {
   lazy val all: Seq[Q] = QueriesRel.all ++ QueriesScalar.all ++
-    QueriesText.all ++ QueriesOlap.all ++ QueriesPipeline.all
+    QueriesText.all ++ QueriesOlap.all ++ QueriesPipeline.all ++
+    QueriesTime.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Time-series OLAP tier over the `events` stream table — the analytics a
+  * rankings time-series (date-grained facts, SURVEY.md §1.1) delegates to
+  * its warehouse: continuous date spines with gap-fill, time-bucketed
+  * distincts, day-over-day retention, and ordered funnels.
+  *
+  * `events.ts` is parquet timestamp[ns] read as LongType epoch-nanos
+  * (Tables.events scaladoc); all bucket math is integer division on the
+  * nanos — never double math, 1.7e18 exceeds double's 53-bit mantissa —
+  * so DuckDB's `epoch_ns(ts)` agrees exactly.
+  *
+  * Scale notes:
+  *  - The date spine (q76) is generated, not scanned: sequence+explode of
+  *    a bounded literal range is O(days), joined broadcast against the
+  *    aggregated (already small) daily counts.
+  *  - Retention (q78) self-joins the *deduplicated* (user, day) set — at
+  *    100 TB the dedup shrinks the join input by the per-user event rate
+  *    (here 67×) before any shuffle pairing.
+  *  - The funnel (q79) is one partial+final agg per user (min per type via
+  *    conditional min), then a single count — no per-step joins.
+  */
+object QueriesTime {
+  import Tables._
+
+  private val NsPerDay = 86400000000000L
+  private val NsPerHour = 3600000000000L
+
+  /** Event day as a DateType via epoch-day integer division. */
+  private def eventDay(ns: String): org.apache.spark.sql.Column =
+    date_add(lit("1970-01-01").cast("date"),
+      (col(ns) / NsPerDay).cast("int"))
+
+  val all: Seq[Q] = Seq(
+
+    // T9 continuous date spine + gap-fill: generated calendar left-joined
+    // against daily counts; days past the data window surface as zeros
+    // (the reporting shape LIMIT/OFFSET paging cannot give you).
+    Q("q76_date_spine",
+      (s, d) => {
+        val spine = s.range(1)
+          .select(explode(sequence(
+            lit("2024-01-01").cast("date"),
+            lit("2024-02-05").cast("date"),
+            expr("interval 1 day"))).as("day"))
+        val daily = events(s, d)
+          .groupBy(eventDay("ts").as("day"))
+          .agg(count(lit(1)).as("n"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy("day")
+      },
+      Some("""WITH spine AS (
+             |  SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+             |    DATE '2024-02-05', INTERVAL 1 DAY)) AS DATE) AS day),
+             |daily AS (
+             |  SELECT DATE '1970-01-01'
+             |      + CAST(epoch_ns(ts) // 86400000000000 AS INT) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1)
+             |SELECT spine.day, coalesce(daily.n, 0) AS n_events
+             |FROM spine LEFT JOIN daily ON spine.day = daily.day
+             |ORDER BY spine.day""".stripMargin)),
+
+    // T10 time-bucketed exact distincts: hourly active users + event
+    // volume. Bucket key is epoch-hours (integer division on nanos).
+    Q("q77_hourly_uniques",
+      (s, d) => events(s, d)
+        .groupBy((col("ts") / NsPerHour).cast("long").as("epoch_hour"))
+        .agg(countDistinct(col("user_id")).as("uniq_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("epoch_hour"),
+      Some("""SELECT epoch_ns(ts) // 3600000000000 AS epoch_hour,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM events GROUP BY 1 ORDER BY epoch_hour""".stripMargin)),
+
+    // T11 day-over-day retention: users active on day d AND d+1. The
+    // self-join runs on the deduplicated (user, day) activity set.
+    Q("q78_retention",
+      (s, d) => {
+        val du = events(s, d)
+          .select(col("user_id"),
+            (col("ts") / NsPerDay).cast("long").as("day"))
+          .distinct()
+        val nxt = du.select(col("user_id"),
+          (col("day") - 1).as("day"))
+        du.join(nxt, Seq("user_id", "day"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("retained"))
+          .orderBy("day")
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 86400000000000 AS day FROM events)
+             |SELECT a.day, CAST(count(*) AS BIGINT) AS retained
+             |FROM du a JOIN du b
+             |  ON a.user_id = b.user_id AND b.day = a.day + 1
+             |GROUP BY a.day ORDER BY a.day""".stripMargin)),
+
+    // T12 ordered funnel: users whose first signup precedes their first
+    // purchase — conditional min per user in one agg pass, then a count.
+    // Nanos compare as BIGINT end-to-end (> 2^53, so never as double).
+    Q("q79_event_funnel",
+      (s, d) => events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("t_purchase"))
+        .agg(
+          count(col("t_signup")).as("n_signup"),
+          count(col("t_purchase")).as("n_purchase"),
+          count(when(col("t_signup") < col("t_purchase"), lit(1)))
+            .as("n_converted")),
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup'
+             |        THEN epoch_ns(ts) END) AS t_signup,
+             |    min(CASE WHEN event_type = 'purchase'
+             |        THEN epoch_ns(ts) END) AS t_purchase
+             |  FROM events GROUP BY user_id)
+             |SELECT CAST(count(t_signup) AS BIGINT) AS n_signup,
+             |  CAST(count(t_purchase) AS BIGINT) AS n_purchase,
+             |  CAST(count(CASE WHEN t_signup < t_purchase THEN 1 END)
+             |    AS BIGINT) AS n_converted
+             |FROM u""".stripMargin))
+  )
+}

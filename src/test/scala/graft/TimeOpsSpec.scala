@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the time-series tier (QueriesTime) that the
+  * hash-oracle cannot express: gap-fill completeness, funnel monotonicity,
+  * retention boundedness.
+  */
+class TimeOpsSpec extends SparkSpec {
+
+  test("q76 date spine is continuous and gap-fills missing days with zero") {
+    val rows = Queries.byName("q76_date_spine").build(spark, sf).collect()
+    assert(rows.length === 36, "Jan 1 .. Feb 5 inclusive")
+    val days = rows.map(_.getDate(0).toLocalDate)
+    assert(days.zip(days.tail).forall { case (a, b) => a.plusDays(1) == b },
+      "spine has a gap")
+    // events end Jan 30 — the Feb tail must be gap-filled zeros
+    assert(rows.takeRight(5).forall(_.getLong(1) == 0L))
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.events(spark, sf).count(), "gap-fill lost or invented events")
+  }
+
+  test("q79 funnel counts are monotone: converted <= purchasers") {
+    val r = Queries.byName("q79_event_funnel").build(spark, sf).collect()(0)
+    val (nS, nP, nC) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nC <= nP && nC <= nS)
+    assert(nS > 0 && nP > 0, "fixture has signups and purchases")
+  }
+
+  test("q78 retention never exceeds the day's active-user count") {
+    val du = Tables.events(spark, sf)
+      .select(col("user_id"), (col("ts") / 86400000000000L).cast("long")
+        .as("day")).distinct()
+      .groupBy("day").agg(count(lit(1)).as("active"))
+    val ret = Queries.byName("q78_retention").build(spark, sf)
+    val bad = ret.join(du, Seq("day"))
+      .filter(col("retained") > col("active")).count()
+    assert(bad === 0L)
+  }
+}
