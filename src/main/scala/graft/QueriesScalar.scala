@@ -321,7 +321,7 @@ object QueriesScalar {
     // F14/R1 explode (one payload → N rows) — reference
     // `rankings_to_clickhouse_schema` loop (`rankings_generator.py:142-200`).
     Q("q35_explode",
-      (s, d) => documents(s, d)
+      (s, d) => fanOut(documents(s, d))
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word").asc)

@@ -75,4 +75,65 @@ object Multimodal {
           greatest(length(col("b")) - 1, lit(0)), lit(everyK)))
           .as(Seq("frame_no", "offset")))
       .select(col("doc_id"), col("frame_no"), col("offset"))
+
+  /** Resized-media metadata: aspect-preserving fit into (maxW, maxH). The
+    * arithmetic is the real resize contract (scale = min of the per-axis
+    * ratios, never upscale); only the pixel transform a real library would
+    * do is absent. Runs on decoded metadata, not blobs — by the time
+    * dimensions exist the payload is already dropped.
+    */
+  case class ResizedMeta(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      scale: Double)
+
+  def resizeMeta(meta: Dataset[MediaMeta], maxW: Int, maxH: Int)
+      : Dataset[ResizedMeta] = {
+    val spark = meta.sparkSession
+    import spark.implicits._
+    meta.map { m =>
+      val w = math.max(m.width, 1)
+      val h = math.max(m.height, 1)
+      val s = math.min(1.0,
+        math.min(maxW.toDouble / w, maxH.toDouble / h))
+      ResizedMeta(m.doc_id,
+        math.max(1, math.floor(w * s).toInt),
+        math.max(1, math.floor(h * s).toInt), s)
+    }
+  }
+
+  /** Feature extraction: 16-bin byte histogram, L1-normalized to a
+    * fixed-dim Array[Float]. Unlike the decode this is NOT a stub — a byte
+    * histogram is a real (if simple) content feature, and its output plugs
+    * straight into the similarity tier (cosine top-k / LSH buckets over
+    * Array[Float], QueriesText). Batched per partition: the iterator is
+    * consumed in `batchSize` groups, the shape a vectorized extractor
+    * (BLAS, ONNX session) needs — one native call per batch, not per row.
+    */
+  def extractFeatures(blobs: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // a real extractor binds its native session here, once per task,
+        // then feeds fixed-size batches
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val hist = new Array[Float](16)
+            var i = 0
+            while (i < bytes.length) {
+              hist(java.lang.Byte.toUnsignedInt(bytes(i)) / 16) += 1f
+              i += 1
+            }
+            val n = math.max(bytes.length, 1).toFloat
+            var j = 0
+            while (j < 16) { hist(j) /= n; j += 1 }
+            (id, hist)
+          }
+        }
+      }
+      .toDF("doc_id", "features")
+  }
 }
