@@ -102,4 +102,48 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(got == Map(3600L -> 3.0, 7200L -> 4.0))
   }
+
+  test("T8b: the checkpointed watermark drops late data across restarts") {
+    val in = mkTmp("events_late")
+    val ckpt = mkTmp("ckpt4")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val out = mkTmp("late_out")
+    // memory sink cannot recover a checkpoint; the file sink is also the
+    // production shape (sealed windows append to partitioned storage)
+    def run(): Map[Long, Double] = {
+      val stream = spark.readStream.schema(schema).json(in)
+        .withColumn("t", to_timestamp(col("ts")))
+        .withWatermark("t", "10 seconds")
+        .groupBy(window(col("t"), "100 seconds")).agg(sum("v").as("sv"))
+        .select(col("window.start").cast("long").as("w"), col("sv"))
+      val q = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .format("parquet")
+        .outputMode("append")
+        .start()
+      q.awaitTermination(60000)
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    }
+    // run 1 advances the watermark to 2000s - 10s = 1990 and seals the
+    // [1000,1100) window; [2000,2100) stays open in state.
+    Files.write(Paths.get(in, "a.json"), Seq(
+      """{"ts": 1000, "v": 1.0}""",
+      """{"ts": 2000, "v": 2.0}""").mkString("\n").getBytes)
+    assert(run() == Map(1000L -> 1.0))
+    // run 2 restarts from the checkpoint: its watermark (1990) must drop
+    // the ts=500 straggler; ts=3000 reopens state and seals [2000,2100).
+    Files.write(Paths.get(in, "b.json"), Seq(
+      """{"ts": 500, "v": 100.0}""",
+      """{"ts": 3000, "v": 4.0}""").mkString("\n").getBytes)
+    val got2 = run()
+    assert(got2 == Map(1000L -> 1.0, 2000L -> 2.0),
+      s"late data leaked past the restored watermark: $got2")
+  }
 }
