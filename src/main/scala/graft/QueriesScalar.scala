@@ -235,7 +235,7 @@ object QueriesScalar {
     // ts is epoch-nanos (LongType); integer division only (Tables.events).
     Q("q30_epoch_to_date",
       (s, d) => events(s, d)
-        .select((col("ts") / lit(1000000000L)).cast("long").as("epoch_sec"),
+        .select(Scalars.longDiv("ts", 1000000000L).as("epoch_sec"),
           col("value"))
         .select(Scalars.epochToDateStr(col("epoch_sec")).as("day_str"),
           col("value"))
@@ -411,7 +411,7 @@ object QueriesScalar {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         events(s, d)
           .select(col("user_id"), col("event_id"),
-            (col("ts") / lit(1000000000L)).cast("long").as("sec"))
+            Scalars.longDiv("ts", 1000000000L).as("sec"))
           .withColumn("prev", lag("sec", 1).over(byUser))
           .withColumn("new_sess",
             when(col("prev").isNull || col("sec") - col("prev") > 1800L, 1L)
@@ -454,8 +454,8 @@ object QueriesScalar {
       (s, d) => events(s, d)
         .select(
           date_format(
-            from_unixtime((col("ts") / lit(1000000000L)).cast("long")
-              - pmod((col("ts") / lit(1000000000L)).cast("long"), lit(3600L))),
+            from_unixtime(Scalars.longDiv("ts", 1000000000L)
+              - pmod(Scalars.longDiv("ts", 1000000000L), lit(3600L))),
             "yyyy-MM-dd HH:00:00").as("hour_str"),
           col("event_type"), col("value"))
         .groupBy("hour_str", "event_type")

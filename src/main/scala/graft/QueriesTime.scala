@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.ops.Scalars
+
 /** Time-series OLAP tier over the `events` stream table — the analytics a
   * rankings time-series (date-grained facts, SURVEY.md §1.1) delegates to
   * its warehouse: continuous date spines with gap-fill, time-bucketed
@@ -28,10 +30,12 @@ object QueriesTime {
   private val NsPerDay = 86400000000000L
   private val NsPerHour = 3600000000000L
 
-  /** Event day as a DateType via epoch-day integer division. */
+  /** Event day as a DateType via epoch-day integral division
+    * (Scalars.longDiv — `Column./` would round the nanos as a double).
+    */
   private def eventDay(ns: String): org.apache.spark.sql.Column =
     date_add(lit("1970-01-01").cast("date"),
-      (col(ns) / NsPerDay).cast("int"))
+      Scalars.longDiv(ns, NsPerDay).cast("int"))
 
   val all: Seq[Q] = Seq(
 
@@ -68,7 +72,7 @@ object QueriesTime {
     // volume. Bucket key is epoch-hours (integer division on nanos).
     Q("q77_hourly_uniques",
       (s, d) => events(s, d)
-        .groupBy((col("ts") / NsPerHour).cast("long").as("epoch_hour"))
+        .groupBy(Scalars.longDiv("ts", NsPerHour).as("epoch_hour"))
         .agg(countDistinct(col("user_id")).as("uniq_users"),
           count(lit(1)).as("n_events"))
         .orderBy("epoch_hour"),
@@ -83,7 +87,7 @@ object QueriesTime {
       (s, d) => {
         val du = events(s, d)
           .select(col("user_id"),
-            (col("ts") / NsPerDay).cast("long").as("day"))
+            Scalars.longDiv("ts", NsPerDay).as("day"))
           .distinct()
         val nxt = du.select(col("user_id"),
           (col("day") - 1).as("day"))

@@ -93,6 +93,15 @@ object Scalars {
   def minhashFn(t: Column, a: Long, b: Long): Column =
     (lit(a) * (tokenHash(t) % HashP) + lit(b)) % HashP
 
+  /** Integral division of a named long column — `c DIV d`, the 64-bit-exact
+    * form. `Column./` always promotes to double, whose 53-bit mantissa
+    * cannot hold epoch-nanos (~2^60): `cast(ts as double)` rounds by up to
+    * 256 ns, which can misbucket a timestamp near a boundary. Every bucket
+    * derivation on `events.ts` must go through this (Tables.events).
+    */
+  def longDiv(colName: String, divisor: Long): Column =
+    expr(s"$colName DIV ${divisor}L")
+
   /** Cross-engine-exact round-to-2dp for row-level derived doubles.
     * Spark's round() rounds the *shortest decimal rendering* of the double
     * (BigDecimal.valueOf), DuckDB rounds the *binary value* — they disagree

@@ -29,8 +29,9 @@ class TimeOpsSpec extends SparkSpec {
 
   test("q78 retention never exceeds the day's active-user count") {
     val du = Tables.events(spark, sf)
-      .select(col("user_id"), (col("ts") / 86400000000000L).cast("long")
-        .as("day")).distinct()
+      .select(col("user_id"),
+        graft.ops.Scalars.longDiv("ts", 86400000000000L).as("day"))
+      .distinct()
       .groupBy("day").agg(count(lit(1)).as("active"))
     val ret = Queries.byName("q78_retention").build(spark, sf)
     val bad = ret.join(du, Seq("day"))
