@@ -380,6 +380,35 @@ object QueriesRel {
              |FROM region r1 CROSS JOIN region r2
              |ORDER BY a, b""".stripMargin)),
 
+    // U2c EXCEPT ALL — multiset difference (duplicate-preserving): the
+    // shard-reconciliation form ("which rows are in folder A more times
+    // than in folder B"). lineitem keys repeat per line number, so the
+    // multiset semantics are actually exercised.
+    Q("q80_except_all",
+      (s, d) => lineitem(s, d).select(col("l_orderkey").as("k"))
+        .exceptAll(lineitem(s, d).filter(col("l_linenumber") > 1)
+          .select(col("l_orderkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy("k"),
+      Some("""SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |  SELECT l_orderkey AS k FROM lineitem
+             |  EXCEPT ALL
+             |  SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber > 1)
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
+    // U2d INTERSECT ALL — multiset intersection, the complement of q80.
+    Q("q81_intersect_all",
+      (s, d) => lineitem(s, d).select(col("l_orderkey").as("k"))
+        .intersectAll(lineitem(s, d).filter(col("l_linenumber") <= 2)
+          .select(col("l_orderkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy("k"),
+      Some("""SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |  SELECT l_orderkey AS k FROM lineitem
+             |  INTERSECT ALL
+             |  SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber <= 2)
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
     // F12 integer div/mod chunking — reference `_chunkify`
     // (`ranking_urls_generator.py:54-55`) + offset arithmetic
     // (`rankings_generator.py:118`).
