@@ -109,6 +109,18 @@ object QueriesOlap {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // A10b approximate percentiles — q63's unbounded-cardinality twin
+    // (mergeable KLL-style sketch, like q08b's HLL for q08). No oracle:
+    // approximate by construction.
+    Q("q63b_approx_percentiles",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_apx"),
+          expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("p99_apx"))
+        .orderBy("l_returnflag"),
+      None),
+
     // A11 ordered string aggregation (group members as a sorted CSV list —
     // the reporting form of collect_list). Sorted before joining so the
     // aggregation order, which neither engine guarantees, cannot leak in.
