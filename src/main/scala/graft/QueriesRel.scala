@@ -409,6 +409,39 @@ object QueriesRel {
              |  SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber <= 2)
              |GROUP BY k ORDER BY k""".stripMargin)),
 
+    // A12 skew-salted two-phase aggregation (ops/Skew.saltedSumCount): the
+    // 3-value l_returnflag key over the whole fact table is exactly the
+    // hot-key shape — the salt spreads each group over 8 partial reducers
+    // before the final merge. Result must equal the plain GROUP BY.
+    Q("q82_salted_agg",
+      (s, d) => {
+        val salted = graft.ops.Skew.saltedSumCount(lineitem(s, d),
+          col("l_returnflag"), col("l_quantity"), saltBuckets = 8)
+        salted.select(col("k").as("l_returnflag"),
+          round(col("sum_v"), 2).as("sum_qty"), col("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+             |       CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // J9 skew-salted fact⋈dim join (ops/Skew.saltedJoin): dim replicated
+    // per salt bucket, fact salted deterministically — a hot custkey fans
+    // out over 8 tasks. Must equal the unsalted join (q10's aggregate).
+    Q("q83_salted_join",
+      (s, d) => graft.ops.Skew.saltedJoin(
+        orders(s, d), customer(s, d), "o_custkey", "c_custkey",
+        saltBuckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+             |       round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
     // F12 integer div/mod chunking — reference `_chunkify`
     // (`ranking_urls_generator.py:54-55`) + offset arithmetic
     // (`rankings_generator.py:118`).
