@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
       s"top-20 materialized a global sort:\n$p")
   }
 
+  test("q83 salted join stays an equi-join on (key, salt)") {
+    val p = plan("q83_salted_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"salted join degenerated to a non-equi join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("q65 window family partitions by key (no single-partition window)") {
     val p = plan("q65_window_family")
     assert(p.contains("Window"), s"no window operator in:\n$p")
