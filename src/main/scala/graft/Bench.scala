@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints the full per-query JSON early, writes the same
+  * JSON to bench_out.json in the cwd, and prints a SHORT total line LAST so
+  * a bounded tail-capture of stdout always contains one complete parseable
+  * JSON object (round-1's single 3.4 KB line was truncated by the driver's
+  * tail window → "parsed": null; see VERDICT.md "Next round" #1).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,7 +32,8 @@ object Bench {
         .count()
       spark.range(0, 1000).toDF("id")
         .select(md5(col("id").cast("string")).as("h"))
-        .filter(length(col("h")) > 0).count()
+        .filter(length(col("h")) > 0)
+        .write.format("noop").mode("overwrite").save()
     }
     // Optional dev filter: SPARK_GRAFT_QUERIES=q09_rollup,q37_json_fields
     val filter = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -34,24 +42,49 @@ object Bench {
       case Some(f) => SparkEntry.queries.filter { case (n, _) => f(n) }
       case None    => SparkEntry.queries
     }
-    // Two timed runs per query, report the min: run 1 pays that query's
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // N timed runs per query, report the min: run 1 pays that query's
     // one-time Janino/JIT codegen compile (measured 0.2-1.5s/query on this
-    // host — pure driver-side compilation, not engine work); run 2 is the
-    // steady-state engine latency, which is what throughput-vs-baseline
-    // comparisons mean (a warehouse compiles a recurring query once).
-    // Runs and aggregation are declared in the output for transparency.
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    // host — pure driver-side compilation, not engine work); later runs are
+    // the steady-state engine latency, which is what throughput-vs-baseline
+    // comparisons mean (a warehouse compiles a recurring query once). Min of
+    // 3 also damps multi-tenant host contention (round-1's driver run saw
+    // 20-60x inflation). Runs and aggregation are declared in the output.
+    // Each run executes the FULL declared plan via a noop datasource write
+    // (count() would let Catalyst prune projection-only expressions and
+    // drop final sorts under the aggregate — see ADVICE.md r01).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = selected.flatMap { case (name, fn) =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = e.toString.take(200).replaceAll("[\"\\\\\n]", " ")
+            None
+        }
       }
-      name -> times.min
+      // a query that failed every run is recorded in "errors", not timed
+      if (times.nonEmpty) Some(name -> times.min) else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","exec":"noop-write","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // full artifact: stdout (early) + file (always recoverable)
+    println(full)
+    try {
+      val p = java.nio.file.Paths.get("bench_out.json")
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // file write is best-effort
     spark.stop()
+    // LAST line: short form guaranteed to fit a bounded tail capture.
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","nqueries":${results.size},"nerrors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}""")
   }
 }

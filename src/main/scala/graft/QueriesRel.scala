@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core — SURVEY.md §2.1–2.4, 2.6, 2.7 (scans, filters, joins,
@@ -445,13 +444,24 @@ object QueriesRel {
     // F12 integer div/mod chunking — reference `_chunkify`
     // (`ranking_urls_generator.py:54-55`) + offset arithmetic
     // (`rankings_generator.py:118`).
+    // Global index WITHOUT a single-partition window (the round-1 shape —
+    // `Window.orderBy` with no partitionBy — funnels the whole fact table
+    // through one task; SCALE.md forbids it on the fact path). Instead:
+    // range-partition on the key so each task owns a contiguous key range,
+    // sort within partitions, then `zipWithIndex` — which computes
+    // per-partition counts in one small job and adds cumulative offsets, so
+    // every stage stays parallel at any table size. Within-job determinism:
+    // the range exchange's shuffle output is reused by the zip job (map
+    // stage skip), and o_orderkey is unique, so the global order is total.
     Q("q33_chunkify",
       (s, d) => {
-        val w = Window.orderBy("o_orderkey")
-        orders(s, d)
-          .select(col("o_orderkey"),
-            ((row_number().over(w) - 1) / 1000)
-              .cast("long").as("chunk"))
+        val sorted = orders(s, d).select(col("o_orderkey"))
+          .repartitionByRange(col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+        val indexed = sorted.rdd.zipWithIndex.map {
+          case (r, i) => (r.getLong(0), i / 1000L)
+        }
+        s.createDataFrame(indexed).toDF("o_orderkey", "chunk")
           .groupBy("chunk")
           .agg(count(lit(1)).as("cnt"),
             min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))

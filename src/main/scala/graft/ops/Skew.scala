@@ -19,6 +19,15 @@ object Skew {
     * single group key dominates (e.g. one domain owning most fact rows) so
     * the partial aggregate spreads the hot key over `saltBuckets` reducers.
     * For algebraic aggregates only (sum/count/min/max).
+    *
+    * The salt is derived from ROW CONTENT (murmur3 over every input
+    * column), never from spark_partition_id/monotonically_increasing_id:
+    * those are order/partition-dependent, so above a shuffle a partial
+    * stage retry could recompute different salts and silently double-count
+    * or drop rows (SPARK-23207 class; ADVICE r01). Content-hash salts are
+    * stable under any recomputation. Identical duplicate rows share a salt
+    * — harmless for algebraic aggregates (the partial/final merge is
+    * value-blind), and real fact rows carry distinguishing columns.
     */
   def saltedSumCount(
       df: DataFrame,
@@ -26,7 +35,7 @@ object Skew {
       value: Column,
       saltBuckets: Int): DataFrame =
     df.select(key.as("k"), value.as("v"),
-      pmod(spark_partition_id() + monotonically_increasing_id(),
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*),
         lit(saltBuckets)).as("salt"))
       .groupBy("k", "salt")
       .agg(sum("v").as("psum"), count(lit(1)).as("pcnt"))
@@ -35,8 +44,12 @@ object Skew {
 
   /** Salted equi-join of a skewed fact against a small dimension: the dim
     * side is replicated `saltBuckets` times (explode) and the fact side
-    * tags each row with a random-but-deterministic salt, so a hot join key
-    * fans out over `saltBuckets` tasks instead of one.
+    * tags each row with a content-derived deterministic salt, so a hot join
+    * key fans out over `saltBuckets` tasks instead of one. Salt stability
+    * under task retry: same content-hash rationale as [[saltedSumCount]] —
+    * join output per row depends only on the row's key, so which replica a
+    * row meets never changes the result, and recomputation maps each row to
+    * the same bucket.
     *
     * Result equals `fact.join(dim, factKey === dimKey)` exactly.
     */
@@ -47,8 +60,7 @@ object Skew {
       dimKey: String,
       saltBuckets: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(factKey), monotonically_increasing_id()),
-        lit(saltBuckets)))
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(saltedDim,

@@ -8,7 +8,9 @@ Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already produced
 testdata table as a DuckDB view named by its basename (matching the driver
 contract's bare-name SQL), runs each oracle, and compares against the Spark
 dump: same columns (sorted by name), same row count, same values in row
-order (floats to 1e-9 rel tolerance for reporting; exact compare flagged).
+order. Comparison is EXACT, including floats — the driver hashes raw
+values, so a last-ULP float difference fails there and must fail here;
+near-miss floats are labeled "ULP diff" to speed diagnosis.
 """
 import sys, os, json, glob, math
 import duckdb
@@ -61,11 +63,11 @@ for name in sorted(oracle):
             if a is None and b is None:
                 continue
             if isinstance(a, float) and isinstance(b, float):
-                if a != b and not (math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)):
-                    bad = f"col {c} row {i}: oracle={a!r} spark={b!r}"
-                    break
                 if a != b:
-                    bad = f"col {c} row {i}: ULP diff oracle={a!r} spark={b!r}"
+                    kind = ("ULP diff "
+                            if math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
+                            else "")
+                    bad = f"col {c} row {i}: {kind}oracle={a!r} spark={b!r}"
                     break
             elif a != b:
                 bad = f"col {c} row {i}: oracle={a!r} spark={b!r}"
