@@ -1,6 +1,14 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "olapdbspark"
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. sbt's "[success] Total time: ..." epilogue printed AFTER the metric
+// line defeated that two rounds running (VERDICT r02 #1) — suppress it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// run is forked (below); route the forked process's stdout through
+// unprefixed, so the metric line carries no "[info] " decoration either.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

@@ -62,12 +62,19 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            errors(name) = e.toString.take(200).replaceAll("[\"\\\\\n]", " ")
+            // Escape the whole control range plus quote/backslash: Spark
+            // exception messages carry \r\t etc., any of which would make
+            // the artifact unparseable (ADVICE r02).
+            errors(name) =
+              e.toString.take(200).replaceAll("[\\x00-\\x1f\"\\\\]", " ")
             None
         }
       }
-      // a query that failed every run is recorded in "errors", not timed
-      if (times.nonEmpty) Some(name -> times.min) else None
+      // "errors" unambiguously means NO timing exists for that query: a
+      // flaky query that succeeded on any run is timed (min over surviving
+      // runs) and removed from errors (ADVICE r02).
+      if (times.nonEmpty) { errors.remove(name); Some(name -> times.min) }
+      else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
