@@ -415,7 +415,9 @@ object QueriesRel {
     Q("q82_salted_agg",
       (s, d) => {
         val salted = graft.ops.Skew.saltedSumCount(lineitem(s, d),
-          col("l_returnflag"), col("l_quantity"), saltBuckets = 8)
+          col("l_returnflag"), col("l_quantity"), saltBuckets = 8,
+          // row identity — narrow + high-cardinality, keeps pruning intact
+          saltOn = Seq(col("l_orderkey"), col("l_linenumber")))
         salted.select(col("k").as("l_returnflag"),
           round(col("sum_v"), 2).as("sum_qty"), col("cnt"))
           .orderBy("l_returnflag")
@@ -431,7 +433,7 @@ object QueriesRel {
     Q("q83_salted_join",
       (s, d) => graft.ops.Skew.saltedJoin(
         orders(s, d), customer(s, d), "o_custkey", "c_custkey",
-        saltBuckets = 8)
+        saltBuckets = 8, saltOn = Seq(col("o_orderkey")))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"),
           round(sum("o_totalprice"), 2).as("revenue"))
@@ -446,22 +448,50 @@ object QueriesRel {
     // (`rankings_generator.py:118`).
     // Global index WITHOUT a single-partition window (the round-1 shape —
     // `Window.orderBy` with no partitionBy — funnels the whole fact table
-    // through one task; SCALE.md forbids it on the fact path). Instead:
-    // range-partition on the key so each task owns a contiguous key range,
-    // sort within partitions, then `zipWithIndex` — which computes
-    // per-partition counts in one small job and adds cumulative offsets, so
-    // every stage stays parallel at any table size. Within-job determinism:
-    // the range exchange's shuffle output is reused by the zip job (map
-    // stage skip), and o_orderkey is unique, so the global order is total.
+    // through one task; SCALE.md forbids it on the fact path), and WITHOUT
+    // a full counting job at DataFrame-build time (the round-2 shape —
+    // `rdd.zipWithIndex` ran count + shuffle-write inside `Q.build`, so
+    // plan-only paths like the PlanSpec sweep executed real data jobs;
+    // ADVICE r02). Instead: range-partition on the key, sort within
+    // partitions, then branch TWICE from the same sorted RDD object —
+    // one branch emits lazy per-partition counts, the other per-row
+    // (pid, local index). Sharing one RDD instance matters for
+    // correctness, not just cost: the range exchange's bounds are sampled
+    // once and its map stage runs once, so both branches see identical
+    // partitioning by construction (no reliance on ReuseExchange).
+    // Cumulative offsets come from a non-equi self-join of the tiny
+    // (numPartitions-row) counts table — no window, no collect — and are
+    // broadcast back onto the fact rows. Every stage stays parallel at
+    // any table size. Residual build-time cost: `.rdd` still constructs
+    // the RangePartitioner, which runs its bounds-SAMPLING job (a pruned
+    // single-column scan, no shuffle write) — documented eager cost, two
+    // orders cheaper than the zipWithIndex count-the-world job.
     Q("q33_chunkify",
       (s, d) => {
-        val sorted = orders(s, d).select(col("o_orderkey"))
+        val sortedRdd = orders(s, d).select(col("o_orderkey"))
           .repartitionByRange(col("o_orderkey"))
           .sortWithinPartitions("o_orderkey")
-        val indexed = sorted.rdd.zipWithIndex.map {
-          case (r, i) => (r.getLong(0), i / 1000L)
-        }
-        s.createDataFrame(indexed).toDF("o_orderkey", "chunk")
+          .rdd // builds the RDD DAG; eager part = bounds sampling only
+        val counts = s.createDataFrame(
+          sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+            Iterator.single((pid, it.size.toLong))
+          }).toDF("pid", "cnt")
+        // offset(pid) = sum of counts of all earlier partitions; O(P^2)
+        // on a P~=shuffle.partitions-row table — trivial at any scale.
+        val offsets = counts.as("a")
+          .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+          .groupBy(col("a.pid").as("pid"))
+          .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("offset"))
+        val local = s.createDataFrame(
+          sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+            var i = -1L
+            // getAs[Number] decouples from the parquet physical type
+            // (INT32 vs INT64 o_orderkey both work; ADVICE r02)
+            it.map { r => i += 1; (pid, i, r.getAs[Number](0).longValue) }
+          }).toDF("pid", "local_idx", "o_orderkey")
+        local.join(broadcast(offsets), "pid")
+          .withColumn("chunk",
+            graft.ops.Scalars.longDiv("(offset + local_idx)", 1000L))
           .groupBy("chunk")
           .agg(count(lit(1)).as("cnt"),
             min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))

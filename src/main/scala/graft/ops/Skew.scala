@@ -20,23 +20,28 @@ object Skew {
     * the partial aggregate spreads the hot key over `saltBuckets` reducers.
     * For algebraic aggregates only (sum/count/min/max).
     *
-    * The salt is derived from ROW CONTENT (murmur3 over every input
-    * column), never from spark_partition_id/monotonically_increasing_id:
-    * those are order/partition-dependent, so above a shuffle a partial
-    * stage retry could recompute different salts and silently double-count
-    * or drop rows (SPARK-23207 class; ADVICE r01). Content-hash salts are
-    * stable under any recomputation. Identical duplicate rows share a salt
-    * — harmless for algebraic aggregates (the partial/final merge is
-    * value-blind), and real fact rows carry distinguishing columns.
+    * The salt is derived from ROW CONTENT (murmur3 over `saltOn`), never
+    * from spark_partition_id/monotonically_increasing_id: those are
+    * order/partition-dependent, so above a shuffle a partial stage retry
+    * could recompute different salts and silently double-count or drop
+    * rows (SPARK-23207 class; ADVICE r01). Content-hash salts are stable
+    * under any recomputation.
+    *
+    * `saltOn` must be a NARROW, high-cardinality column subset (e.g. the
+    * fact table's row identity, l_orderkey+l_linenumber) — hashing every
+    * input column would be just as stable but drags the full row width
+    * through the scan, defeating column pruning (ADVICE r02 medium).
+    * Rows with identical `saltOn` values share a salt — harmless for
+    * algebraic aggregates (the partial/final merge is value-blind).
     */
   def saltedSumCount(
       df: DataFrame,
       key: Column,
       value: Column,
-      saltBuckets: Int): DataFrame =
+      saltBuckets: Int,
+      saltOn: Seq[Column]): DataFrame =
     df.select(key.as("k"), value.as("v"),
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*),
-        lit(saltBuckets)).as("salt"))
+      pmod(hash(saltOn: _*), lit(saltBuckets)).as("salt"))
       .groupBy("k", "salt")
       .agg(sum("v").as("psum"), count(lit(1)).as("pcnt"))
       .groupBy("k")
@@ -49,7 +54,8 @@ object Skew {
     * under task retry: same content-hash rationale as [[saltedSumCount]] —
     * join output per row depends only on the row's key, so which replica a
     * row meets never changes the result, and recomputation maps each row to
-    * the same bucket.
+    * the same bucket. `saltOn` carries the same narrow-subset contract as
+    * [[saltedSumCount]] (pruning: the scan must not widen to the full row).
     *
     * Result equals `fact.join(dim, factKey === dimKey)` exactly.
     */
@@ -58,9 +64,10 @@ object Skew {
       dim: DataFrame,
       factKey: String,
       dimKey: String,
-      saltBuckets: Int): DataFrame = {
+      saltBuckets: Int,
+      saltOn: Seq[Column]): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      pmod(hash(saltOn: _*), lit(saltBuckets)))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedFact.join(saltedDim,

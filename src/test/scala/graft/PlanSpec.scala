@@ -90,6 +90,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q82/q83 salted scans stay pruned (salt must not widen ReadSchema)") {
+    // The salt is hash(narrow row-identity subset); hashing the whole row
+    // would be equally retry-stable but forces the scan to read every
+    // column (ADVICE r02 medium). Gate on wide columns being absent.
+    val p82 = plan("q82_salted_agg")
+    for (c <- Seq("l_comment", "l_shipinstruct", "l_extendedprice"))
+      assert(!p82.contains(c), s"q82 scan widened to $c:\n$p82")
+    val p83 = plan("q83_salted_join")
+    for (c <- Seq("o_comment", "o_clerk", "o_orderpriority"))
+      assert(!p83.contains(c), s"q83 scan widened to $c:\n$p83")
+  }
+
   test("no registered query plans an un-partitioned window (registry-wide)") {
     // A Window with an empty partitionSpec funnels its whole input through
     // one task — the q33 round-1 anti-pattern (VERDICT r01 "What's wrong"

@@ -15,7 +15,8 @@ class ScaleOpsSpec extends SparkSpec {
     val rows = (1 to 9000).map(i => ("hot", i.toDouble)) ++
       (1 to 1000).map(i => (s"k${i % 50}", i.toDouble))
     val df = rows.toDF("k", "v")
-    val salted = Skew.saltedSumCount(df, col("k"), col("v"), 8)
+    val salted = Skew.saltedSumCount(df, col("k"), col("v"), 8,
+      saltOn = Seq(col("v")))
       .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
     val plain = df.groupBy("k")
       .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
@@ -28,7 +29,8 @@ class ScaleOpsSpec extends SparkSpec {
     val fact = ((1 to 5000).map(_ => 1) ++ (1 to 100).map(i => i % 10 + 2))
       .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("fk", "payload")
     val dim = (1 to 12).map(k => (k, s"name$k")).toDF("dk", "name")
-    val salted = Skew.saltedJoin(fact, dim, "fk", "dk", 8)
+    val salted = Skew.saltedJoin(fact, dim, "fk", "dk", 8,
+      saltOn = Seq(col("payload")))
       .select("fk", "payload", "name")
     val plain = fact.join(dim, col("fk") === col("dk"))
       .select("fk", "payload", "name")
