@@ -91,16 +91,25 @@ object QueriesOlap {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
-    // A10 exact percentiles (quartiles of price per return flag). Spark's
-    // percentile() and DuckDB's quantile_cont() share the linear-
-    // interpolation definition, so they agree to the ulp on sorted input.
+    // A10 exact percentiles (quartiles of price per return flag),
+    // DISTRIBUTED (round 3): Spark's own percentile() is a buffer-all-
+    // values TypedImperative aggregate — with a 3-value group key every
+    // l_extendedprice in the table funnels into 3 final reducers, tens of
+    // GB per reducer at 100 TB, and it alone was 11% of the r2 bench
+    // (VERDICT r02 #3). ops/GlobalRank.exactPercentiles replaces it with
+    // range-partitioned per-group ranking + target-rank selection +
+    // the same linear interpolation — every stage parallel. Linear-
+    // interpolation definition is shared with DuckDB quantile_cont(), so
+    // they agree to the ulp on sorted input.
     Q("q63_percentiles",
-      (s, d) => lineitem(s, d)
-        .groupBy("l_returnflag")
+      (s, d) => graft.ops.GlobalRank.exactPercentiles(
+        lineitem(s, d), col("l_returnflag"), col("l_extendedprice"),
+        Seq(0.25, 0.5, 0.75))
+        .groupBy(col("g").as("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+          round(max(when(col("q") === 0.25, col("pct"))), 2).as("p25"),
+          round(max(when(col("q") === 0.5, col("pct"))), 2).as("p50"),
+          round(max(when(col("q") === 0.75, col("pct"))), 2).as("p75"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,

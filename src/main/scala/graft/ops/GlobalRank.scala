@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed per-group global ranking — the building block for exact
+  * order statistics (percentiles, medians, top-rank selection) without
+  * buffering a group's values in one reducer.
+  *
+  * Spark's exact `percentile()` is a TypedImperative aggregate: every value
+  * of a group is buffered and shipped to that group's single final reducer
+  * — with a 3-value group key that is the whole fact table in 3 tasks, tens
+  * of GB per reducer at 100 TB (VERDICT r02 flagged q63 as the one
+  * remaining scale-killer). The scale-safe form is the q33 technique, per
+  * group: range-partition by (group, value) so each task owns a contiguous
+  * slice of one-or-more groups' value ranges, sort within partitions, then
+  * derive each row's global rank within its group from lazily-computed
+  * per-(partition, group) counts. No window, no collect, no single-task
+  * stage; the only driver-side work is the range exchange's bounds
+  * sampling.
+  *
+  * Reference behavior replicated: ClickHouse `quantileExact*` /
+  * `medianExact` family (the reference's OLAP store exposes exact
+  * quantiles; see SURVEY.md §2.4 A10).
+  */
+object GlobalRank {
+
+  /** Ascending 0-based rank of every row's `value` within its `group`.
+    *
+    * Returns `(g string, v double, rank long)`. Group values must be
+    * non-null (cast to string internally); ties get distinct consecutive
+    * ranks in arbitrary order, which is exactly what order statistics
+    * need (equal values make interpolation tie-insensitive).
+    *
+    * Both derived branches (per-partition-per-group counts; per-row local
+    * indices) hang off ONE sorted RDD instance, so the range exchange's
+    * sampled bounds and map stage are shared by construction — correctness
+    * does not depend on ReuseExchange firing. Cumulative offsets come from
+    * a non-equi self-join of the tiny (numPartitions × numGroups)-row
+    * counts table, broadcast back onto the rows.
+    */
+  def perGroupRank(df: DataFrame, group: Column, value: Column): DataFrame =
+    rankedWithCounts(df, group, value)._1
+
+  /** (ranked rows, per-(pid, group) counts) — counts exposed so callers
+    * needing per-group totals can aggregate the tiny counts table instead
+    * of re-traversing the ranked fact rows. */
+  private def rankedWithCounts(
+      df: DataFrame,
+      group: Column,
+      value: Column): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val sortedRdd = df
+      .select(group.cast("string").as("g"), value.cast("double").as("v"))
+      .repartitionByRange(col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .rdd // lazy DAG; eager part = range-bounds sampling only
+    val countsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      // groups are contiguous after the sort; keep insertion order so
+      // the few (group, count) pairs per partition stay cheap
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r => val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1 }
+      m.iterator.map { case (g, c) => (pid, g, c) }
+    }.cache() // numPartitions×numGroups rows. Several downstream subtrees
+    // (offsets; per-group totals) each execute this branch; without the
+    // cache each one re-runs a full sorted reduce pass over the data.
+    // Lifecycle: ContextCleaner auto-unpersists once the query's RDDs are
+    // unreferenced, so builder-scoped caching doesn't accumulate.
+    val counts = spark.createDataFrame(countsRdd).toDF("pid", "g", "cnt")
+    val offsets = counts.as("a")
+      .join(counts.as("b"),
+        col("a.g") === col("b.g") && col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"), col("a.g").as("g"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("offset"))
+    val local = spark.createDataFrame(
+      sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+        var curG: String = null
+        var i = -1L
+        it.map { r =>
+          val g = r.getString(0)
+          if (g != curG) { curG = g; i = 0L } else i += 1
+          (pid, g, i, r.getDouble(1))
+        }
+      }).toDF("pid", "g", "local_idx", "v")
+    val ranked = local.join(broadcast(offsets), Seq("pid", "g"))
+      .select(col("g"), col("v"), (col("offset") + col("local_idx")).as("rank"))
+    (ranked, counts)
+  }
+
+  /** Exact linear-interpolated percentiles per group, distributed.
+    *
+    * `percentages` must be exactly-representable doubles (0.25, 0.5, …).
+    * Returns `(g string, q double, pct double)` — one row per group ×
+    * percentage. Interpolation replicates Spark's `Percentile.getPercentile`
+    * weighted form `(hi − pos)·v_lo + (pos − lo)·v_hi` bit-for-bit (which
+    * DuckDB's `quantile_cont` agrees with on this data), so results are
+    * hash-identical to the single-reducer aggregate they replace.
+    *
+    * Cost at scale: one full shuffle of (group, value) pairs — narrow, two
+    * columns — plus two reduce passes over it and tiny broadcast joins.
+    * Compare: the TypedImperative form shuffles the same pairs but then
+    * concentrates each group on ONE reducer; here every stage is parallel.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      percentages: Seq[Double]): DataFrame = {
+    val (ranked, counts) = rankedWithCounts(df, group, value)
+    // totals per group → target ranks lo=floor(q·(n−1)), hi=ceil(q·(n−1));
+    // aggregated from the tiny counts table, not the ranked fact rows
+    val totals = counts.groupBy("g").agg(sum("cnt").as("n"))
+    val targets = totals
+      .select(col("g"), col("n"),
+        explode(array(percentages.map(lit(_)): _*)).as("q"))
+      .withColumn("pos", col("q") * (col("n") - lit(1L)))
+      .withColumn("lo", floor(col("pos")).cast("long"))
+      .withColumn("hi", ceil(col("pos")).cast("long"))
+    val needed = targets
+      .select(col("g"), col("q"), col("pos"), col("lo"), col("hi"),
+        explode(array(col("lo"), col("hi"))).as("rank"))
+    ranked.join(broadcast(needed), Seq("g", "rank"))
+      .groupBy("g", "q")
+      .agg(first("pos").as("pos"), first("lo").as("lo"), first("hi").as("hi"),
+        max(when(col("rank") === col("lo"), col("v"))).as("vlo"),
+        max(when(col("rank") === col("hi"), col("v"))).as("vhi"))
+      .withColumn("pct",
+        when(col("lo") === col("hi"), col("vlo"))
+          .otherwise((col("hi") - col("pos")) * col("vlo") +
+            (col("pos") - col("lo")) * col("vhi")))
+      .select("g", "q", "pct")
+  }
+}

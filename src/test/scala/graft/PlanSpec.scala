@@ -90,6 +90,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q63 percentiles avoid the buffer-all-values Percentile aggregate") {
+    // Spark's percentile() ships every group value to one final reducer —
+    // the r2-flagged scale-killer. q63 must stay on the distributed
+    // GlobalRank path (range-partitioned ranking, no Percentile operator).
+    val p = plan("q63_percentiles")
+    assert(!p.contains("percentile("),
+      s"q63 regressed to the single-reducer percentile aggregate:\n$p")
+  }
+
   test("q82/q83 salted scans stay pruned (salt must not widen ReadSchema)") {
     // The salt is hash(narrow row-identity subset); hashing the whole row
     // would be equally retry-stable but forces the scan to read every
