@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Typed readers for the driver testdata tables (TESTDATA.md / FIXTURES.md §B)
@@ -49,7 +49,15 @@ object Tables {
     * agrees exactly (see q30/q37/q39).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The conf belongs to SESSION BUILD (Verify/Bench/PlanDump/TestSession
+    // all set it) — a reader mutating session state mid-query was VERDICT
+    // r02 minor #3. Fail fast with the remedy if a caller's session lacks
+    // it, instead of surfacing parquet's inscrutable nanos error later.
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "events.parquet has timestamp[ns] columns: build the SparkSession " +
+        "with spark.sql.legacy.parquet.nanosAsLong=true")
     t(s, d, "events")
   }
 
@@ -101,6 +109,24 @@ object Tables {
       .option("header", "true")
       .option("mode", "FAILFAST")
       .csv(path)
+
+  /** S3 string-buffer CSV: the reference downloads an S3 object and parses
+    * CSV straight from the in-memory buffer
+    * (`ranking_urls_generator.py:197-199` — `csv.reader(io.StringIO(body))`).
+    * Spark-first form: the lines live in a `Dataset[String]` (one element
+    * per CSV line, however they got into memory — an S3 GET, a message
+    * queue, a generator) and `DataFrameReader.csv(Dataset[String])` parses
+    * them against the declared schema with the same FAILFAST discipline as
+    * the file path — distributed, no temp-file round trip.
+    */
+  def readRankingsCsvBuffer(
+      spark: SparkSession,
+      lines: Dataset[String]): DataFrame =
+    spark.read
+      .schema(rankingsV1Schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(lines)
 
   /** Typed row for rankings_v1 (reference `Ranking` dataclass,
     * `rankings_generator.py:60-77`).

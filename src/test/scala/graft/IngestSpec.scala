@@ -61,6 +61,31 @@ class IngestSpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("S3: CSV parses from an in-memory string buffer (no file round-trip)") {
+    // reference: S3 GET body -> csv.reader(io.StringIO(...))
+    // (`ranking_urls_generator.py:197-199`); Spark form = Dataset[String]
+    import spark.implicits._
+    val body = Seq(
+      "domain,date,term,url,rank,volume,cpc",
+      "foo.com,2023-01-01,term a,https://foo.com/x,5,1000,2.34",
+      "bar.com,2023-02-01,term b,https://bar.com/y,7,2000,0.5")
+    val df = Tables.readRankingsCsvBuffer(spark, body.toDS())
+    // file/buffer sources force nullable=true; names+types must match
+    assert(df.schema.map(f => (f.name, f.dataType)) ==
+      Tables.rankingsV1Schema.map(f => (f.name, f.dataType)))
+    val rows = df.orderBy("domain").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getAs[String]("domain") == "foo.com")
+    assert(rows(1).getAs[Int]("rank") == 5)
+    assert(rows(0).getAs[Long]("volume") == 2000L)
+    // FAILFAST holds on the buffer path too
+    val bad = Seq("domain,date,term,url,rank,volume,cpc",
+      "x.com,2023-01-01,t,u,notanint,10,0.1")
+    intercept[SparkException] {
+      Tables.readRankingsCsvBuffer(spark, bad.toDS()).collect()
+    }
+  }
+
   test("S5: XML sitemap reads as rows (native Spark 4 XML source)") {
     // reference fixture shape: `tax sherpa sitemap.xml:1-431` url records
     val dir = Files.createTempDirectory("sitemap").toString
