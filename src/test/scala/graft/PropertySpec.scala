@@ -117,4 +117,45 @@ class PropertySpec extends SparkSpec {
         semi == (left.toSet intersect right.toSet)
     })
   }
+
+  // --- R3: seeded generator (sources/SeededGenerator) ----------------------
+  test("seeded generator: deterministic, partitioning-independent, in-domain") {
+    import graft.sources.SeededGenerator
+    val n = 500L
+    val a = SeededGenerator.rankings(spark, n, seed = 7L)
+    val b = SeededGenerator.rankings(spark, n, seed = 7L)
+      .repartition(13) // content must not depend on partitioning
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // a different seed must actually change the stream
+    val c = SeededGenerator.rankings(spark, n, seed = 8L)
+    assert(a.exceptAll(c).count() > 0)
+    // schema parity with the CSV ingest contract
+    assert(a.schema.map(f => (f.name, f.dataType)) ==
+      Tables.rankingsV1Schema.map(f => (f.name, f.dataType)))
+    val rows = a.collect()
+    assert(rows.length == n)
+    // reference value domains: rank 1..100, volume >= 10 step 10, cpc 0..10,
+    // date within 360 days before asOf, exactly 4 domains in blocks
+    assert(rows.forall { r =>
+      val rank = r.getAs[Int]("rank")
+      val vol = r.getAs[Long]("volume")
+      val cpc = r.getAs[Double]("cpc")
+      rank >= 1 && rank <= 100 && vol >= 10 && vol % 10 == 0 &&
+        cpc >= 0.0 && cpc <= 10.0
+    })
+    assert(a.select("domain").distinct().count() == 4)
+    val asOf = java.sql.Date.valueOf("2023-03-15")
+    assert(rows.forall { r =>
+      val d = r.getAs[java.sql.Date]("date")
+      !d.after(asOf) &&
+        d.toLocalDate.isAfter(asOf.toLocalDate.minusDays(361))
+    })
+  }
+
+  test("seeded generator: typed form matches rankingsV1Schema exactly") {
+    import graft.sources.SeededGenerator
+    val t = SeededGenerator.rankingsTyped(spark, 50L, seed = 3L)
+    assert(t.schema == Tables.rankingsV1Schema)
+    assert(t.count() == 50)
+  }
 }
