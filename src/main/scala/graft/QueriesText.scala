@@ -478,10 +478,15 @@ object QueriesText {
       }),
 
     // ANN via IVF: coarse quantization against a fixed centroid set (the
-    // first 10 vectors stand in for k-means centroids — deterministic and
-    // oracle-replayable), then exact re-rank within the query's cell. The
-    // cell assignment is one pass over the corpus against broadcast
-    // centroids; search cost scales with cell size, not corpus size.
+    // first 10 vectors — deterministic and oracle-replayable in DuckDB,
+    // which cannot replay a Lloyd fit), then exact re-rank within the
+    // query's cell. The PRODUCTION quantizer is ops/KMeans: deterministic
+    // farthest-point-init spherical Lloyd on a bounded sample, plus
+    // multi-probe assignment (KMeansIvfSpec proves recall >= this
+    // stand-in on centroid-disjoint queries and the nprobe dial above
+    // it). The cell assignment is one pass over the corpus against
+    // broadcast centroids; search cost scales with cell size, not corpus
+    // size.
     Q("q54_ann_ivf",
       (s, d) => {
         val e = withNorm(embeddings(s, d))
