@@ -465,6 +465,32 @@ object QueriesScalar {
              |    AS hour_str,
              |  event_type, CAST(count(*) AS BIGINT) AS cnt,
              |  round(sum(value), 2) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // W1/O4 at HIGH partition-key cardinality (VERDICT r02 #9): q21's
+    // top-k-per-group shape keyed by o_custkey (~|customers| partitions,
+    // ~10 rows each) instead of a 5-value priority key. This is the window
+    // partition key that actually scales: work divides across every
+    // executor, no partition exceeds a handful of rows, and Spark 4's
+    // WindowGroupLimit prunes each map-side group to k rows BEFORE the
+    // exchange — the shuffle carries O(k·|customers|) rows, not the fact
+    // table (plan-gated in PlanSpec).
+    Q("q84_topk_high_card",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey,
+             |       o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders)
+             |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin))
   )
 }

@@ -90,6 +90,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q84 high-card top-k prunes per-group rows before the shuffle") {
+    // rank<=k over a partitioned window must plan a WindowGroupLimit
+    // (map-side per-group pruning): the exchange then carries
+    // O(k * n_groups) rows instead of the whole fact table.
+    val p = plan("q84_topk_high_card")
+    assert(p.contains("WindowGroupLimit"),
+      s"no map-side group-limit pruning in:\n$p")
+  }
+
   test("q63 percentiles avoid the buffer-all-values Percentile aggregate") {
     // Spark's percentile() ships every group value to one final reducer —
     // the r2-flagged scale-killer. q63 must stay on the distributed
