@@ -26,6 +26,30 @@ class SessionizeSpec extends SparkSpec {
     assert(state.get.sessionNo == 2L)
   }
 
+  test("state arms an event-time timeout and expires at the gap horizon") {
+    val state = new TestGroupState[Sessionize.SessionState]
+    Sessionize.handle(9L, Iterator(Event(9, 1, 5000)), state).toSeq
+    // timeout armed at lastSec + GapSec (ms): state cannot outlive the gap
+    assert(state.timeoutTs == (5000L + Sessionize.GapSec) * 1000L)
+    // watermark passes the horizon -> Spark invokes with hasTimedOut=true:
+    // state must be dropped and nothing (re-)emitted
+    state.timedOut = true
+    val out = Sessionize.handle(9L, Iterator.empty, state).toSeq
+    assert(out.isEmpty && !state.exists)
+    // a later event after expiry starts a fresh session (same split the
+    // retained state would have produced for a > gap jump)
+    state.timedOut = false
+    val out2 = Sessionize.handle(9L, Iterator(Event(9, 2, 99999)), state).toSeq
+    assert(out2 == Seq(SessionOut(9, 1, 1, 99999, 99999)))
+  }
+
+  test("armed timeout is clamped above the current watermark") {
+    val state = new TestGroupState[Sessionize.SessionState]
+    state.watermarkMs = (5000L + Sessionize.GapSec) * 1000L + 7777L
+    Sessionize.handle(9L, Iterator(Event(9, 1, 5000)), state).toSeq
+    assert(state.timeoutTs == state.watermarkMs + 1)
+  }
+
   test("streaming sessionize matches q55 session boundaries on a fixture") {
     val dir = Files.createTempDirectory("sessjson").toString
     // user 1: 3 events, gap between #2 and #3; user 2: single event
@@ -53,22 +77,26 @@ class SessionizeSpec extends SparkSpec {
   }
 }
 
-/** Minimal in-memory GroupState for driving handle() directly. */
+/** Minimal in-memory GroupState for driving handle() directly; records the
+  * armed timeout timestamp and lets tests flip the timed-out flag.
+  */
 class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   private var value: Option[S] = None
-  private var removed = false
+  var timedOut: Boolean = false
+  var timeoutTs: Long = -1L
+  var watermarkMs: Long = 0L
   override def exists: Boolean = value.isDefined
   override def get: S = value.get
   override def getOption: Option[S] = value
-  override def update(s: S): Unit = { value = Some(s); removed = false }
-  override def remove(): Unit = { value = None; removed = true }
-  override def hasTimedOut: Boolean = false
+  override def update(s: S): Unit = { value = Some(s) }
+  override def remove(): Unit = { value = None }
+  override def hasTimedOut: Boolean = timedOut
   override def setTimeoutDuration(d: Long): Unit = ()
   override def setTimeoutDuration(d: String): Unit = ()
-  override def setTimeoutTimestamp(t: Long): Unit = ()
+  override def setTimeoutTimestamp(t: Long): Unit = { timeoutTs = t }
   override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
   override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
   override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
-  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentWatermarkMs(): Long = watermarkMs
   override def getCurrentProcessingTimeMs(): Long = 0L
 }
