@@ -16,7 +16,7 @@ final case class Q(
 object Queries {
   lazy val all: Seq[Q] = QueriesRel.all ++ QueriesScalar.all ++
     QueriesText.all ++ QueriesOlap.all ++ QueriesPipeline.all ++
-    QueriesTime.all
+    QueriesTime.all ++ QueriesCuration.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

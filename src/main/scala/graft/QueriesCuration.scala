@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GlobalRank, Scalars}
+
+/** Training-data pipeline tier III — dataset CURATION operators (round 3):
+  * the steps between "deduped corpus" and "training shards" that every
+  * large-scale LLM data pipeline runs, each with a DuckDB oracle.
+  *
+  * Scale notes (north star = 100 TB):
+  *  - Hash split (q85): split membership is a pure function of content
+  *    hash — reproducible across runs/engines/partitionings, no rand(),
+  *    and any document's split can be answered point-wise without global
+  *    state. One partial+final agg; no extra shuffle beyond the groupBy.
+  *  - Context packing (q86): the global running token count comes from
+  *    ops/GlobalRank.prefixSum (range-partition + per-partition offsets),
+  *    NOT a single-partition window — packing a 100 TB corpus into fixed
+  *    token-budget bins stays fully parallel.
+  *  - Decontamination (q87): the benchmark side is dimension-sized, so
+  *    the shingle match is a broadcast semi/anti join — the corpus is
+  *    never shuffled on shingle, and nothing is pairwise.
+  *  - Stratified sample (q88): per-stratum rank over a content hash with
+  *    rank<=k — WindowGroupLimit prunes map-side, so the shuffle carries
+  *    O(k·strata) rows; the sample is deterministic and re-runnable.
+  */
+object QueriesCuration {
+  import Tables._
+
+  /** Deterministic 0..99 bucket from a tagged content hash (md5-based so
+    * DuckDB replays it bit-for-bit; see Scalars.tokenHash).
+    */
+  private def bucket(tag: String) =
+    pmod(Scalars.tokenHash(
+      concat(lit(tag), col("doc_id").cast("string"))), lit(100L))
+
+  private def bucketSql(tag: String) =
+    s"(('0x' || substr(md5('$tag' || CAST(doc_id AS VARCHAR)), 1, 15))" +
+      s"::BIGINT % 100)"
+
+  val all: Seq[Q] = Seq(
+
+    // X11 train/val/test hash split: 80/10/10 by content hash — the
+    // reproducible replacement for rand()-based splitting (stable under
+    // retries, re-partitioning, and incremental corpus growth: a doc's
+    // split never changes when other docs arrive).
+    Q("q85_hash_split",
+      (s, d) => documents(s, d)
+        .withColumn("split",
+          when(bucket("split:") < 80, "train")
+            .when(bucket("split:") < 90, "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"))
+        .orderBy("lang", "split"),
+      Some(s"""SELECT lang,
+              |  CASE WHEN ${bucketSql("split:")} < 80 THEN 'train'
+              |       WHEN ${bucketSql("split:")} < 90 THEN 'val'
+              |       ELSE 'test' END AS split,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // X12 token-budget context packing: documents in doc_id order fill
+    // fixed 2000-token bins (bin = exclusive-prefix-sum DIV budget — docs
+    // are never split; each bin's contents are contiguous). The prefix
+    // sum is the distributed ops/GlobalRank.prefixSum, not a global
+    // window.
+    Q("q86_token_packing",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("tokens"))
+        GlobalRank.prefixSum(toks, col("doc_id"), col("tokens"))
+          .withColumn("bin", expr("cum_before DIV 2000L"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum("v").as("sum_tokens"),
+            min("k").as("first_doc"), max("k").as("last_doc"))
+          .orderBy("bin")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
+             |    AS tokens FROM documents),
+             |c AS (
+             |  SELECT doc_id, tokens,
+             |    COALESCE(CAST(sum(tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS cum_before
+             |  FROM t)
+             |SELECT CAST(cum_before // 2000 AS BIGINT) AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // X13 benchmark decontamination: drop every corpus doc sharing any
+    // 5-gram (word shingle) with the benchmark set (stand-in: doc_id %
+    // 100 = 0). Benchmark shingles broadcast; corpus-side match is a
+    // semi-join feeding a doc-level anti-join — never pairwise. Docs
+    // under 5 tokens carry no 5-gram and cannot be contaminated.
+    Q("q87_decontaminate",
+      (s, d) => {
+        val toks = documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            split(col("text"), " ").as("t"))
+        def shingles(df: org.apache.spark.sql.DataFrame) = df
+          .filter(size(col("t")) >= 5)
+          .select(col("doc_id"), explode(
+            expr("transform(sequence(1, size(t) - 4), " +
+              "i -> concat_ws(' ', slice(t, i, 5)))")).as("sh"))
+        val bench = shingles(toks.filter(col("doc_id") % 100 === 0))
+          .select("sh").distinct()
+        val corp = toks.filter(col("doc_id") % 100 =!= 0)
+        val contaminated = shingles(corp)
+          .join(broadcast(bench), Seq("sh"), "left_semi")
+          .select("doc_id").distinct()
+        corp.join(contaminated, Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, str_split(text, ' ') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, unnest(list_transform(
+             |    range(1, len(t) - 3),
+             |    i -> array_to_string(t[i:i+4], ' '))) AS sh
+             |  FROM toks WHERE len(t) >= 5),
+             |bench AS (
+             |  SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
+             |contaminated AS (
+             |  SELECT DISTINCT s.doc_id FROM sh s
+             |  JOIN bench b ON s.sh = b.sh
+             |  WHERE s.doc_id % 100 <> 0)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS kept_docs
+             |FROM toks
+             |WHERE doc_id % 100 <> 0
+             |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // X14 deterministic stratified sample: k docs per language, chosen by
+    // content-hash rank — the reproducible form of per-stratum random
+    // sampling (same sample every run, any partitioning, any engine).
+    Q("q88_stratified_sample",
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(bucketFull("samp:"), col("doc_id").asc)
+        documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("lang"), col("rn"), col("doc_id"))
+          .orderBy("lang", "rn")
+      },
+      Some(s"""SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
+              |  SELECT lang, doc_id, row_number() OVER (
+              |    PARTITION BY lang
+              |    ORDER BY ('0x' || substr(md5('samp:' ||
+              |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+              |      doc_id ASC) AS rn
+              |  FROM documents)
+              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin))
+  )
+
+  /** Full-range (un-modded) tagged content hash for sample ordering. */
+  private def bucketFull(tag: String) =
+    Scalars.tokenHash(concat(lit(tag), col("doc_id").cast("string")))
+}

@@ -130,4 +130,46 @@ object GlobalRank {
             (col("pos") - col("lo")) * col("vhi")))
       .select("g", "q", "pct")
   }
+
+  /** Distributed exclusive prefix sum over a total order — the q33/q63
+    * machinery with SUMS instead of COUNTS: range-partition by `order`,
+    * lazily derive per-partition value sums, cumulate them through the
+    * tiny non-equi self-join, and add each row's within-partition running
+    * sum. Returns `(k long, v long, cum_before long)` where `cum_before`
+    * is the sum of `v` over all rows strictly before `k` in ascending
+    * order. No window, no collect, every stage parallel — this is the
+    * primitive behind token-budget context packing (q86), byte-budget
+    * shard cutting, and any "running total over a 100 TB order".
+    * `order` values must be unique (they define the total order).
+    */
+  def prefixSum(df: DataFrame, order: Column, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    val sortedRdd = df
+      .select(order.cast("long").as("k"), value.cast("long").as("v"))
+      .repartitionByRange(col("k"))
+      .sortWithinPartitions("k")
+      .rdd // lazy DAG; eager part = range-bounds sampling only
+    val sumsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(1))
+      Iterator.single((pid, s))
+    }.cache() // numPartitions rows; see rankedWithCounts for lifecycle
+    val sums = spark.createDataFrame(sumsRdd).toDF("pid", "psum")
+    val offsets = sums.as("a")
+      .join(sums.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.psum")), lit(0L)).as("offset"))
+    val local = spark.createDataFrame(
+      sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+        var run = 0L
+        it.map { r =>
+          val before = run
+          run += r.getLong(1)
+          (pid, r.getLong(0), r.getLong(1), before)
+        }
+      }).toDF("pid", "k", "v", "local_before")
+    local.join(broadcast(offsets), Seq("pid"))
+      .select(col("k"), col("v"),
+        (col("offset") + col("local_before")).as("cum_before"))
+  }
 }

@@ -99,6 +99,27 @@ class PlanSpec extends SparkSpec {
       s"no map-side group-limit pruning in:\n$p")
   }
 
+  test("q86 context packing derives its prefix sum without a window") {
+    // GlobalRank.prefixSum must keep packing off the single-partition
+    // global window (same contract as q33's index)
+    val p = plan("q86_token_packing")
+    assert(!p.contains("Window"), s"q86 regressed to a window prefix sum:\n$p")
+  }
+
+  test("q87 decontamination broadcasts benchmark shingles (no cartesian)") {
+    val p = plan("q87_decontaminate")
+    assert(!p.contains("CartesianProduct"), s"pairwise shingle match:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"missing semi/anti join shape:\n$p")
+  }
+
+  test("q88 stratified sample prunes per-stratum before the shuffle") {
+    val p = plan("q88_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"no map-side group-limit pruning in:\n$p")
+  }
+
   test("q63 percentiles avoid the buffer-all-values Percentile aggregate") {
     // Spark's percentile() ships every group value to one final reducer —
     // the r2-flagged scale-killer. q63 must stay on the distributed
