@@ -161,7 +161,66 @@ object QueriesCuration {
               |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
               |      doc_id ASC) AS rn
               |  FROM documents)
-              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin))
+              |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
+    // X15 repetition filter (Gopher/C4-style quality rule): drop docs
+    // whose most frequent unigram exceeds 12% of tokens. Relational all
+    // the way: explode → partial+final count per (doc, token) → per-doc
+    // max/sum — the shuffle carries distinct (doc, token) pairs, and
+    // total tokens is sum(token counts), so the token stream is read
+    // once.
+    Q("q89_repetition_filter",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "lang")
+        .agg((max("c").cast("double") / sum("c")).as("frac"))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("frac") <= 0.12, 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("frac") <= 0.12, 0L).otherwise(1L)).as("dropped_docs"))
+        .orderBy("lang"),
+      Some("""WITH tc AS (
+             |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok
+             |  FROM documents),
+             |cc AS (
+             |  SELECT doc_id, lang, tok, count(*) AS c
+             |  FROM tc GROUP BY 1, 2, 3),
+             |m AS (
+             |  SELECT doc_id, lang,
+             |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS frac
+             |  FROM cc GROUP BY 1, 2)
+             |SELECT lang,
+             |  CAST(sum(CASE WHEN frac <= 0.12 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS kept_docs,
+             |  CAST(sum(CASE WHEN frac <= 0.12 THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS dropped_docs
+             |FROM m GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // X16 source-weighted corpus mixing: each source gets a sampling rate
+    // (20..100%, derived from its numeric suffix here; a config map in
+    // production) and docs are included by content-hash threshold — the
+    // deterministic form of mixture sampling: the mix is reproducible,
+    // point-auditable per doc, and stable when the corpus grows.
+    Q("q90_source_mix",
+      (s, d) => {
+        val srcNum = substring(col("source"), 4, 10).cast("int")
+        val rate = lit(20) + pmod(srcNum, lit(5)) * 20
+        documents(s, d)
+          .withColumn("kept", bucket("mix:") < rate)
+          .groupBy("source")
+          .agg(count(lit(1)).as("total_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+          .orderBy("source")
+      },
+      Some(s"""SELECT source,
+              |  CAST(count(*) AS BIGINT) AS total_docs,
+              |  CAST(sum(CASE WHEN ${bucketSql("mix:")} <
+              |    20 + (substr(source, 4)::INT % 5) * 20
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
+              |FROM documents GROUP BY source
+              |ORDER BY source""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

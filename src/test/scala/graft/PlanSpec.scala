@@ -114,6 +114,11 @@ class PlanSpec extends SparkSpec {
       s"missing semi/anti join shape:\n$p")
   }
 
+  test("q89 repetition filter counts partially before the shuffle") {
+    val p = plan("q89_repetition_filter")
+    assert(p.contains("partial_count"), s"no map-side combine in:\n$p")
+  }
+
   test("q88 stratified sample prunes per-stratum before the shuffle") {
     val p = plan("q88_stratified_sample")
     assert(p.contains("WindowGroupLimit"),
