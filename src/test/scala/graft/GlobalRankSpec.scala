@@ -36,6 +36,20 @@ class GlobalRankSpec extends SparkSpec {
     assert(expected.exceptAll(ranked).count() == 0)
   }
 
+  test("prefixSum equals the window cumulative sum on any partitioning") {
+    import spark.implicits._
+    val rows = (1 to 257).map(i => (i.toLong * 3 + 1, (i * 17 % 23).toLong))
+    val df = rows.toDF("k", "v").repartition(11)
+    val got = GlobalRank.prefixSum(df, col("k"), col("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var run = 0L
+    val exp = rows.sortBy(_._1).map { case (k, v) =>
+      val r = (k, v, run); run += v; r
+    }
+    assert(got.toSeq == exp)
+  }
+
   test("exactPercentiles matches Spark's percentile() bit-for-bit") {
     val got = GlobalRank.exactPercentiles(
       sample, col("g"), col("v"), Seq(0.25, 0.5, 0.75, 0.99))
