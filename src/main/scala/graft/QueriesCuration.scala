@@ -24,6 +24,11 @@ import graft.ops.{GlobalRank, Scalars}
   *  - Stratified sample (q88): per-stratum rank over a content hash with
   *    rank<=k — WindowGroupLimit prunes map-side, so the shuffle carries
   *    O(k·strata) rows; the sample is deterministic and re-runnable.
+  *  - `Tables.fanOut` is deliberately NOT used here (measured: it makes
+  *    q87/q89 ~20-50% slower at sf0.1 — repartition shuffles full text
+  *    bodies, which outweighs the extra scan parallelism; explode's
+  *    downstream groupBy already redistributes). At real scale the scan
+  *    has many splits and the question disappears (fanOut scaladoc).
   */
 object QueriesCuration {
   import Tables._
