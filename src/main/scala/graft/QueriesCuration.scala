@@ -225,7 +225,44 @@ object QueriesCuration {
               |    20 + (substr(source, 4)::INT % 5) * 20
               |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs
               |FROM documents GROUP BY source
-              |ORDER BY source""".stripMargin))
+              |ORDER BY source""".stripMargin)),
+
+    // X17 incremental corpus upsert — latest-version-wins per doc_id (the
+    // relational form of ClickHouse ReplacingMergeTree / SCD-1: a re-crawl
+    // batch replaces prior versions of the same document). Stand-in update
+    // batch: every doc_id % 10 = 0 re-arrives as version 2 with +37 chars.
+    // rn=1 over (doc_id, version desc) is WindowGroupLimit-pruned map-side,
+    // so the merge shuffles one surviving candidate per (partition, key) —
+    // at 100 TB the upsert cost tracks the update batch, not the corpus.
+    Q("q91_corpus_upsert",
+      (s, d) => {
+        val base = documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            lit(1L).as("version"))
+        val updates = documents(s, d)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") + 37L).as("n_chars"), lit(2L).as("version"))
+        val w = Window.partitionBy("doc_id").orderBy(col("version").desc)
+        base.unionByName(updates)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, lang, n_chars, 1 AS version FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars + 37, 2 FROM documents
+             |  WHERE doc_id % 10 = 0),
+             |r AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY version DESC) AS rn
+             |  FROM u)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

@@ -114,6 +114,12 @@ class PlanSpec extends SparkSpec {
       s"missing semi/anti join shape:\n$p")
   }
 
+  test("q91 upsert prunes to one candidate per key before the shuffle") {
+    val p = plan("q91_corpus_upsert")
+    assert(p.contains("WindowGroupLimit"),
+      s"latest-wins merge not map-side pruned:\n$p")
+  }
+
   test("q89 repetition filter counts partially before the shuffle") {
     val p = plan("q89_repetition_filter")
     assert(p.contains("partial_count"), s"no map-side combine in:\n$p")
