@@ -87,6 +87,25 @@ object QueriesText {
     * interpreted on first run — measured 10-50s at sf0.1) and map-side
     * combine, so the shuffle is one row per doc — the 100 TB shape.
     */
+  /** LSH candidate pairs (a_id < b_id), distinct — shared by q53 (the
+    * declared pair query) and q92 (cluster transitive closure).
+    * minhashSigs ends in an aggregation, which doubles as the
+    * materialization barrier: band keys and the self-join below see four
+    * plain longs per doc, never the shingle+md5 pipeline.
+    */
+  private def bandPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigs(docs)
+    val bands = sigs.select(col("doc_id"),
+      explode(array(
+        concat_ws("-", lit("b0"), col("h0"), col("h1")),
+        concat_ws("-", lit("b1"), col("h2"), col("h3")))).as("band_key"))
+    val a = bands.select(col("doc_id").as("a_id"), col("band_key"))
+    val b = bands.select(col("doc_id").as("b_id"), col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
   private def minhashSigs(docs: DataFrame): DataFrame = {
     val mins = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"h$i")
@@ -297,22 +316,7 @@ object QueriesText {
     // This equi-join on (band, key) is the 100 TB near-dup path — no O(n²).
     // Shingle features keep band buckets small (see Scalars.shingles3).
     Q("q53_minhash_band_pairs",
-      (s, d) => {
-        // minhashSigs ends in an aggregation, which doubles as the
-        // materialization barrier: band keys and the self-join below see
-        // four plain longs per doc, never the shingle+md5 pipeline.
-        val sigs = minhashSigs(documents(s, d))
-        val bands = sigs.select(col("doc_id"),
-          explode(array(
-            concat_ws("-", lit("b0"), col("h0"), col("h1")),
-            concat_ws("-", lit("b1"), col("h2"), col("h3")))).as("band_key"))
-        val a = bands.select(col("doc_id").as("a_id"), col("band_key"))
-        val b = bands.select(col("doc_id").as("b_id"), col("band_key"))
-        a.join(b, Seq("band_key"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => bandPairs(documents(s, d)).orderBy("a_id", "b_id"),
       Some {
         def h(i: Int): String = minhashSqlExpr(
           MinhashAB(i)._1, MinhashAB(i)._2)
@@ -582,6 +586,58 @@ object QueriesText {
            |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
            |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drop)
            |GROUP BY lang ORDER BY lang""".stripMargin
+      }),
+
+    // X1d dedup CLUSTER transitive closure: near-dup relations chain
+    // (A~B, B~C with A,C never band-colliding), so cluster-level dedup
+    // labels every paired doc with its connected component
+    // (ops/ConnectedComponents: min-label propagation, O(diameter)
+    // shuffle rounds, no collect). Output = cluster-size histogram.
+    // Oracle replays the closure with a recursive CTE.
+    // Bench profile: ~40% is the one-time pair generation (q53's shared
+    // pipeline), the rest is per-round scheduling over EDGE-LIST-sized
+    // (not corpus-sized) shuffles — rounds are bounded by cluster
+    // diameter, which is tiny for near-dup graphs at any corpus size.
+    Q("q92_dedup_components",
+      (s, d) => {
+        val pairs = bandPairs(documents(s, d))
+        graft.ops.ConnectedComponents.label(pairs)
+          .groupBy("component").agg(count(lit(1)).as("csize"))
+          .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("csize")
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs),
+           |verts AS (SELECT DISTINCT src AS v FROM edges),
+           |reach(v, r) AS (
+           |  SELECT v, v FROM verts
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e
+           |    ON e.src = reach.v),
+           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+           |sizes AS (SELECT component, count(*) AS csize
+           |          FROM comp GROUP BY component)
+           |SELECT CAST(csize AS BIGINT) AS csize,
+           |       CAST(count(*) AS BIGINT) AS n_clusters
+           |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin
       }),
 
     // Multimodal plumbing: opaque binary column + typed metadata. The
