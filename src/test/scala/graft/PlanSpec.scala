@@ -114,6 +114,15 @@ class PlanSpec extends SparkSpec {
       s"missing semi/anti join shape:\n$p")
   }
 
+  test("q85/q91 documents scans prune the wide text column") {
+    // split/upsert need only (doc_id, lang, n_chars): dragging `text`
+    // through a 100 TB scan would dominate their cost
+    for (q <- Seq("q85_hash_split", "q91_corpus_upsert")) {
+      val p = plan(q)
+      assert(!p.contains("text:string"), s"$q scan reads text:\n$p")
+    }
+  }
+
   test("q91 upsert prunes to one candidate per key before the shuffle") {
     val p = plan("q91_corpus_upsert")
     assert(p.contains("WindowGroupLimit"),
