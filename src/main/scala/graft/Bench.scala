@@ -55,6 +55,7 @@ object Bench {
     // (count() would let Catalyst prune projection-only expressions and
     // drop final sorts under the aggregate — see ADVICE.md r01).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = selected.flatMap { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -74,16 +75,23 @@ object Bench {
       // "errors" unambiguously means NO timing exists for that query: a
       // flaky query that succeeded on any run is timed (min over surviving
       // runs) and removed from errors (ADVICE r02).
-      if (times.nonEmpty) { errors.remove(name); Some(name -> times.min) }
-      else None
+      if (times.nonEmpty) {
+        errors.remove(name); allRuns(name) = times; Some(name -> times.min)
+      } else None
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-run times make host-contention spikes self-evident from the
+    // artifact alone (a spiked run next to two quiet ones is contention; 3
+    // uniformly slow runs is a regression) — VERDICT r03 finding #1.
+    val runsSec = allRuns.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","exec":"noop-write","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","exec":"noop-write","queries":$qs,"runs_sec":$runsSec,"errors":$errs,"sf":"$sfDir"}"""
     // full artifact: stdout (early) + file (always recoverable)
     println(full)
     try {

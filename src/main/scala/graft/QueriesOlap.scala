@@ -37,18 +37,22 @@ object QueriesOlap {
     Q("q60_grouping_sets",
       (s, d) => {
         lineitem(s, d).createOrReplaceTempView("lineitem")
+        // exact decimal money sum (Scalars.moneySum rationale): the ()
+        // grand total over the whole fact table is exactly the shape whose
+        // double-sum accumulation order flipped a cent at sf1
         s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
                 |       coalesce(l_linestatus, 'ALL') AS ls,
                 |       count(1) AS cnt,
-                |       round(sum(l_extendedprice), 2) AS sum_price
+                |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                |            AS DOUBLE) AS sum_price
                 |FROM lineitem
                 |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
                 |ORDER BY rf, ls""".stripMargin)
       },
-      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
              |       coalesce(l_linestatus, 'ALL') AS ls,
              |       CAST(count(*) AS BIGINT) AS cnt,
-             |       round(sum(l_extendedprice), 2) AS sum_price
+             |       ${Scalars.moneySumSql("l_extendedprice")} AS sum_price
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
              |ORDER BY rf, ls""".stripMargin)),
@@ -232,15 +236,22 @@ object QueriesOlap {
     Q("q68_scalar_subquery",
       (s, d) => {
         orders(s, d).createOrReplaceTempView("orders")
+        // the scalar mean is decimal-exact (sum order can't move it) and
+        // the per-row 4dp rounding is floor-form (Scalars.roundAt
+        // rationale) — both were latent cross-engine flake sources at sf1
         s.sql("""SELECT o_orderkey,
-                |  round(o_totalprice /
-                |    (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
+                |  floor(o_totalprice /
+                |    (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                |                 AS DOUBLE) / count(*) FROM orders)
+                |    * 10000 + 0.5) / 10000 AS price_ratio
                 |FROM orders WHERE o_totalprice > 450000.0
                 |ORDER BY o_orderkey""".stripMargin)
       },
       Some("""SELECT o_orderkey,
-             |  round(o_totalprice /
-             |    (SELECT avg(o_totalprice) FROM orders), 4) AS price_ratio
+             |  floor(o_totalprice /
+             |    (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |                 AS DOUBLE) / count(*) FROM orders)
+             |    * 10000 + 0.5) / 10000 AS price_ratio
              |FROM orders WHERE o_totalprice > 450000.0
              |ORDER BY o_orderkey""".stripMargin)),
 

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Scalars
 
 /** Relational core — SURVEY.md §2.1–2.4, 2.6, 2.7 (scans, filters, joins,
   * aggregations, sort/limit/pagination, set ops).
@@ -33,10 +34,17 @@ object QueriesRel {
       (s, d) => lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
           "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata (143k
+        // dup pairs at sf0.1) — row-level dumps must totally order over
+        // the full output tuple or tie order diverges between engines
+        // once the sort is big enough to range-partition (seen at sf1).
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity"),
       Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
              |       l_quantity
-             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |         l_quantity""".stripMargin)),
 
     // P3 range predicate on a time column — reference
     // `s3_rankings_collector.py:136` (`last_time_scheduled > ts`).
@@ -100,21 +108,31 @@ object QueriesRel {
       (s, d) => lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
+        // quantity sums/avgs stay double (quantities are integers 1-50 —
+        // double sums are exact at any scale); PRICE sums go through
+        // Scalars.moneySum (exact decimal cents) because a double sum over
+        // millions of rows is accumulation-order-dependent (see moneySum
+        // scaladoc; observed cent-flip at sf1 on q60's grand total)
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          Scalars.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Scalars.moneySum(Scalars.round2(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("sum_disc_price"),
           round(avg("l_quantity"), 2).as("avg_qty"),
-          round(avg("l_extendedprice"), 2).as("avg_price"),
+          Scalars.round2(Scalars.moneySum(col("l_extendedprice")) /
+            count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
+      Some(s"""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity), 2) AS sum_qty,
-             |  round(sum(l_extendedprice), 2) AS sum_base_price,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  ${Scalars.moneySumSql("l_extendedprice")} AS sum_base_price,
+             |  ${Scalars.moneySumSql(Scalars.round2Sql(
+                  "l_extendedprice * (1.0 - l_discount)"))} AS sum_disc_price,
              |  round(avg(l_quantity), 2) AS avg_qty,
-             |  round(avg(l_extendedprice), 2) AS avg_price,
+             |  ${Scalars.round2Sql(
+                  Scalars.moneySumSql("l_extendedprice") + " / count(*)")}
+             |    AS avg_price,
              |  CAST(count(*) AS BIGINT) AS count_order
              |FROM lineitem
              |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -128,12 +146,12 @@ object QueriesRel {
         .groupBy(col("o_orderstatus"),
           date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
         .agg(count(lit(1)).as("cnt"),
-          round(sum("o_totalprice"), 2).as("revenue"))
+          Scalars.moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("o_orderstatus", "mon"),
-      Some("""SELECT o_orderstatus,
+      Some(s"""SELECT o_orderstatus,
              |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
              |  CAST(count(*) AS BIGINT) AS cnt,
-             |  round(sum(o_totalprice), 2) AS revenue
+             |  ${Scalars.moneySumSql("o_totalprice")} AS revenue
              |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // A4 exact COUNT(DISTINCT) — LowCardinality design implies distinct
@@ -180,10 +198,10 @@ object QueriesRel {
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"),
-          round(sum("o_totalprice"), 2).as("revenue"))
+          Scalars.moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment"),
-      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
-             |       round(sum(o_totalprice), 2) AS revenue
+      Some(s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+             |       ${Scalars.moneySumSql("o_totalprice")} AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
@@ -221,11 +239,13 @@ object QueriesRel {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          Scalars.moneySum(Scalars.round2(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("revenue"))
         .orderBy("o_orderpriority"),
-      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
-             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+             |  ${Scalars.moneySumSql(Scalars.round2Sql(
+                  "l_extendedprice * (1.0 - l_discount)"))} AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
@@ -436,10 +456,10 @@ object QueriesRel {
         saltBuckets = 8, saltOn = Seq(col("o_orderkey")))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"),
-          round(sum("o_totalprice"), 2).as("revenue"))
+          Scalars.moneySum(col("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment"),
-      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
-             |       round(sum(o_totalprice), 2) AS revenue
+      Some(s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+             |       ${Scalars.moneySumSql("o_totalprice")} AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 

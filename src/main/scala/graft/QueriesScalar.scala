@@ -52,6 +52,39 @@ object QueriesScalar {
       |      ELSE '' END ||
       | 'supplier' || CAST(s_suppkey AS VARCHAR) || '.example.com')""".stripMargin
 
+  /** fqdn mix for the FULL-PSL parse (q19b): one case per rule class —
+    * exact 1- and 2-label suffixes (com, co.uk), wildcard (`*.ck`,
+    * `*.kawasaki.jp`), exception (`!www.ck`, `!city.kawasaki.jp`), a name
+    * a wildcard swallows whole (→ ''), an unlisted TLD (tldextract
+    * semantics: `localhost` is a domain, not a suffix), and a
+    * private-section name (ICANN-only parse → `github.io`).
+    */
+  private def pslFqdnCol = {
+    val k = col("s_suppkey").cast("string")
+    val m = pmod(col("s_suppkey"), lit(9))
+    when(m === 0, concat(lit("supplier"), k, lit(".example.com")))
+      .when(m === 1, concat(lit("shop.supplier"), k, lit(".example.co.uk")))
+      .when(m === 2, concat(lit("a"), k, lit(".web.ck")))
+      .when(m === 3, concat(lit("sub"), k, lit(".www.ck")))
+      .when(m === 4, concat(lit("x"), k, lit(".aki.kawasaki.jp")))
+      .when(m === 5, concat(lit("w"), k, lit(".city.kawasaki.jp")))
+      .when(m === 6, concat(lit("sup"), k, lit(".localhost")))
+      .when(m === 7, concat(lit("r"), k, lit(".github.io")))
+      .otherwise(concat(lit("c"), k, lit(".ck")))
+  }
+
+  private val pslFqdnSql =
+    """(CASE s_suppkey % 9
+      |  WHEN 0 THEN 'supplier' || CAST(s_suppkey AS VARCHAR) || '.example.com'
+      |  WHEN 1 THEN 'shop.supplier' || CAST(s_suppkey AS VARCHAR) || '.example.co.uk'
+      |  WHEN 2 THEN 'a' || CAST(s_suppkey AS VARCHAR) || '.web.ck'
+      |  WHEN 3 THEN 'sub' || CAST(s_suppkey AS VARCHAR) || '.www.ck'
+      |  WHEN 4 THEN 'x' || CAST(s_suppkey AS VARCHAR) || '.aki.kawasaki.jp'
+      |  WHEN 5 THEN 'w' || CAST(s_suppkey AS VARCHAR) || '.city.kawasaki.jp'
+      |  WHEN 6 THEN 'sup' || CAST(s_suppkey AS VARCHAR) || '.localhost'
+      |  WHEN 7 THEN 'r' || CAST(s_suppkey AS VARCHAR) || '.github.io'
+      |  ELSE 'c' || CAST(s_suppkey AS VARCHAR) || '.ck' END)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // F1/F4/P7 URL-bone normalization — reference `get_url_bone`
@@ -125,6 +158,63 @@ object QueriesScalar {
               |            length(domain) - length(root_domain) - 1)
               |       ELSE NULL END AS subdomain
               |FROM parsed ORDER BY s_suppkey""".stripMargin)),
+
+    // F3 FULL-fidelity PSL domain parse (VERDICT r03 #3) through the
+    // native codegen Catalyst expression (ops/DomainParseExpression) —
+    // no ScalaUDF in the plan (PlanSpec gate). The oracle replays the
+    // generic PSL longest-match algorithm (exception > longest of
+    // exact/wildcard) in SQL over the rule table dumped from the SAME
+    // vendored list (tools/psl_rules_icann.csv, tools/dump_psl_rules.py) —
+    // so Scala parser drift and SQL drift both fail the hash compare.
+    // Matches tldextract (`rankings_generator.py:165-167`) incl. wildcard
+    // and exception rules, which q19's simplified 2-label rule cannot.
+    Q("q19b_domain_parse_psl",
+      (s, d) => {
+        graft.ops.RegisteredDomainExpr.register(s)
+        supplier(s, d)
+          .select(col("s_suppkey"), pslFqdnCol.as("fqdn"))
+          .withColumn("root_domain",
+            call_function("registered_domain", col("fqdn")))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rules AS (
+              |  SELECT kind, rule FROM read_csv(
+              |    '/root/repo/tools/psl_rules_icann.csv', header=true)
+              |),
+              |base AS (SELECT s_suppkey, $pslFqdnSql AS fqdn FROM supplier),
+              |lab AS (SELECT s_suppkey, fqdn, str_split(fqdn, '.') AS labels,
+              |        CAST(len(str_split(fqdn, '.')) AS INT) AS n FROM base),
+              |pos AS (SELECT s_suppkey, fqdn, labels, n,
+              |        CAST(unnest(generate_series(1, n)) AS INT) AS i
+              |        FROM lab),
+              |cand AS (
+              |  SELECT s_suppkey, fqdn, n, i,
+              |    array_to_string(labels[i:], '.') AS cand,
+              |    CASE WHEN i < n
+              |         THEN array_to_string(labels[i+1:], '.') END AS parent
+              |  FROM pos),
+              |scored AS (
+              |  SELECT c.s_suppkey, c.fqdn, c.n,
+              |    min(CASE WHEN ex.rule IS NOT NULL THEN c.n - c.i END)
+              |      AS exc_len,
+              |    max(CASE WHEN ea.rule IS NOT NULL OR wc.rule IS NOT NULL
+              |             THEN c.n - c.i + 1 END) AS match_len
+              |  FROM cand c
+              |  LEFT JOIN rules ex ON ex.kind = 'exception' AND ex.rule = c.cand
+              |  LEFT JOIN rules ea ON ea.kind = 'exact' AND ea.rule = c.cand
+              |  LEFT JOIN rules wc ON wc.kind = 'wildcard' AND wc.rule = c.parent
+              |  GROUP BY c.s_suppkey, c.fqdn, c.n),
+              |fin AS (SELECT s_suppkey, fqdn, n,
+              |               COALESCE(exc_len, match_len, 0) AS slen,
+              |               str_split(fqdn, '.') AS labels
+              |        FROM scored)
+              |SELECT s_suppkey, fqdn,
+              |  CASE WHEN n = slen THEN ''
+              |       WHEN slen = 0 THEN labels[n]
+              |       ELSE labels[n - slen] || '.' ||
+              |            array_to_string(labels[n-slen+1:], '.')
+              |  END AS root_domain
+              |FROM fin ORDER BY s_suppkey""".stripMargin)),
 
     // P6/F16 higher-order array filter — reference nested index-entry
     // filter (`s3_rankings_collector.py:87`), as filter(col, λ) on words.
@@ -240,13 +330,14 @@ object QueriesScalar {
         .select(Scalars.epochToDateStr(col("epoch_sec")).as("day_str"),
           col("value"))
         .groupBy("day_str")
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          Scalars.moneySum(col("value")).as("sum_value"))
         .orderBy("day_str"),
       Some("""SELECT strftime(make_timestamp(
              |    (epoch_ns(ts) // 1000000000) * 1000000), '%Y-%m-%d')
              |    AS day_str,
              |  CAST(count(*) AS BIGINT) AS cnt,
-             |  round(sum(value), 2) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY day_str ORDER BY day_str""".stripMargin)),
 
     // F9 relative-date window with fixed anchor — reference pins
@@ -283,7 +374,11 @@ object QueriesScalar {
             (lit(1.0) + col("l_tax"))).as("charge"),
           round(col("l_discount") * 100, 0).as("disc_pct"),
           col("l_extendedprice").cast("long").as("price_int"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is not unique in the testdata: total
+        // order over the whole output tuple (remaining ties = identical
+        // rows, invisible to the compare)
+        .orderBy("l_orderkey", "l_linenumber", "disc_price", "charge",
+          "disc_pct", "price_int"),
       Some(s"""SELECT l_orderkey, l_linenumber,
               |  ${Scalars.round2Sql("l_extendedprice * (1.0 - l_discount)")}
               |    AS disc_price,
@@ -292,7 +387,9 @@ object QueriesScalar {
               |    AS charge,
               |  round(l_discount * 100, 0) AS disc_pct,
               |  CAST(floor(l_extendedprice) AS BIGINT) AS price_int
-              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+              |FROM lineitem
+              |ORDER BY l_orderkey, l_linenumber, disc_price, charge,
+              |         disc_pct, price_int""".stripMargin)),
 
     // F13 Python-list-string → array — reference `ast.literal_eval`
     // (`ranking_urls_ingestor.py:60-61`). Declared query uses the
@@ -352,11 +449,12 @@ object QueriesScalar {
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
           col("value"))
         .groupBy("k")
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          Scalars.moneySum(col("value")).as("sum_value"))
         .orderBy("k"),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
              |  CAST(count(*) AS BIGINT) AS cnt,
-             |  round(sum(value), 2) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY k ORDER BY k""".stripMargin)),
 
     // R2 wide per-row derivation — the reference's 16-col derive block
@@ -379,7 +477,11 @@ object QueriesScalar {
           Scalars.round2(col("l_extendedprice") * col("l_discount"))
             .as("disc_amt"),
           pmod(col("l_orderkey"), lit(7)).as("key_mod"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        // non-unique (l_orderkey, l_linenumber): total order over the full
+        // output tuple (see q01/q32)
+        .orderBy("l_orderkey", "l_linenumber", "disc_price", "charge",
+          "qty_class", "ship_year", "ship_month", "flag_status", "is_cheap",
+          "disc_amt", "key_mod"),
       Some(s"""SELECT l_orderkey, l_linenumber,
               |  ${Scalars.round2Sql("l_extendedprice * (1.0 - l_discount)")}
               |    AS disc_price,
@@ -394,7 +496,10 @@ object QueriesScalar {
               |  (l_extendedprice < 2000.0) AS is_cheap,
               |  ${Scalars.round2Sql("l_extendedprice * l_discount")} AS disc_amt,
               |  (l_orderkey % 7) AS key_mod
-              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+              |FROM lineitem
+              |ORDER BY l_orderkey, l_linenumber, disc_price, charge,
+              |         qty_class, ship_year, ship_month, flag_status,
+              |         is_cheap, disc_amt, key_mod""".stripMargin)),
 
     // Sessionization (gap 30 min) — the batch form of stateful stream
     // sessionization (ops/Sessionize.scala holds the
@@ -459,12 +564,13 @@ object QueriesScalar {
             "yyyy-MM-dd HH:00:00").as("hour_str"),
           col("event_type"), col("value"))
         .groupBy("hour_str", "event_type")
-        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          Scalars.moneySum(col("value")).as("sum_value"))
         .orderBy("hour_str", "event_type"),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
              |    AS hour_str,
              |  event_type, CAST(count(*) AS BIGINT) AS cnt,
-             |  round(sum(value), 2) AS sum_value
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // W1/O4 at HIGH partition-key cardinality (VERDICT r02 #9): q21's

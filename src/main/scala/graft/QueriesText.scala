@@ -591,8 +591,12 @@ object QueriesText {
     // X1d dedup CLUSTER transitive closure: near-dup relations chain
     // (A~B, B~C with A,C never band-colliding), so cluster-level dedup
     // labels every paired doc with its connected component
-    // (ops/ConnectedComponents: min-label propagation, O(diameter)
-    // shuffle rounds, no collect). Output = cluster-size histogram.
+    // (ops/ConnectedComponents.labelMinProp: min-label propagation,
+    // O(diameter) shuffle rounds, no collect — measured ~2x cheaper than
+    // the star-contraction default on dense near-dup graphs, whose
+    // diameter is tiny at any corpus size; it fail-fasts rather than
+    // under-merging if that assumption ever breaks, and labelStar is the
+    // O(log n)-rounds fallback). Output = cluster-size histogram.
     // Oracle replays the closure with a recursive CTE.
     // Bench profile: ~40% is the one-time pair generation (q53's shared
     // pipeline), the rest is per-round scheduling over EDGE-LIST-sized
@@ -601,7 +605,7 @@ object QueriesText {
     Q("q92_dedup_components",
       (s, d) => {
         val pairs = bandPairs(documents(s, d))
-        graft.ops.ConnectedComponents.label(pairs)
+        graft.ops.ConnectedComponents.labelMinProp(pairs)
           .groupBy("component").agg(count(lit(1)).as("csize"))
           .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
           .orderBy("csize")

@@ -114,6 +114,30 @@ object Scalars {
   /** DuckDB rendition of round2 for oracle SQL. */
   def round2Sql(x: String): String = s"(floor(($x) * 100 + 0.5) / 100)"
 
+  /** Order-independent money sum. A double sum over millions of rows is
+    * accumulation-order-dependent: at sf1 (6M lineitem rows) Spark's
+    * partial-agg merge order vs DuckDB's produced grand totals differing
+    * in the cents digit (observed on q60), so engine-vs-oracle equality
+    * of `round(sum(double), 2)` is not well-defined at scale. The fix is
+    * the one a money pipeline uses anyway: quantize each row to cents
+    * (the input is either an exact-2dp source column, which the
+    * DECIMAL(18,2) cast snaps losslessly, or a derived product already
+    * quantized by [[round2]]), then sum EXACTLY in decimal — associative,
+    * so partial aggregation order cannot matter — and convert the one
+    * exact total to double at the end (a single identical rounding in
+    * both engines). DECIMAL(18,2) holds ±10^16 cents: a 100 TB corpus of
+    * prices fits with headroom, and Spark widens the sum buffer to
+    * DECIMAL(28,2) on top.
+    */
+  def moneySum(centsQuantized: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    sum(centsQuantized.cast(DecimalType(18, 2))).cast("double")
+  }
+
+  /** DuckDB rendition of moneySum for oracle SQL. */
+  def moneySumSql(centsQuantized: String): String =
+    s"CAST(sum(CAST(($centsQuantized) AS DECIMAL(18,2))) AS DOUBLE)"
+
   /** round2 generalized to n decimal places (n ≤ 15 so 10^n is exact in
     * double). Same positive-domain floor-form contract as round2.
     */

@@ -25,6 +25,18 @@ class PlanSpec extends SparkSpec {
       s"no pushed range filter in:\n$p")
   }
 
+  test("q19b full-PSL parse runs the native expression, not a ScalaUDF") {
+    val df = Queries.byName("q19b_domain_parse_psl").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+      s"PSL parse fell back to a UDF tier:\n$p")
+    assert(p.contains("registered_domain"),
+      s"native registered_domain expression missing from plan:\n$p")
+    // and it must stay inside whole-stage codegen (the expression's point)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
   test("q10 dimension lookup join broadcasts the dimension side") {
     assert(plan("q10_lookup_join").contains("BroadcastHashJoin"))
   }
