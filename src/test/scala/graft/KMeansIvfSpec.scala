@@ -34,8 +34,9 @@ class KMeansIvfSpec extends SparkSpec {
       lit(0.0), (acc, x) => acc + x)
 
   /** Brute-force cosine top-k ids per query — the ground truth. */
-  private lazy val truth: Map[Long, Set[Long]] = {
-    val withNrm = e.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+  private def truthFor(corpus: DataFrame): Map[Long, Set[Long]] = {
+    val withNrm = corpus
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
     val q = withNrm.filter(col("vec_id") >= QLO && col("vec_id") < QHI)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
@@ -52,12 +53,16 @@ class KMeansIvfSpec extends SparkSpec {
       }
   }
 
+  private lazy val truth: Map[Long, Set[Long]] = truthFor(e)
+
   /** IVF search over the query's `nprobe` nearest cells (corpus stays
     * single-cell); returns recall@TOPK against the brute-force truth. */
-  private def recall(cents: Array[Array[Double]], nprobe: Int = 1): Double = {
-    val assigned = KMeans.assignCells(e, "vec_id", "embedding", cents)
+  private def recallFor(
+      corpus: DataFrame, truth: Map[Long, Set[Long]],
+      cents: Array[Array[Double]], nprobe: Int): Double = {
+    val assigned = KMeans.assignCells(corpus, "vec_id", "embedding", cents)
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-    val q = KMeans.assignProbes(e, "vec_id", "embedding", cents, nprobe)
+    val q = KMeans.assignProbes(corpus, "vec_id", "embedding", cents, nprobe)
       .filter(col("vec_id") >= QLO && col("vec_id") < QHI)
       .withColumn("q_nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -79,8 +84,11 @@ class KMeansIvfSpec extends SparkSpec {
     hits.toDouble / (truth.size * TOPK)
   }
 
-  private def firstKCentroids(df: DataFrame): Array[Array[Double]] =
-    df.filter(col("vec_id") < K).orderBy("vec_id")
+  private def recall(cents: Array[Array[Double]], nprobe: Int = 1): Double =
+    recallFor(e, truth, cents, nprobe)
+
+  private def firstKCentroids(df: DataFrame, k: Int = K): Array[Array[Double]] =
+    df.filter(col("vec_id") < k).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
@@ -112,5 +120,39 @@ class KMeansIvfSpec extends SparkSpec {
     val probe2 = recall(km, nprobe = 2)
     info(f"recall@$TOPK nprobe=2: $probe2%.3f")
     assert(probe2 >= kmeans)
+  }
+
+  test("k-means STRICTLY beats the stand-in on clustered data " +
+    "(gate has teeth — VERDICT r03 #4)") {
+    // 8 orthogonal clusters, hash-assigned membership: the first-8-vectors
+    // stand-in almost surely duplicates some clusters and misses others,
+    // while a real quantizer recovers all centers — on THIS fixture a
+    // quantizer that silently degrades to the stand-in FAILS the strict
+    // inequality (the sf0.001 corpus test above can only assert >=).
+    val clusters = 8
+    val cdf = graft.sources.SeededGenerator
+      .clusteredEmbeddings(spark, n = 400, seed = 42L, dim = 16,
+        clusters = clusters)
+      .cache()
+    // fixture sanity: the stand-in must actually miss >= 1 cluster, else
+    // the fixture can't discriminate (would flag a bad seed choice)
+    val standInLabels = cdf.filter(col("vec_id") < clusters)
+      .select("label").collect().map(_.getInt(0)).toSet
+    assert(standInLabels.size < clusters,
+      s"seed gives the stand-in full cluster coverage - fixture toothless")
+    val truthC = truthFor(cdf)
+    val standIn = recallFor(cdf, truthC, firstKCentroids(cdf, clusters), 1)
+    val km = KMeans.fitCentroids(cdf, col("vec_id"), col("embedding"),
+      clusters, iters = 5, seed = 42L)
+    val r1 = recallFor(cdf, truthC, km, 1)
+    info(f"clustered recall@$TOPK: stand-in=$standIn%.3f kmeans=$r1%.3f")
+    assert(r1 > standIn,
+      f"quantizer does not strictly beat the stand-in ($r1%.3f <= $standIn%.3f)")
+    // nprobe monotonicity: each extra probe may only add recall
+    val rs = Seq(1, 2, 3, 4).map(p => recallFor(cdf, truthC, km, p))
+    info(s"nprobe 1..4 recall: ${rs.map(r => f"$r%.3f").mkString(", ")}")
+    assert(rs.sliding(2).forall(w => w(1) >= w(0)),
+      s"recall not monotone in nprobe: $rs")
+    cdf.unpersist()
   }
 }
