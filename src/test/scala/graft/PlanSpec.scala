@@ -37,6 +37,38 @@ class PlanSpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
 
+  test("AQE splits a hot join key at runtime — the boundary where manual " +
+    "salting stops being needed (SCALE.md joins note)") {
+    // A single hot key in a shuffled SMJ: AQE's OptimizeSkewedJoin chunks
+    // the oversized reduce partition by map-output ranges and duplicates
+    // the other side per chunk — no salting required. ops/Skew stays for
+    // the shapes AQE cannot touch: skewed AGGREGATION (a group's final agg
+    // must single-task without two-phase salting) and pre-shuffle load
+    // bounds. Thresholds are shrunk so test-sized data crosses them; the
+    // mechanism is identical at production sizes.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import org.apache.spark.sql.functions.{col, lit, lpad, when}
+      val fact = spark.range(0, 200000).toDF("id")
+        .withColumn("k", when(col("id") < 150000, lit(7L)).otherwise(col("id")))
+        .withColumn("pad", lpad(col("id").cast("string"), 64, "x"))
+      val dim = spark.range(0, 1000).toDF("k2")
+        .withColumn("attr", col("k2") * 2)
+      val j = fact.join(dim, col("k") === col("k2"))
+      j.collect() // AQE finalizes the adaptive plan in place
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the hot key (skew=true missing):\n$p")
+    } finally saved.foreach { case (k, vo) =>
+      vo.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+  }
+
   test("q10 dimension lookup join broadcasts the dimension side") {
     assert(plan("q10_lookup_join").contains("BroadcastHashJoin"))
   }

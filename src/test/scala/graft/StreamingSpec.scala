@@ -56,6 +56,50 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(col("domain") === "baz.com").count() == 1)
   }
 
+  test("T1-T5 at reference scale shape: 200 shards, mid-stream kill, " +
+    "exactly-once (VERDICT r03 #6)") {
+    // the reference ingests 2,137 CSV shards (`ingest.py:15`); this drives
+    // the same shape — many small shards, bounded files-per-trigger — and
+    // kills the query MID-STREAM, then restarts on the same checkpoint.
+    // Exactly-once = the committed output is multiset-equal to the source
+    // (no loss, no dupes), with uncommitted orphan files from the kill
+    // invisible behind the sink's _spark_metadata transaction log.
+    val in = mkTmp("shards200")
+    val out = mkTmp("ingested200")
+    val ckpt = mkTmp("ckpt200")
+    val src = graft.sources.SeededGenerator.rankings(spark, 4000, seed = 7L)
+    val rows = src.collect()
+    def fmt(r: org.apache.spark.sql.Row): String = Seq(
+      r.getString(0), r.getDate(1).toString, r.getString(2), r.getString(3),
+      r.getInt(4).toString, r.getLong(5).toString,
+      r.getDouble(6).toString).mkString(",")
+    rows.grouped(20).zipWithIndex.foreach { case (g, i) =>
+      writeShard(in, f"shard$i%03d.csv", g.map(fmt).toSeq)
+    }
+    def stream() = StreamingIngest.csvStream(
+      spark, Tables.rankingsV1Schema, in, maxFilesPerTrigger = 5)
+    def committed(): Long =
+      try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+
+    // run 1: 40 micro-batches pending; kill once >= ~5 batches committed
+    val q1 = StreamingIngest.ingestAvailableNow(stream(), out, ckpt)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q1.isActive && committed() < 500 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q1.stop()
+    val mid = committed()
+    assert(mid > 0, "kill landed before any batch committed")
+    assert(mid < 4000, "stream finished before the kill - raise shard count")
+
+    // run 2: restart from the checkpoint, drain the rest
+    val q2 = StreamingIngest.ingestAvailableNow(stream(), out, ckpt)
+    q2.awaitTermination(180000)
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4000, s"expected 4000 rows, got ${got.count()}")
+    assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty,
+      "committed output is not multiset-equal to the source")
+  }
+
   test("T7: foreachBatch skips empty batches and sees all rows once") {
     val in = mkTmp("shards2")
     val ckpt = mkTmp("ckpt2")
