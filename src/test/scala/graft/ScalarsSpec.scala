@@ -127,4 +127,19 @@ class ScalarsSpec extends SparkSpec {
     assert(r(2) == 19570.81)
     assert(r(3) == 2.0)
   }
+
+  test("moneySum is exact and partition-order-invariant where a double " +
+    "sum is neither") {
+    // 100k cents: the double sum accumulates representation error
+    // (0.01 is not binary), the decimal sum is exactly 1000.00
+    val df = spark.range(0, 100000).select(lit(0.01).as("v"))
+    def total(parts: Int): Double = df.repartition(parts)
+      .agg(Scalars.moneySum(col("v")).as("s")).collect().head.getDouble(0)
+    assert(total(1) == 1000.0)
+    assert(total(17) == 1000.0)
+    assert(total(32) == 1000.0)
+    val naive = df.agg(sum("v")).collect().head.getDouble(0)
+    assert(naive != 1000.0,
+      "fixture no longer demonstrates double-sum error - strengthen it")
+  }
 }
