@@ -644,6 +644,68 @@ object QueriesText {
            |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin
       }),
 
+    // X1e cluster-representative dedup — the step the closure feeds:
+    // q92 labels clusters, THIS keeps exactly one survivor per cluster
+    // (longest text wins, doc_id tiebreak; docs in no pair survive as
+    // their own cluster via the left join — q75's anti-join shape).
+    // Window is partitioned by cluster (high-cardinality key),
+    // rn=1 planned as WindowGroupLimit → map-side prune, the exchange
+    // carries O(1) rows per cluster (plan-gated). Oracle replays closure
+    // (recursive CTE) + argmax window.
+    Q("q93_cluster_representatives",
+      (s, d) => {
+        val docs = documents(s, d)
+        val labels = graft.ops.ConnectedComponents
+          .labelMinProp(bandPairs(docs))
+        val labeled = docs
+          .join(labels, docs("doc_id") === labels("v"), "left")
+          .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        labeled.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("doc_id"), col("n_chars"))
+          .orderBy("cluster")
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs),
+           |verts AS (SELECT DISTINCT src AS v FROM edges),
+           |reach(v, r) AS (
+           |  SELECT v, v FROM verts
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e
+           |    ON e.src = reach.v),
+           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+           |lab AS (
+           |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+           |         d.n_chars
+           |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id)
+           |SELECT cluster, doc_id, n_chars FROM (
+           |  SELECT cluster, doc_id, n_chars,
+           |         row_number() OVER (PARTITION BY cluster
+           |           ORDER BY n_chars DESC, doc_id ASC) AS rn
+           |  FROM lab) WHERE rn = 1 ORDER BY cluster""".stripMargin
+      }),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // "decode" is a deterministic fake (real image/audio libs are absent —
     // see ops/Multimodal.scala for the mapPartitions decode seam).

@@ -143,6 +143,12 @@ class PlanSpec extends SparkSpec {
       s"no map-side group-limit pruning in:\n$p")
   }
 
+  test("q93 cluster representatives prune map-side (WindowGroupLimit)") {
+    val p = plan("q93_cluster_representatives")
+    assert(p.contains("WindowGroupLimit"),
+      s"no map-side group-limit pruning in:\n$p")
+  }
+
   test("q86 context packing derives its prefix sum without a window") {
     // GlobalRank.prefixSum must keep packing off the single-partition
     // global window (same contract as q33's index)
