@@ -32,6 +32,10 @@ class PlanSpec extends SparkSpec {
       s"PSL parse fell back to a UDF tier:\n$p")
     assert(p.contains("registered_domain"),
       s"native registered_domain expression missing from plan:\n$p")
+    // the fqdn is synthesized from s_suppkey alone: the supplier scan must
+    // prune to that single column
+    assert(!p.contains("s_name") && !p.contains("s_acctbal"),
+      s"supplier scan reads unprojected columns:\n$p")
     // and it must stay inside whole-stage codegen (the expression's point)
     df.collect()
     assert(df.queryExecution.executedPlan.toString.contains("*("))
