@@ -73,6 +73,24 @@ object QueriesScalar {
       .otherwise(concat(lit("c"), k, lit(".ck")))
   }
 
+  /** Absolute path of the vendored PSL rule table for the q19b oracle,
+    * resolved at runtime instead of hardcoded: walk up from `user.dir`
+    * (sbt runs mains from the project root, but a driver sandbox may
+    * differ) until `tools/psl_rules_icann.csv` is found. Falls back to the
+    * user.dir-relative path so the SQL still constructs — DuckDB then
+    * reports a clear missing-file error instead of a silent wrong root.
+    */
+  private lazy val pslRulesPath: String = {
+    val rel = java.nio.file.Paths.get("tools", "psl_rules_icann.csv")
+    Iterator.iterate(java.nio.file.Paths.get(sys.props("user.dir"))
+        .toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .map(_.resolve(rel))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(rel.toAbsolutePath)
+      .toString
+  }
+
   private val pslFqdnSql =
     """(CASE s_suppkey % 9
       |  WHEN 0 THEN 'supplier' || CAST(s_suppkey AS VARCHAR) || '.example.com'
@@ -179,7 +197,7 @@ object QueriesScalar {
       },
       Some(s"""WITH rules AS (
               |  SELECT kind, rule FROM read_csv(
-              |    '/root/repo/tools/psl_rules_icann.csv', header=true)
+              |    '$pslRulesPath', header=true)
               |),
               |base AS (SELECT s_suppkey, $pslFqdnSql AS fqdn FROM supplier),
               |lab AS (SELECT s_suppkey, fqdn, str_split(fqdn, '.') AS labels,

@@ -43,7 +43,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Under the dev filter, emit oracle entries only for queries whose dump
+    // exists in outDir (just written, or pre-populated by an earlier full
+    // run) — a fresh outDir + filter otherwise makes verify_local report
+    // 'no spark dump' for every unselected query (ADVICE r04). The full
+    // driver run (no filter) always writes the complete map so a failed
+    // dump still shows red rather than disappearing.
+    val oracles = filter match {
+      case Some(_) => SparkEntry.oracleSql.filter { case (k, _) =>
+        Files.exists(Paths.get(s"$outDir/$k")) }
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *    the job into thousands of rounds. Each round halves-or-better the
   *    distance-to-star, and each round's edge output is at most the
   *    (deduped) input edge count, so the shuffle volume is monotonically
-  *    non-increasing.
+  *    non-increasing. Like [[labelMinProp]], it THROWS past `maxIter`
+  *    rather than extracting labels from a non-star edge set (which would
+  *    silently under-merge).
   *  - [[labelMinProp]]: min-label propagation, O(component diameter)
   *    rounds with ONE join + one partial/final min-agg per round. On real
   *    near-dup graphs (dense clusters, diameter 1-3) it does less work
@@ -113,6 +115,10 @@ object ConnectedComponents {
       e = small
       rounds += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"labelStar did not converge in $maxIter rounds — extracting labels " +
+        "from a non-star edge set would silently under-merge components; " +
+        "raise maxIter (worst case is O(log^2 n) rounds)")
     // fixpoint is a star per component: every edge is (member, root);
     // roots label themselves
     val labels = e.select(col("hi").as("v"), col("lo").as("component"))

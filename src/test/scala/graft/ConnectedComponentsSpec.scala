@@ -66,4 +66,13 @@ class ConnectedComponentsSpec extends SparkSpec {
       componentsMinProp(path, maxIter = 5)
     }
   }
+
+  test("star contraction throws instead of extracting from a non-star set") {
+    // diameter-255 path cannot star-ify in 2 rounds; silent extraction
+    // would emit conflicting labels per vertex (under-merge)
+    val path = (1L to 256L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalStateException] {
+      ConnectedComponents.labelStar(path.toDF("src", "dst"), maxIter = 2)
+    }
+  }
 }
