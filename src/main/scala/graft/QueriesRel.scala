@@ -277,6 +277,37 @@ object QueriesRel {
              |FROM nation JOIN region ON n_regionkey < r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // J-star 3-table star join (VERDICT r04 #5) — the reference's
+    // warehouse-delegated volume/traffic rollups imply fact ⋈ fact ⋈ dim
+    // stars (domain × date × topic). Mixed physical strategy, declared
+    // explicitly because it is the 100 TB shape: the fact⋈fact edge
+    // (lineitem ⋈ orders, both too big to broadcast at scale) is hinted
+    // SHUFFLE_MERGE so the plan gate pins SMJ even at test sizes where
+    // autoBroadcast would hide it; the dim edge (customer) broadcasts.
+    // At 100 TB AQE picks exactly this split unhinted — the hint removes
+    // the size-dependence from the declared artifact.
+    Q("q94_star_join",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          Scalars.moneySum(Scalars.round2(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy("c_mktsegment", "o_orderpriority"),
+      Some(s"""SELECT c_mktsegment, o_orderpriority,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  ${Scalars.moneySumSql(Scalars.round2Sql(
+                  "l_extendedprice * (1.0 - l_discount)"))} AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment, o_orderpriority
+             |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)),
+
     // O1/O2 sort + LIMIT/OFFSET pagination — reference
     // `s3_rankings_collector.py:137-138`, `rankings_generator.py:125-127`.
     // Unique tiebreak o_orderkey makes the page deterministic (§7.5 #5).

@@ -77,6 +77,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q10_lookup_join").contains("BroadcastHashJoin"))
   }
 
+  test("q94 star join mixes strategies: dim broadcasts, fact⋈fact stays SMJ") {
+    val p = plan("q94_star_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim side not broadcast:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"lineitem⋈orders fact edge not sort-merge:\n$p")
+    // star rollup still combines map-side before the group-by shuffle
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
   test("q11/q12 existence checks use broadcast anti/semi joins on small dims") {
     assert(plan("q11_anti_join").contains("LeftAnti"))
     assert(plan("q12_semi_join").contains("LeftSemi"))
