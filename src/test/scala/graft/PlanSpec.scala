@@ -87,6 +87,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
 
+  test("q13b bucketed join runs with zero exchanges end-to-end") {
+    val df = Queries.byName("q13b_bucketed_join").build(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // co-located: no hash exchange anywhere — not on either join side
+    // (bucketed scans) and not before the order-grain agg (it reuses the
+    // bucket partitioning); the only repartitioning is the final
+    // rangepartitioning for the verification ORDER BY
+    assert(!p.contains("hashpartitioning"),
+      s"bucketed join plan still shuffles:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed fact⋈fact not sort-merge:\n$p")
+  }
+
   test("q11/q12 existence checks use broadcast anti/semi joins on small dims") {
     assert(plan("q11_anti_join").contains("LeftAnti"))
     assert(plan("q12_semi_join").contains("LeftSemi"))
