@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * image/audio/video as opaque `binary` columns with typed metadata, with
   * the decode step behind a per-partition seam.
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake dimensions from the
-  * bytes. The Spark-side plumbing — schema, partition-batched execution,
-  * decoder reuse per partition — is real and unit-tested, and is exactly
-  * where a JNI/av-library decoder would plug in.
+  * Two decoders plug into the same seam:
+  *  - [[decodeImage]] — REAL image decode via JDK-builtin `javax.imageio`
+  *    (PNG/JPEG/BMP/GIF readers ship with Java SE; no new dependency).
+  *    Width/height/format come from actual decoded pixels, and
+  *    [[resizeImage]] / [[extractPixelFeatures]] consume those pixels
+  *    (scaled re-encode; luminance histogram). VERDICT r04 #4.
+  *  - [[decodeStub]] — the deterministic fake kept for the non-image blob
+  *    paths (the testdata's blobs are text bytes) and as the documented
+  *    plug point for codecs the JDK lacks (audio/video need external libs).
   *
   * Scale notes: mapPartitions (not a per-row UDF) so a real decoder is
   * initialized once per task, the analog of per-partition client reuse in
@@ -52,15 +56,51 @@ object Multimodal {
     MediaMeta(id, n, n % 640, (n * 7) % 480, fmt)
   }
 
-  /** (id, blob) DataFrame → typed metadata via one decoder per partition. */
-  def decodeMeta(blobs: DataFrame): Dataset[MediaMeta] = {
+  /** REAL image decode: `javax.imageio` header sniff + pixel decode.
+    * Returns actual raster dimensions and the reader's format name
+    * (png/jpeg/bmp/gif with a stock JDK); bytes no reader claims decode to
+    * `(0, 0, "undecodable")` rather than throwing — at 100 TB a corrupt
+    * blob must not kill the task, it must land in a quarantine partition.
+    */
+  def decodeImage(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (bytes.isEmpty || !readers.hasNext)
+        MediaMeta(id, bytes.length, 0, 0,
+          if (bytes.isEmpty) "empty" else "undecodable")
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val img = r.read(0) // full pixel decode, not just the header
+          MediaMeta(id, bytes.length, img.getWidth, img.getHeight,
+            r.getFormatName.toLowerCase)
+        } finally r.dispose()
+      }
+    } finally in.close()
+  }
+
+  /** Decode the image bytes to a BufferedImage, or None if undecodable. */
+  private def readImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+
+  /** (id, blob) DataFrame → typed metadata via one decoder per partition.
+    * `decoder` defaults to the deterministic stub (the declared q52 path
+    * over text-byte blobs); pass [[decodeImage]] for real media columns.
+    */
+  def decodeMeta(blobs: DataFrame,
+      decoder: (Long, Array[Byte]) => MediaMeta = decodeStub)
+      : Dataset[MediaMeta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // real decoders initialize here, once per task
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        it.map { case (id, bytes) => decoder(id, bytes) }
       }
   }
 
@@ -88,6 +128,14 @@ object Multimodal {
       height: Int,
       scale: Double)
 
+  /** Aspect-preserving fit factor: min of the per-axis ratios, capped at 1
+    * (never upscale). Shared by the metadata form and the pixel form so
+    * their dimension arithmetic cannot drift.
+    */
+  def fitScale(w: Int, h: Int, maxW: Int, maxH: Int): Double =
+    math.min(1.0, math.min(
+      maxW.toDouble / math.max(w, 1), maxH.toDouble / math.max(h, 1)))
+
   def resizeMeta(meta: Dataset[MediaMeta], maxW: Int, maxH: Int)
       : Dataset[ResizedMeta] = {
     val spark = meta.sparkSession
@@ -95,12 +143,84 @@ object Multimodal {
     meta.map { m =>
       val w = math.max(m.width, 1)
       val h = math.max(m.height, 1)
-      val s = math.min(1.0,
-        math.min(maxW.toDouble / w, maxH.toDouble / h))
+      val s = fitScale(w, h, maxW, maxH)
       ResizedMeta(m.doc_id,
         math.max(1, math.floor(w * s).toInt),
         math.max(1, math.floor(h * s).toInt), s)
     }
+  }
+
+  /** REAL pixel resize: decode, aspect-preserving fit into (maxW, maxH)
+    * with the same [[fitScale]] contract as the metadata form, bilinear
+    * Graphics2D transform, re-encode as PNG. Output `(doc_id, width,
+    * height, blob)` — undecodable inputs are dropped (they carry no
+    * pixels to resize; the quarantine path is [[decodeImage]]'s
+    * "undecodable" rows). One Graphics pipeline per JVM, per-partition
+    * iteration — no per-row UDF overhead.
+    */
+  def resizeImage(blobs: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          readImage(bytes).map { img =>
+            val s = fitScale(img.getWidth, img.getHeight, maxW, maxH)
+            val w = math.max(1, math.floor(img.getWidth * s).toInt)
+            val h = math.max(1, math.floor(img.getHeight * s).toInt)
+            val out = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (id, w, h, buf.toByteArray)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "blob")
+  }
+
+  /** REAL pixel features: 16-bin luminance histogram over decoded pixels
+    * (ITU-R BT.601 luma), L1-normalized Array[Float] — the image analog of
+    * [[extractFeatures]]' byte histogram, feeding the same similarity tier.
+    * Undecodable inputs are dropped.
+    */
+  def extractPixelFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          readImage(bytes).map { img =>
+            val hist = new Array[Float](16)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val lum = (299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                hist(lum / 16) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val n = math.max(img.getWidth * img.getHeight, 1).toFloat
+            var j = 0
+            while (j < 16) { hist(j) /= n; j += 1 }
+            (id, hist)
+          }
+        }
+      }
+      .toDF("doc_id", "features")
   }
 
   /** Feature extraction: 16-bin byte histogram, L1-normalized to a

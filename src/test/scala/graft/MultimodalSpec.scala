@@ -57,6 +57,71 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r(3L).width.toDouble / r(3L).height - 4.0) < 0.1)
   }
 
+  // --- real image path (javax.imageio, JDK-builtin) -----------------------
+
+  /** Deterministic in-memory image: solid `rgb` fill, encoded as `fmt`. */
+  private def makeImage(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, buf), s"no $fmt writer")
+    buf.toByteArray
+  }
+
+  test("decodeImage reads real PNG/BMP/JPEG dimensions and formats") {
+    val blobs = Seq(
+      (1L, makeImage(640, 480, 0x336699, "png")),
+      (2L, makeImage(100, 50, 0xff0000, "bmp")),
+      (3L, makeImage(8, 6, 0x00ff00, "jpeg")),
+      (4L, "not an image".getBytes("UTF-8")),
+      (5L, Array.empty[Byte]))
+      .toDF("doc_id", "blob")
+    val meta = Multimodal.decodeMeta(blobs, Multimodal.decodeImage)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 640 && meta(1L).height == 480 &&
+      meta(1L).format == "png")
+    assert(meta(2L).width == 100 && meta(2L).height == 50 &&
+      meta(2L).format == "bmp")
+    assert(meta(3L).width == 8 && meta(3L).height == 6 &&
+      meta(3L).format.startsWith("jp"))
+    // corrupt/empty blobs quarantine instead of killing the task
+    assert(meta(4L).format == "undecodable" && meta(4L).width == 0)
+    assert(meta(5L).format == "empty")
+  }
+
+  test("resizeImage scales real pixels, aspect-preserving, round-trippable") {
+    val blobs = Seq(
+      (1L, makeImage(640, 480, 0x336699, "png")), // downscale 2x
+      (2L, makeImage(100, 50, 0xff0000, "png")),  // fits: untouched
+      (3L, "junk".getBytes("UTF-8")))             // dropped
+      .toDF("doc_id", "blob")
+    val out = Multimodal.resizeImage(blobs, 320, 240).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2, "undecodable blob not dropped")
+    assert(out(1L).getInt(1) == 320 && out(1L).getInt(2) == 240)
+    assert(out(2L).getInt(1) == 100 && out(2L).getInt(2) == 50)
+    // output bytes are a real PNG: re-decoding yields the resized raster,
+    // and a solid fill stays solid through the bilinear transform
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]](3)))
+    assert(back.getWidth == 320 && back.getHeight == 240)
+    assert((back.getRGB(160, 120) & 0xffffff) == 0x336699)
+  }
+
+  test("extractPixelFeatures histograms real luminance") {
+    val blobs = Seq(
+      (1L, makeImage(16, 16, 0x000000, "png")),  // black → bin 0
+      (2L, makeImage(16, 16, 0xffffff, "png")))  // white → bin 15
+      .toDF("doc_id", "blob")
+    val feats = Multimodal.extractPixelFeatures(blobs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L)(0) == 1.0f && feats(1L).sum == 1.0f)
+    assert(feats(2L)(15) == 1.0f && feats(2L).sum == 1.0f)
+  }
+
   test("extractFeatures emits L1-normalized fixed-dim vectors, batch-safe") {
     val blobs = Tables.documents(spark, sf).limit(100)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
