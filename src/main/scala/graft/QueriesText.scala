@@ -93,7 +93,7 @@ object QueriesText {
     * materialization barrier: band keys and the self-join below see four
     * plain longs per doc, never the shingle+md5 pipeline.
     */
-  private def bandPairs(docs: DataFrame): DataFrame = {
+  private[graft] def bandPairs(docs: DataFrame): DataFrame = {
     val sigs = minhashSigs(docs)
     val bands = sigs.select(col("doc_id"),
       explode(array(
@@ -604,11 +604,12 @@ object QueriesText {
     // diameter, which is tiny for near-dup graphs at any corpus size.
     Q("q92_dedup_components",
       (s, d) => {
-        val pairs = bandPairs(documents(s, d))
-        graft.ops.ConnectedComponents.labelMinProp(pairs)
-          .groupBy("component").agg(count(lit(1)).as("csize"))
-          .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
-          .orderBy("csize")
+        // standalone per driver contract: fresh closure. The shared-
+        // materialization form (one closure, many consumers) is
+        // pipelines/DedupPipeline.run — same stage functions.
+        val docs = documents(s, d)
+        graft.pipelines.DedupPipeline.sizeHistogram(
+          graft.pipelines.DedupPipeline.labels(docs))
       },
       Some {
         def h(i: Int): String = minhashSqlExpr(
@@ -654,19 +655,11 @@ object QueriesText {
     // (recursive CTE) + argmax window.
     Q("q93_cluster_representatives",
       (s, d) => {
+        // standalone per driver contract: fresh closure (see q92 note;
+        // the amortized form is pipelines/DedupPipeline.run).
         val docs = documents(s, d)
-        val labels = graft.ops.ConnectedComponents
-          .labelMinProp(bandPairs(docs))
-        val labeled = docs
-          .join(labels, docs("doc_id") === labels("v"), "left")
-          .withColumn("cluster", coalesce(col("component"), col("doc_id")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("cluster")
-          .orderBy(col("n_chars").desc, col("doc_id").asc)
-        labeled.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("cluster"), col("doc_id"), col("n_chars"))
-          .orderBy("cluster")
+        graft.pipelines.DedupPipeline.representatives(docs,
+          graft.pipelines.DedupPipeline.labels(docs))
       },
       Some {
         def h(i: Int): String = minhashSqlExpr(
