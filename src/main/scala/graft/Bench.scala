@@ -44,19 +44,16 @@ object Bench {
       case None    => SparkEntry.queries
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    // N timed runs per query, report the min: run 1 pays that query's
-    // one-time Janino/JIT codegen compile (measured 0.2-1.5s/query on this
-    // host — pure driver-side compilation, not engine work); later runs are
-    // the steady-state engine latency, which is what throughput-vs-baseline
-    // comparisons mean (a warehouse compiles a recurring query once). Min of
-    // 3 also damps multi-tenant host contention (round-1's driver run saw
-    // 20-60x inflation). Runs and aggregation are declared in the output.
-    // Each run executes the FULL declared plan via a noop datasource write
-    // (count() would let Catalyst prune projection-only expressions and
-    // drop final sorts under the aggregate — see ADVICE.md r01).
+    // N timed runs per query. Run 1 pays that query's one-time Janino/JIT
+    // codegen compile (measured 0.2-1.5s/query on this host — pure
+    // driver-side compilation, not engine work); later runs are the
+    // steady-state engine latency. Runs and aggregation are declared in
+    // the output. Each run executes the FULL declared plan via a noop
+    // datasource write (count() would let Catalyst prune projection-only
+    // expressions and drop final sorts under the aggregate — ADVICE r01).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = selected.flatMap { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -73,14 +70,25 @@ object Bench {
         }
       }
       // "errors" unambiguously means NO timing exists for that query: a
-      // flaky query that succeeded on any run is timed (min over surviving
-      // runs) and removed from errors (ADVICE r02).
-      if (times.nonEmpty) {
-        errors.remove(name); allRuns(name) = times; Some(name -> times.min)
-      } else None
+      // flaky query that succeeded on any run is timed and removed from
+      // errors (ADVICE r02).
+      if (times.nonEmpty) { errors.remove(name); allRuns(name) = times }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Headline = sum of per-query MEDIANS (VERDICT r04 #2): the median of
+    // 3 absorbs both the run-1 codegen compile and a single contention
+    // spike, so the headline no longer moves with host load the way
+    // min-of-3 totals did across three rounds of 15-75% "gaps" that were
+    // all noise. Min stays in the artifact as the steady-state floor
+    // (what a warehouse's compiled recurring query costs).
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val medians = allRuns.map { case (k, ts) => k -> median(ts) }
+    val mins = allRuns.map { case (k, ts) => k -> ts.min }
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Per-run times make host-contention spikes self-evident from the
     // artifact alone (a spiked run next to two quiet ones is contention; 3
     // uniformly slow runs is a regression) — VERDICT r03 finding #1.
@@ -89,9 +97,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = medians.values.sum
+    val totalMin = mins.values.sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","exec":"noop-write","queries":$qs,"runs_sec":$runsSec,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"median","exec":"noop-write","total_min":$totalMin,"queries":${jmap(medians)},"queries_min":${jmap(mins)},"runs_sec":$runsSec,"errors":$errs,"sf":"$sfDir"}"""
     // full artifact: stdout (early) + file (always recoverable)
     println(full)
     try {
@@ -101,6 +110,6 @@ object Bench {
     spark.stop()
     // LAST line: short form guaranteed to fit a bounded tail capture.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"min","nqueries":${results.size},"nerrors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"agg":"median","total_min":$totalMin,"nqueries":${allRuns.size},"nerrors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}""")
   }
 }

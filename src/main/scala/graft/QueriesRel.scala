@@ -38,6 +38,19 @@ object QueriesRel {
       val h = (d.hashCode & 0x7fffffff).toHexString
       val lt = s"b13_lineitem_$h"
       val ot = s"b13_orders_$h"
+      // a previous JVM's layout files survive in the warehouse dir while
+      // the in-memory catalog starts empty — saveAsTable would then fail
+      // with LOCATION_ALREADY_EXISTS. Drop both catalog entry and stale
+      // location before the (re)write.
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        s.conf.get("spark.sql.warehouse.dir")).getPath)
+      Seq(lt, ot).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(wh.resolve(t).toFile)
+      }
       graft.ops.Bucketing.writeBucketed(
         lineitem(s, d).select("l_orderkey", "l_quantity"),
         lt, "l_orderkey", 8, sortCol = Some("l_orderkey"))
