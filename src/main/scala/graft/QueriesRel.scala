@@ -33,8 +33,13 @@ object QueriesRel {
   private val bucketedFor =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** computeIfAbsent-style exclusive first-touch build. TrieMap's
+    * getOrElseUpdate may evaluate the builder twice under concurrent first
+    * callers (ADVICE r05) — two threads interleaving DROP TABLE / recursive
+    * rm / saveAsTable on the same b13_* tables would corrupt the layout.
+    * The harness is single-threaded today; the lock makes it safe anyway. */
   private def orderGrainBucketed(s: SparkSession, d: String): (String, String) =
-    bucketedFor.getOrElseUpdate(d, {
+    bucketedFor.synchronized { bucketedFor.getOrElseUpdate(d, {
       val h = (d.hashCode & 0x7fffffff).toHexString
       val lt = s"b13_lineitem_$h"
       val ot = s"b13_orders_$h"
@@ -58,7 +63,7 @@ object QueriesRel {
         orders(s, d).select("o_orderkey"),
         ot, "o_orderkey", 8, sortCol = Some("o_orderkey"))
       (lt, ot)
-    })
+    }) }
 
   val all: Seq[Q] = Seq(
 

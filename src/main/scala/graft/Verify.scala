@@ -15,11 +15,18 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Robustness-probe passthrough: SPARK_GRAFT_CONF="k=v,k=v" overrides
     // session conf (e.g. spark.sql.adaptive.enabled=false to prove results
-    // are invariant to AQE's runtime re-planning).
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.trim.split("=", 2)
-      builder.config(k, v)
-    })
+    // are invariant to AQE's runtime re-planning). Blank segments (trailing
+    // comma) are ignored; a segment without '=' aborts with a clear message.
+    // Comma-valued confs (e.g. extraJavaOptions) are unsupported here — use
+    // a real spark-defaults mechanism for those.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(
+      _.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_CONF segment '$kv' lacks '=' " +
+            "(expected k=v[,k=v...]; comma-valued confs unsupported)")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -50,15 +57,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Under the dev filter, emit oracle entries only for queries whose dump
-    // exists in outDir (just written, or pre-populated by an earlier full
-    // run) — a fresh outDir + filter otherwise makes verify_local report
-    // 'no spark dump' for every unselected query (ADVICE r04). The full
-    // driver run (no filter) always writes the complete map so a failed
-    // dump still shows red rather than disappearing.
+    // Under the dev filter, emit oracle entries for every SELECTED query
+    // (dump missing → verify_local red, so a failed dump of the very query
+    // under iteration can't masquerade as 'all green' — ADVICE r05), plus
+    // any unselected query whose dump pre-exists from an earlier full run.
+    // Only never-selected, never-dumped queries are omitted, so a fresh
+    // outDir + filter doesn't report 'no spark dump' for the whole registry
+    // (ADVICE r04). The full driver run (no filter) always writes the
+    // complete map.
     val oracles = filter match {
-      case Some(_) => SparkEntry.oracleSql.filter { case (k, _) =>
-        Files.exists(Paths.get(s"$outDir/$k")) }
+      case Some(f) => SparkEntry.oracleSql.filter { case (k, _) =>
+        f(k) || Files.exists(Paths.get(s"$outDir/$k")) }
       case None => SparkEntry.oracleSql
     }
     val json = oracles

@@ -47,12 +47,22 @@ PRIMARY_KEYS = {
 FIXED_DIMS = {"region", "nation"}
 
 
+_scaler_ran = False
+
+
 def _run_scaler():
-    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
-        subprocess.run(
-            [sys.executable, os.path.join(HERE, "scale_testdata.py"),
-             SRC, DST, str(FACTOR)],
-            check=True, capture_output=True)
+    # Regenerate exactly once per test process (ADVICE r05: a stale DST from
+    # an older scaler version must never be what the properties validate).
+    global _scaler_ran
+    if _scaler_ran:
+        return
+    import shutil
+    shutil.rmtree(DST, ignore_errors=True)
+    subprocess.run(
+        [sys.executable, os.path.join(HERE, "scale_testdata.py"),
+         SRC, DST, str(FACTOR)],
+        check=True, capture_output=True)
+    _scaler_ran = True
 
 
 def _tables():
