@@ -130,6 +130,48 @@ object QueriesTime {
              |  CAST(count(t_purchase) AS BIGINT) AS n_purchase,
              |  CAST(count(CASE WHEN t_signup < t_purchase THEN 1 END)
              |    AS BIGINT) AS n_converted
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // T13 backward as-of join (ops/AsofJoin scaladoc for the merge-form
+    // rationale): each purchase joined to the user's latest view at or
+    // before it — the quote-for-trade / state-at-event-time operator. The
+    // right side is pre-aggregated unique per (user, ts) with max_by on the
+    // unique event_id (the operator's tie contract), which both engines
+    // replay deterministically. Left asof: first-ever purchases keep null
+    // view columns. Oracle is DuckDB's native ASOF LEFT JOIN on the same
+    // inclusive (>=) semantics.
+    Q("q95_asof_join",
+      (s, d) => {
+        // Times quantized to MICROS on both engines before the join:
+        // DuckDB's parquet reader coerces the ns timestamps to µs, so raw
+        // ns would diverge in the dump (and, on a same-µs tie, in the
+        // match). Integer division on the nanos — never double (§7.5).
+        val ev = events(s, d)
+          .withColumn("ts", Scalars.longDiv("ts", 1000L))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("value"))
+        ops.AsofJoin.backward(purchases, views, "user_id", "ts",
+          timeOut = "v_ts", payloadCol = "value", payloadOut = "v_value")
+          .select(col("user_id"), col("p_id"), col("ts").as("p_ts"),
+            col("v_ts"), col("v_value"))
+          // p_id is the events PK, so the order is already total; the full
+          // tuple stays per the §7.5 row-dump discipline.
+          .orderBy("user_id", "p_id", "p_ts", "v_ts", "v_value")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, epoch_us(ts) AS ts,
+             |         max_by(value, event_id) AS v_value
+             |  FROM events WHERE event_type = 'view'
+             |  GROUP BY user_id, epoch_us(ts)),
+             |p AS (
+             |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.p_id, p.p_ts, v.ts AS v_ts, v.v_value
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND p.p_ts >= v.ts
+             |ORDER BY p.user_id, p_id, p_ts, v_ts, v_value""".stripMargin))
   )
 }

@@ -271,4 +271,20 @@ class PlanSpec extends SparkSpec {
       p.contains("o_orderpriority"),
       s"window moved all data to one partition:\n$p")
   }
+
+  test("q95 asof join plans the merge form: union+window, no join node") {
+    // The scalable property ops/AsofJoin buys: both sides shuffle ONCE on
+    // the key and never pair up. A SortMergeJoin/BroadcastHashJoin (range
+    // form) or a cartesian here means the operator regressed to the
+    // quadratic candidate-pair shape.
+    val p = plan("q95_asof_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"asof join regressed to a pairing join:\n$p")
+    assert(p.contains("Union") && p.contains("Window"),
+      s"merge-form union+window missing:\n$p")
+    // event_type predicates reach the parquet scans
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"event_type filter not pushed to scan:\n$p")
+  }
 }
