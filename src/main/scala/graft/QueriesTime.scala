@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ops.Scalars
@@ -36,6 +37,37 @@ object QueriesTime {
   private def eventDay(ns: String): org.apache.spark.sql.Column =
     date_add(lit("1970-01-01").cast("date"),
       Scalars.longDiv(ns, NsPerDay).cast("int"))
+
+  /** One-time-per-JVM Hive-style date-partitioned layout of `events`
+    * backing q96 — the 100 TB fact-table layout: `day=YYYY-MM-DD/`
+    * directories so a date predicate prunes whole partitions at PLANNING
+    * time (PartitionFilters), before any file or footer is touched.
+    * `repartition(day)` ahead of the write gives one file per partition
+    * directory instead of numShufflePartitions small files per day — the
+    * small-file explosion that kills listing/scan at scale. Same caching,
+    * collision-proofing, and exclusive-build contract as q13b's bucketed
+    * layout (QueriesRel.orderGrainBucketed).
+    */
+  private val partitionedFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def dayPartitionedEvents(s: SparkSession, d: String): String =
+    partitionedFor.synchronized { partitionedFor.getOrElseUpdate(d, {
+      val h = (d.hashCode & 0x7fffffff).toHexString
+      val wh = java.nio.file.Paths.get(java.net.URI.create(
+        s.conf.get("spark.sql.warehouse.dir")).getPath)
+      val path = wh.resolve(s"p96_events_$h").toFile
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(path) // first touch per JVM always rewrites; stale files can't leak
+      events(s, d)
+        .withColumn("day", eventDay("ts"))
+        .repartition(col("day"))
+        .write.partitionBy("day").mode("overwrite")
+        .parquet(path.toString)
+      path.toString
+    }) }
 
   val all: Seq[Q] = Seq(
 
@@ -172,6 +204,33 @@ object QueriesTime {
              |SELECT p.user_id, p.p_id, p.p_ts, v.ts AS v_ts, v.v_value
              |FROM p ASOF LEFT JOIN v
              |  ON p.user_id = v.user_id AND p.p_ts >= v.ts
-             |ORDER BY p.user_id, p_id, p_ts, v_ts, v_value""".stripMargin))
+             |ORDER BY p.user_id, p_id, p_ts, v_ts, v_value""".stripMargin)),
+
+    // T14 partition-pruned scan over the date-partitioned fact layout
+    // (dayPartitionedEvents scaladoc): a one-week report that reads 7 of
+    // 30 partition directories — the predicate resolves against directory
+    // NAMES at planning time (PartitionFilters in the scan, plan-gated
+    // with file-count metrics), so at 100 TB a day-ranged query costs
+    // days-touched, not corpus size. Counts only (no double sums — an
+    // accumulation-order-dependent sum(value) would flake at sf1, §7.5).
+    // Oracle replays the day derivation on the unpartitioned table.
+    Q("q96_partition_prune",
+      (s, d) => {
+        val path = dayPartitionedEvents(s, d)
+        s.read.parquet(path)
+          .filter(col("day") >= lit("2024-01-08").cast("date") &&
+            col("day") <= lit("2024-01-14").cast("date"))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("uniq_users"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+             |FROM events
+             |WHERE CAST(ts AS DATE)
+             |  BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+             |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
   )
 }

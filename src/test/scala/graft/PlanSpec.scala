@@ -272,6 +272,34 @@ class PlanSpec extends SparkSpec {
       s"window moved all data to one partition:\n$p")
   }
 
+  test("q96 date predicate prunes partitions at planning time") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = Queries.byName("q96_partition_prune").build(spark, sf)
+    val scans = df.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "no file scan in q96's plan")
+    val s = scans.head
+    // 7 of 30 day= directories survive planning; nothing else is listed,
+    // opened, or footer-read — the property that makes a day-ranged query
+    // cost days-touched (not corpus size) at 100 TB
+    assert(s.selectedPartitions.partitionCount === 7,
+      s"expected 7 pruned partitions, got ${s.selectedPartitions.partitionCount}")
+    // repartition(day) before the write = ONE file per partition directory
+    // (30 shuffle partitions would otherwise each drop a file into every
+    // day — the small-file explosion)
+    assert(s.selectedPartitions.totalNumberOfFiles === 7,
+      "expected one file per day partition")
+    // the predicate is consumed ENTIRELY by partition pruning: no residual
+    // row-level data filter
+    assert(s.dataFilters.isEmpty,
+      s"day predicate leaked into data filters: ${s.dataFilters}")
+    // and the unfiltered layout really has 30 days to prune from
+    val full = spark.read.parquet(QueriesTime.dayPartitionedEvents(spark, sf))
+      .queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(full.selectedPartitions.partitionCount === 30)
+  }
+
   test("q95 asof join plans the merge form: union+window, no join node") {
     // The scalable property ops/AsofJoin buys: both sides shuffle ONCE on
     // the key and never pair up. A SortMergeJoin/BroadcastHashJoin (range
