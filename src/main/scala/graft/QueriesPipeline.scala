@@ -127,6 +127,61 @@ object QueriesPipeline {
       Some("""SELECT n_chars // 200 AS bucket,
              |  CAST(count(*) AS BIGINT) AS cnt,
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // X19 span-level (paragraph) corpus dedup with document reassembly —
+    // the CCNet/RefinedWeb shape: dedup at sub-document granularity so a
+    // boilerplate span shared by many documents is dropped everywhere but
+    // its first occurrence, while the surrounding unique text survives.
+    // This corpus has no newline structure (TESTDATA.md), so "paragraph" =
+    // fixed 16-token window, the substring-dedup variant of the same op.
+    // Shape: slice spans directly from the token array (explode over span
+    // INDEXES only — no per-token explode), keep first occurrence by
+    // global (doc_id, span_no) order via rank-1 window on the span text
+    // (WindowGroupLimit map-side prune, plan-gated), reassemble with an
+    // ordered in-group sort. Docs that are entirely duplicate spans
+    // disappear — the degenerate case of q40's whole-doc dedup.
+    // Scale: one shuffle on the span text (high-cardinality, ~100-byte
+    // rows), one on doc_id for reassembly; no pairwise stage anywhere.
+    // Partitioning by the exact span (not a hash of it) keeps the op
+    // collision-proof; the shuffle row is the span itself, which the
+    // reassembly needs anyway.
+    Q("q97_span_dedup",
+      (s, d) => {
+        val w = Window.partitionBy("para").orderBy("doc_id", "span_no")
+        fanOut(documents(s, d))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(expr("sequence(0, (size(toks) + 15) DIV 16 - 1)"))
+              .as("span_no"))
+          .select(col("doc_id"), col("span_no"),
+            array_join(
+              slice(col("toks"), col("span_no") * 16 + 1, lit(16)), " ")
+              .as("para"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("doc_id")
+          .agg(
+            expr("array_join(transform(array_sort(" +
+              "collect_list(struct(span_no, para))), x -> x.para), ' ')")
+              .as("text_dedup"),
+            count(lit(1)).as("kept_spans"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS s
+             |          FROM documents),
+             |c AS (SELECT doc_id, i AS span_no,
+             |        array_to_string(s[(i*16+1):(i*16+16)], ' ') AS para
+             |      FROM t, unnest(range(CAST(ceil(len(s)/16.0) AS BIGINT)))
+             |        AS u(i)),
+             |k AS (SELECT doc_id, span_no, para,
+             |        row_number() OVER (PARTITION BY para
+             |          ORDER BY doc_id, span_no) AS rn
+             |      FROM c)
+             |SELECT doc_id,
+             |  string_agg(para, ' ' ORDER BY span_no) AS text_dedup,
+             |  CAST(count(*) AS BIGINT) AS kept_spans
+             |FROM k WHERE rn = 1
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

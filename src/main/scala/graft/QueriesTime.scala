@@ -231,6 +231,90 @@ object QueriesTime {
              |FROM events
              |WHERE CAST(ts AS DATE)
              |  BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
-             |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // T15 aggregation-form argmax — latest event per user in ONE partial+
+    // final agg pass (ClickHouse `argMax(x, ord)` / SCD "current state"
+    // read). The scale contrast to q93's window-form argmax: max_by
+    // carries a single (ord, value) pair through the map-side combine, so
+    // the shuffle is one row per (user, column) — no per-partition sort,
+    // no WindowGroupLimit needed, and the plan has no Window node at all
+    // (plan-gated). The ordering key is tie-proofed by appending the
+    // unique event_id to the µs time as a fixed-width string — max_by on
+    // a tied ordinal is engine-nondeterministic otherwise (§7.5
+    // discipline; DuckDB arg_max has no composite-key overload, so both
+    // engines order on the identical printf rendering). Times quantized
+    // to µs first: DuckDB's parquet reader coerces the ns column (q95).
+    Q("q98_argmax_latest",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("ts", Scalars.longDiv("ts", 1000L))
+        val ord = format_string("%020d-%020d", col("ts"), col("event_id"))
+        ev.groupBy("user_id")
+          .agg(
+            max_by(col("event_id"), ord).as("last_event_id"),
+            max_by(col("event_type"), ord).as("last_type"),
+            max_by(col("value"), ord).as("last_value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  arg_max(event_id,
+             |    printf('%020d-%020d', epoch_us(ts), event_id))
+             |    AS last_event_id,
+             |  arg_max(event_type,
+             |    printf('%020d-%020d', epoch_us(ts), event_id))
+             |    AS last_type,
+             |  arg_max(value,
+             |    printf('%020d-%020d', epoch_us(ts), event_id))
+             |    AS last_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // T16 time-proximity interval join, binned to an equi-join — "views
+    // within ±1 h of each purchase", a large×large NON-equi time join
+    // (no shared key: any user's view counts). Naive Spark plans this as
+    // BroadcastNestedLoopJoin — O(|P|·|V|) comparisons, the 100 TB
+    // killer. The binned form is the Flink-interval-join shape: each view
+    // lands in its own 1 h bin, each purchase probes [bin-1, bin, bin+1]
+    // (a 3× explode of the SMALLER side only), the join becomes an
+    // equi-join on the bin key, and the exact |Δt| ≤ 1 h predicate
+    // filters inside it. Every qualifying pair meets in exactly one bin
+    // (the view's own), so counts need no dedup. Plan-gated: no
+    // BroadcastNestedLoopJoin / CartesianProduct. Left join keeps
+    // zero-view purchases. Oracle is DuckDB's native theta join (its
+    // IEJoin handles the non-equi form directly at test scale).
+    Q("q99_interval_join",
+      (s, d) => {
+        val HourUs = 3600000000L
+        val ev = events(s, d)
+          .withColumn("ts", Scalars.longDiv("ts", 1000L))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("v_id"), col("ts").as("v_ts"))
+        val pb = p.withColumn("probe",
+          explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("bin", expr(s"p_ts DIV ${HourUs}L") + col("probe"))
+        val vb = v.withColumn("bin", expr(s"v_ts DIV ${HourUs}L"))
+        pb.join(vb,
+            pb("bin") === vb("bin") &&
+              vb("v_ts") >= pb("p_ts") - HourUs &&
+              vb("v_ts") <= pb("p_ts") + HourUs,
+            "left")
+          .groupBy("p_id", "p_ts")
+          .agg(count(col("v_id")).as("nearby_views"))
+          .orderBy("p_id")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts
+             |          FROM events),
+             |p AS (SELECT event_id AS p_id, ts AS p_ts FROM e
+             |      WHERE event_type = 'purchase'),
+             |v AS (SELECT event_id AS v_id, ts AS v_ts FROM e
+             |      WHERE event_type = 'view')
+             |SELECT p.p_id, p.p_ts,
+             |  CAST(count(v.v_id) AS BIGINT) AS nearby_views
+             |FROM p LEFT JOIN v
+             |  ON v.v_ts BETWEEN p.p_ts - 3600000000
+             |             AND p.p_ts + 3600000000
+             |GROUP BY p.p_id, p.p_ts ORDER BY p_id""".stripMargin))
   )
 }

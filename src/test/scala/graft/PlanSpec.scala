@@ -315,4 +315,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("event_type"),
       s"event_type filter not pushed to scan:\n$p")
   }
+
+  test("q97 span dedup prunes first-occurrence map-side, no pairwise stage") {
+    val p = plan("q97_span_dedup")
+    // rank-1 over the span text must plan the map-side group-limit prune —
+    // at 100 TB the duplicate mass drops before the reassembly shuffle
+    assert(p.contains("WindowGroupLimit"),
+      s"first-occurrence keep not map-side pruned:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup grew a pairwise stage:\n$p")
+  }
+
+  test("q98 argmax aggregates in one pass: partial combine, no window") {
+    val p = plan("q98_argmax_latest")
+    // the whole point vs the window-form argmax (q93): no per-partition
+    // sort, no Window operator — a single partial+final agg pass
+    assert(!p.contains("Window"), s"argmax regressed to a window plan:\n$p")
+    assert(p.contains("partial"), s"no map-side combine in:\n$p")
+  }
+
+  test("q99 interval join runs as a binned equi-join, never nested-loop") {
+    val p = plan("q99_interval_join")
+    // the naive non-equi time join plans BroadcastNestedLoopJoin — the
+    // O(|P|·|V|) 100 TB killer the bin key exists to prevent
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"interval join degenerated to a nested-loop pairing:\n$p")
+    // and the equi form on the bin key is a real join (broadcast-hash at
+    // test size, shuffled hash/SMJ at scale — either is the binned shape)
+    assert(p.contains("bin"), s"bin key missing from join plan:\n$p")
+    // event_type predicates reach the parquet scans
+    assert(p.contains("PushedFilters") && p.contains("event_type"),
+      s"event_type filter not pushed to scan:\n$p")
+  }
 }
