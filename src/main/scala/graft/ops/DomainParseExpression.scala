@@ -58,15 +58,20 @@ object RegisteredDomainExpr {
 /** SparkSessionExtensions entry point:
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.ops.GraftExtensions` injects the native
-  * function into every session (SURVEY.md §2.11 extension surface).
+  * function AND the band-join optimizer rewrite into every session
+  * (SURVEY.md §2.11 extension surface + §4.2 custom-Rule tier).
   */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(
-      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("registered_domain"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[RegisteredDomainExpr].getName, "registered_domain"),
       (children: Seq[Expression]) => RegisteredDomainExpr(children.head)))
+    // |a−b| ≤ H theta joins replan as binned equi-joins (never BNLJ);
+    // see graft.plans.BandJoinRewrite
+    ext.injectOptimizerRule(graft.plans.BandJoinRewrite(_))
+  }
 }
