@@ -86,4 +86,39 @@ class ScaleOpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(mv.toSeq == Seq(("a.com", 20L), ("b.com", 30L)))
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle " +
+    "join (thresholds shrunk to fire at test size)") {
+    // The 100 TB shape: fact ⋈ selectively-filtered dim where the dim is
+    // too big to broadcast. Spark injects a bloom filter built from the
+    // dim's join keys and applies it to the fact BEFORE the shuffle, so
+    // the exchange carries only rows that can match. Production
+    // thresholds (creation ≤ 10 MB, fact scan ≥ 10 GB) are exactly right
+    // at scale and far above test data — shrink them here to prove the
+    // mechanism; nothing else changes between local and cluster.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity")
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.executedPlan.toString.toLowerCase
+      assert(p.contains("bloom"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+      // and the filtered result is still exact
+      val expect = Tables.lineitem(spark, sf).join(
+        Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.count() === expect)
+    } finally saved.foreach { case (k, vo) =>
+      vo.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+  }
 }

@@ -83,6 +83,45 @@ class TextOpsSpec extends SparkSpec {
     assert(sims.forall { case (_, s) => s >= 0 && s < (1L << 16) })
   }
 
+  test("q97 span dedup: controlled corpus — shared spans drop everywhere " +
+    "but first occurrence; fully-duplicate docs disappear") {
+    // spans are 16-token windows; build docs from labeled 16-token spans
+    def span(tag: String): String = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    val (a, b, c, d) = (span("a"), span("b"), span("c"), span("d"))
+    val tail = "t1 t2 t3" // a final sub-width span, also deduped by text
+    val fix = Seq(
+      (1L, s"$a $b"),        // keeps A, B (first occurrences)
+      (2L, s"$b $c"),        // B is doc 1's → keeps C only
+      (3L, a),               // entirely duplicate → disappears
+      (4L, s"$d $tail"),     // unique span + short tail survive whole
+      (5L, s"$c $tail")      // C and tail both already seen → disappears
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q97fix").toString
+    fix.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.byName("q97_span_dedup").build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, s"$a $b", 2L),
+      (2L, c, 1L),
+      (4L, s"$d $tail", 2L)))
+  }
+
+  test("q97 span dedup is the identity on a duplicate-free corpus") {
+    def words(doc: Int, n: Int): String =
+      (1 to n).map(i => s"w${doc}_$i").mkString(" ")
+    // lengths cross span boundaries: exact multiple, off-by-one, sub-width
+    val fix = Seq(
+      (1L, words(1, 32)), (2L, words(2, 33)), (3L, words(3, 7)),
+      (4L, words(4, 16)), (5L, words(5, 48))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("q97id").toString
+    fix.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Queries.byName("q97_span_dedup").build(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = fix.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === expected, "dedup of a duplicate-free corpus must be identity")
+  }
+
   test("declared text queries produce rows at sf0.001") {
     Seq("q40_text_dedup", "q41_cosine_topk", "q42_text_stats", "q43_lang_id",
       "q44_quality_score", "q45_token_count", "q46_fingerprint",
