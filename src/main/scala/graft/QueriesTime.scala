@@ -315,6 +315,39 @@ object QueriesTime {
              |FROM p LEFT JOIN v
              |  ON v.v_ts BETWEEN p.p_ts - 3600000000
              |             AND p.p_ts + 3600000000
-             |GROUP BY p.p_id, p.p_ts ORDER BY p_id""".stripMargin))
+             |GROUP BY p.p_id, p.p_ts ORDER BY p_id""".stripMargin)),
+
+    // T17 hopping (sliding) window aggregation, batch form — the exact
+    // batch twin of Structured Streaming's window(ts, "1 hour", "15
+    // minutes"): every event contributes to window/slide = 4 overlapping
+    // epoch-aligned windows. Relational shape: explode over the 4 window
+    // OFFSETS (a 4× row expansion of offsets, not a self-join), derive
+    // each window start by integer division on the µs time, then one
+    // partial+final agg keyed by window start. q39's tumbling window is
+    // the slide=window degenerate case. At 100 TB the expansion factor
+    // is the (constant) window/slide ratio and the shuffle key is the
+    // window start — uniform by construction, no hot key.
+    Q("q100_hopping_window",
+      (s, d) => {
+        val SlideUs = 900000000L // 15 min
+        val ev = events(s, d)
+          .withColumn("ts", Scalars.longDiv("ts", 1000L))
+        ev.select(col("user_id"), col("ts"),
+            explode(sequence(lit(0L), lit(3L))).as("j"))
+          .select(col("user_id"),
+            ((expr(s"ts DIV ${SlideUs}L") - col("j")) * SlideUs)
+              .as("win_start"))
+          .groupBy("win_start")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("uniq_users"))
+          .orderBy("win_start")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+             |h AS (SELECT user_id,
+             |        (ts // 900000000 - j) * 900000000 AS win_start
+             |      FROM e, unnest(range(4)) AS u(j))
+             |SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+             |FROM h GROUP BY win_start ORDER BY win_start""".stripMargin))
   )
 }

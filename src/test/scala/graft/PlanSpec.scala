@@ -335,6 +335,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"no map-side combine in:\n$p")
   }
 
+  test("q100 hopping window is one partial+final agg pass, no window op") {
+    val p = plan("q100_hopping_window")
+    // the overlap comes from the offset explode, NOT a Window operator or
+    // a self-join — partial counts combine map-side per window start
+    assert(!p.contains("Window"), s"hopping agg regressed to a window:\n$p")
+    assert(p.contains("partial_count"), s"no map-side combine in:\n$p")
+    assert(!p.contains("Join"), s"hopping agg grew a join:\n$p")
+  }
+
   test("q99 interval join runs as a binned equi-join, never nested-loop") {
     val p = plan("q99_interval_join")
     // the naive non-equi time join plans BroadcastNestedLoopJoin — the
