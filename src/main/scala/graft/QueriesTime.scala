@@ -348,6 +348,38 @@ object QueriesTime {
              |      FROM e, unnest(range(4)) AS u(j))
              |SELECT win_start, CAST(count(*) AS BIGINT) AS n_events,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
-             |FROM h GROUP BY win_start ORDER BY win_start""".stripMargin))
+             |FROM h GROUP BY win_start ORDER BY win_start""".stripMargin)),
+
+    // T18 FORWARD as-of join — each purchase joined to the user's earliest
+    // view at-or-after it (next-touch attribution; q95 is the backward
+    // twin and ops/AsofJoin.forward the shared merge form with reversed
+    // traversal). Same µs quantization, tie, and dump discipline as q95.
+    Q("q101_asof_forward",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("ts", Scalars.longDiv("ts", 1000L))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts")
+          .agg(max_by(col("value"), col("event_id")).as("value"))
+        ops.AsofJoin.forward(purchases, views, "user_id", "ts",
+          timeOut = "v_ts", payloadCol = "value", payloadOut = "v_value")
+          .select(col("user_id"), col("p_id"), col("ts").as("p_ts"),
+            col("v_ts"), col("v_value"))
+          .orderBy("user_id", "p_id", "p_ts", "v_ts", "v_value")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, epoch_us(ts) AS ts,
+             |         max_by(value, event_id) AS v_value
+             |  FROM events WHERE event_type = 'view'
+             |  GROUP BY user_id, epoch_us(ts)),
+             |p AS (
+             |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT p.user_id, p.p_id, p.p_ts, v.ts AS v_ts, v.v_value
+             |FROM p ASOF LEFT JOIN v
+             |  ON p.user_id = v.user_id AND p.p_ts <= v.ts
+             |ORDER BY p.user_id, p_id, p_ts, v_ts, v_value""".stripMargin))
   )
 }

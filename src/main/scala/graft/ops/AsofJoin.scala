@@ -48,7 +48,33 @@ object AsofJoin {
       keys: Seq[String],
       time: String,
       timeOut: String,
-      payload: Seq[(String, String)]): DataFrame = {
+      payload: Seq[(String, String)]): DataFrame =
+    merge(left, right, keys, time, timeOut, payload, forward = false)
+
+  /** Forward as-of join — for each left row, the EARLIEST right row whose
+    * time is ≥ the left row's time within the same key group (next-touch
+    * attribution / next-state-change). Identical merge form with the
+    * traversal reversed: ordering by time DESC makes "latest right seen so
+    * far" mean "smallest right time at-or-after me". Equal-time right rows
+    * remain visible (inclusive, matching DuckDB `ASOF ... ON l.t <= r.t`).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      time: String,
+      timeOut: String,
+      payload: Seq[(String, String)]): DataFrame =
+    merge(left, right, keys, time, timeOut, payload, forward = true)
+
+  private def merge(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      time: String,
+      timeOut: String,
+      payload: Seq[(String, String)],
+      forward: Boolean): DataFrame = {
     val matchType = StructType(
       StructField(timeOut, left.schema(time).dataType) +:
         payload.map { case (rc, out) => StructField(out, right.schema(rc).dataType) })
@@ -67,10 +93,12 @@ object AsofJoin {
     val unioned = l.select(cols.map(col): _*)
       .unionByName(rAligned.select(cols.map(col): _*))
     // Running frame, right rows before left rows within a timestamp: each
-    // left row sees the latest right row at-or-before its time. The window
-    // is keyed — partition-parallel, never a single global sort.
+    // left row sees the latest right row at-or-before its time (backward)
+    // or, traversing time descending, the earliest at-or-after (forward).
+    // The window is keyed — partition-parallel, never a single global sort.
+    val timeOrd = if (forward) col(time).desc else col(time).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(timeOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
@@ -89,5 +117,17 @@ object AsofJoin {
       payloadCol: String,
       payloadOut: String): DataFrame =
     backward(left, right, Seq(key), time, timeOut,
+      Seq(payloadCol -> payloadOut))
+
+  /** Convenience: forward asof against a single-payload right side. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      timeOut: String,
+      payloadCol: String,
+      payloadOut: String): DataFrame =
+    forward(left, right, Seq(key), time, timeOut,
       Seq(payloadCol -> payloadOut))
 }

@@ -43,6 +43,19 @@ class AsofJoinSpec extends SparkSpec {
     ))
   }
 
+  test("forward asof: earliest at-or-after per key, inclusive, left-outer") {
+    val out = AsofJoin.forward(leftDf, rightDf, "k", "t", "m_t", "v", "m_v")
+      .orderBy("k", "t")
+      .select("tag", "m_t", "m_v").as[(String, Option[Long], Option[Double])]
+      .collect()
+    assert(out === Array(
+      ("l1", Some(10L), Some(1.0)), // equal time matches (<= semantics)
+      ("l2", Some(25L), Some(2.0)), // next right row after 20
+      ("l3", None, None),           // nothing at-or-after 30
+      ("l4", None, None),           // key with no right rows
+      ("l5", Some(6L), Some(9.0)))) // c's row IS at-or-after 5
+  }
+
   test("matched payload columns come from one right row atomically") {
     val right = Seq(
       ("a", 10L, Option(1.0), Option("x")),

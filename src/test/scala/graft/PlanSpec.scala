@@ -305,15 +305,18 @@ class PlanSpec extends SparkSpec {
     // the key and never pair up. A SortMergeJoin/BroadcastHashJoin (range
     // form) or a cartesian here means the operator regressed to the
     // quadratic candidate-pair shape.
-    val p = plan("q95_asof_join")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
-      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"asof join regressed to a pairing join:\n$p")
-    assert(p.contains("Union") && p.contains("Window"),
-      s"merge-form union+window missing:\n$p")
-    // event_type predicates reach the parquet scans
-    assert(p.contains("PushedFilters") && p.contains("event_type"),
-      s"event_type filter not pushed to scan:\n$p")
+    for (q <- Seq("q95_asof_join", "q101_asof_forward")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+        !p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q regressed to a pairing join:\n$p")
+      assert(p.contains("Union") && p.contains("Window"),
+        s"$q merge-form union+window missing:\n$p")
+      // event_type predicates reach the parquet scans
+      assert(p.contains("PushedFilters") && p.contains("event_type"),
+        s"$q event_type filter not pushed to scan:\n$p")
+    }
   }
 
   test("q97 span dedup prunes first-occurrence map-side, no pairwise stage") {
