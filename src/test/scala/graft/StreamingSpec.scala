@@ -147,6 +147,83 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(3600L -> 3.0, 7200L -> 4.0))
   }
 
+  test("T8c: streaming hopping window matches q100's batch offset-explode " +
+    "twin on the same rows") {
+    import spark.implicits._
+    val in = mkTmp("events_hop")
+    Files.write(Paths.get(in, "e.json"), Seq(
+      """{"ts": 3600, "v": 1.0}""",
+      """{"ts": 3700, "v": 2.0}""",
+      """{"ts": 7300, "v": 4.0}""").mkString("\n").getBytes)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    // streaming: the native sliding window — each event lands in
+    // window/slide = 4 overlapping windows
+    val stream = spark.readStream.schema(schema).json(in)
+      .withColumn("t", to_timestamp(col("ts")))
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "1 hour", "15 minutes"))
+      .agg(sum("v").as("sv"))
+      .select(col("window.start").cast("long").as("w"), col("sv"))
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", mkTmp("ckpt_hop"))
+      .format("memory").queryName("hop_agg")
+      .outputMode("complete")
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("hop_agg").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // batch: q100's offset-explode arithmetic (here in seconds) — the
+    // claim under test is that the declared batch form IS the streaming
+    // window(1h, 15m) semantics
+    val batchMap = spark.read.schema(schema).json(in)
+      .select(col("ts"), col("v"), explode(sequence(lit(0L), lit(3L))).as("j"))
+      .select(((expr("ts DIV 900L") - col("j")) * 900L).as("w"), col("v"))
+      .groupBy("w").agg(sum("v").as("sv"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(streamed == batchMap,
+      s"streaming $streamed != batch offset-explode $batchMap")
+    assert(streamed(3600L) == 3.0 && streamed(7200L) == 4.0)
+  }
+
+  test("T8d: dropDuplicatesWithinWatermark dedups across micro-batches") {
+    val in = mkTmp("events_dup")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType)))
+    // duplicates deliberately split ACROSS shards: maxFilesPerTrigger=1
+    // forces separate micro-batches, so the dedup must come from state,
+    // not per-batch distinct
+    Files.write(Paths.get(in, "a.json"), Seq(
+      """{"id": 1, "ts": 1000}""",
+      """{"id": 2, "ts": 1010}""").mkString("\n").getBytes)
+    Files.write(Paths.get(in, "b.json"), Seq(
+      """{"id": 1, "ts": 1020}""",
+      """{"id": 3, "ts": 1030}""").mkString("\n").getBytes)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in)
+      .withColumn("t", to_timestamp(col("ts")))
+      .withWatermark("t", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val q = stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", mkTmp("ckpt_dup"))
+      .format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    q.awaitTermination(60000)
+    val ids = spark.table("dedup_stream").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"cross-batch duplicate survived or rows lost: $ids")
+  }
+
   test("T8b: the checkpointed watermark drops late data across restarts") {
     val in = mkTmp("events_late")
     val ckpt = mkTmp("ckpt4")
