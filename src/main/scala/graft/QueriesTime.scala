@@ -380,6 +380,48 @@ object QueriesTime {
              |SELECT p.user_id, p.p_id, p.p_ts, v.ts AS v_ts, v.v_value
              |FROM p ASOF LEFT JOIN v
              |  ON p.user_id = v.user_id AND p.p_ts <= v.ts
-             |ORDER BY p.user_id, p_id, p_ts, v_ts, v_value""".stripMargin))
+             |ORDER BY p.user_id, p_id, p_ts, v_ts, v_value""".stripMargin)),
+
+    // T19 gaps-and-islands: longest consecutive-day purchase streak per
+    // user (the loyalty/retention-streak report; complements q78's
+    // day-over-day retention with full-run-length analytics). Classic
+    // island key: day − row_number() over (user ORDER BY day) is constant
+    // within each unbroken run. Like q78, everything downstream of the
+    // first dedup runs on the (user, day) set — the per-user event rate
+    // (67× here) is shed before any window or shuffle, and the window is
+    // user-partitioned (bounded by the 30-day span, parallel across
+    // users).
+    Q("q102_streaks",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+        events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            Scalars.longDiv("ts", NsPerDay).as("day"))
+          .distinct()
+          .withColumn("grp", col("day") - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max(col("len")).as("longest_streak"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy("user_id")
+      },
+      Some("""WITH du AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events WHERE event_type = 'purchase'),
+             |isl AS (
+             |  SELECT user_id, day,
+             |    day - row_number() OVER (PARTITION BY user_id
+             |      ORDER BY day) AS grp
+             |  FROM du),
+             |st AS (
+             |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+             |  FROM isl GROUP BY user_id, grp)
+             |SELECT user_id, max(len) AS longest_streak,
+             |  CAST(count(*) AS BIGINT) AS n_streaks
+             |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
