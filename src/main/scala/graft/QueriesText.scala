@@ -718,6 +718,68 @@ object QueriesText {
              |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT)
              |    AS fake_height,
              |  md5(text) AS content_hash
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // X20 TF-IDF top terms: per-doc argmax of tf·idf, aggregated to
+    // (lang, term) → how many docs each term dominates. Raw-idf form
+    // (score = tf·N/df, no log): tf·N stays under 2^53 so the division
+    // is a single correctly-rounded IEEE op — bit-identical in any
+    // engine, unlike ln() whose last ulp is libm-dependent and could
+    // flip a near-tie argmax. Ranking is unchanged for fixed tf
+    // (1/df and ln(N/df) are both monotone decreasing in df).
+    // Scale: tf and df are both partial+final aggs over the exploded
+    // token stream (read once); tf⋈df co-shuffles on tok (vocab-sized
+    // right side — AQE broadcasts it when small, shuffle-joins when a
+    // 100 TB corpus makes the vocab huge); N joins in as a broadcast
+    // scalar; the argmax is rn=1 over doc_id → WindowGroupLimit prunes
+    // map-side, so the window exchange carries O(1) rows per doc.
+    Q("q103_tfidf_topterms",
+      (s, d) => {
+        val docs = documents(s, d)
+        val toks = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy("doc_id", "lang", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.select("doc_id", "tok").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_total"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("tok").asc)
+        tf.join(dfreq, "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("tf") * col("n_total")).cast("double") / col("df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("lang", "tok")
+          .agg(count(lit(1)).as("n_docs"))
+          .select(col("lang"), col("tok").as("top_term"), col("n_docs"))
+          .orderBy(col("lang"), col("n_docs").desc, col("top_term"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tf AS (
+             |  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks GROUP BY 1, 2, 3),
+             |dfreq AS (
+             |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM toks GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total
+             |      FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.lang, tf.tok,
+             |    CAST(tf.tf * n.n_total AS DOUBLE) / dfreq.df AS score
+             |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+             |top AS (
+             |  SELECT doc_id, lang, tok, row_number() OVER (
+             |    PARTITION BY doc_id
+             |    ORDER BY score DESC, tok ASC) AS rn
+             |  FROM scored)
+             |SELECT lang, tok AS top_term,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM top WHERE rn = 1
+             |GROUP BY 1, 2 ORDER BY lang, n_docs DESC, top_term"""
+        .stripMargin))
   )
 }
