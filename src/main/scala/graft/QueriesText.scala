@@ -780,6 +780,36 @@ object QueriesText {
              |  CAST(count(*) AS BIGINT) AS n_docs
              |FROM top WHERE rn = 1
              |GROUP BY 1, 2 ORDER BY lang, n_docs DESC, top_term"""
-        .stripMargin))
+        .stripMargin)),
+
+    // X21 sketch heavy hitters — approximate token frequencies through the
+    // mergeable Count-Min aggregate (ops/CountMin): aggregation state is
+    // O(depth·width) regardless of vocabulary, the scale path when the
+    // exact (token → count) map no longer fits an executor. Output joins
+    // the estimate against the exact count so over-count is visible;
+    // no-oracle by design (the sketch hash is Scala-side Murmur3 —
+    // q08b-style; CmsSpec property-tests est ≥ exact, the ε·N ceiling,
+    // and partition invariance of the merged sketch). The candidate probe
+    // runs over the vocab-sized exact agg — explicitly not the hot path;
+    // the corpus-wide pass is the sketch aggregation itself.
+    Q("q106_cms_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.{CountMin, CountMinAggregator}
+        val toks = documents(s, d)
+          .select(explode(split(col("text"), " ")).as("value")).as[String]
+        // one aggregate row (64 KiB of counters) to the driver — the same
+        // contract as any agg result, not a corpus collect.
+        val sketch = toks
+          .select(new CountMinAggregator().toColumn).head()
+        val exact = toks.groupBy("value")
+          .agg(count(lit(1)).as("exact_n")).as[(String, Long)]
+        exact.map { case (tok, n) =>
+          (tok, n, CountMin.estimate(sketch, tok))
+        }.toDF("tok", "exact_n", "est_n")
+          .orderBy(col("est_n").desc, col("tok").asc)
+          .limit(20)
+      },
+      None)
   )
 }
