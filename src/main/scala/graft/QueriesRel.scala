@@ -623,6 +623,30 @@ object QueriesRel {
              |        CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 1000
              |             AS BIGINT) AS chunk
              |      FROM orders)
-             |GROUP BY chunk ORDER BY chunk""".stripMargin))
+             |GROUP BY chunk ORDER BY chunk""".stripMargin)),
+
+    // X22 z-order clustered scan: a 2-dim box predicate ((l_partkey,
+    // l_suppkey) tile) against lineitem rewritten in Morton order
+    // (ops/ZOrder). The layout makes per-file/per-row-group min/max tight
+    // on BOTH filter columns, so the pushed predicates skip everything
+    // outside the box's z-tiles — multi-dim pruning without exploding the
+    // partition-directory count (SCALE.md §layouts). Results are
+    // layout-independent, so the oracle runs the same box on the plain
+    // table; ZOrderSpec measures the pruning itself (files containing
+    // matches: z ≪ unclustered).
+    Q("q104_zorder_box",
+      (s, d) => s.read.parquet(graft.ops.ZOrder.zLineitemPath(s, d))
+        .filter(col("l_partkey").between(500, 599) &&
+          col("l_suppkey").between(20, 39))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             |       sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 500 AND 599
+             |  AND l_suppkey BETWEEN 20 AND 39
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }
