@@ -262,7 +262,34 @@ object QueriesCuration {
              |  FROM u)
              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-             |FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // X23 PII masking + k-anonymity audit: redact the identifying digits
+    // of customer names (keep the last 2 for support lookups — the
+    // classic partial-mask), then verify the masked view is k-anonymous:
+    // every surviving masked value must cover ≥ k real customers. Pure
+    // row-local regexp_replace with a capture-group backreference —
+    // codegen'd, no shuffle beyond the audit groupBy; at 100 TB the mask
+    // itself is a map-only pass and the audit is one partial+final agg.
+    // (Spark backrefs are $2, DuckDB's RE2 wants \2 — each side speaks
+    // its own dialect below; same single-occurrence pattern, so Spark's
+    // replace-all vs DuckDB's replace-first cannot diverge.)
+    Q("q105_pii_mask",
+      (s, d) => customer(s, d)
+        .withColumn("masked_name",
+          regexp_replace(col("c_name"),
+            "#([0-9]{7})([0-9]{2})", "#*******$2"))
+        .groupBy("masked_name")
+        .agg(count(lit(1)).as("n_customers"),
+          min("c_custkey").as("min_key"))
+        .withColumn("k_anonymous", col("n_customers") >= 5)
+        .orderBy("masked_name"),
+      Some("""SELECT regexp_replace(c_name,
+             |    '#([0-9]{7})([0-9]{2})', '#*******\2') AS masked_name,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  min(c_custkey) AS min_key,
+             |  count(*) >= 5 AS k_anonymous
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */
