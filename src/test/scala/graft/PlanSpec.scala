@@ -361,4 +361,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("event_type"),
       s"event_type filter not pushed to scan:\n$p")
   }
+
+  test("q103 tf-idf argmax prunes map-side and aggregates partially") {
+    val p = plan("q103_tfidf_topterms")
+    // per-doc rn=1 must plan as WindowGroupLimit (map-side top-1 prune:
+    // the window exchange carries O(1) rows per doc, not every term)
+    assert(p.contains("WindowGroupLimit"),
+      s"tf-idf argmax shuffles all (doc, term) rows:\n$p")
+    // tf/df counts combine before their shuffles
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side combine in tf/df aggregation:\n$p")
+  }
+
+  test("q104 box predicates reach the z-clustered parquet scan") {
+    // both dimensions' range predicates must be pushed — that is what the
+    // z-layout's tight per-file min/max stats turn into row-group skips.
+    // (plan .toString truncates PushedFilters — read scan metadata.)
+    val root = Queries.byName("q104_zorder_box").build(spark, sf)
+      .queryExecution.executedPlan
+    val inner = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val pushed = inner
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata("PushedFilters")
+      }.mkString("; ")
+    Seq("l_partkey", "l_suppkey").foreach { c =>
+      assert(pushed.contains(s"GreaterThanOrEqual($c,") &&
+        pushed.contains(s"LessThanOrEqual($c,"),
+        s"$c box bounds not pushed: $pushed")
+    }
+  }
 }
