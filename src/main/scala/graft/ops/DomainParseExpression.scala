@@ -26,22 +26,29 @@ case class RegisteredDomainExpr(child: Expression)
   override def prettyName: String = "registered_domain"
 
   override protected def nullSafeEval(input: Any): Any =
-    RegisteredDomainExpr.eval(input.asInstanceOf[UTF8String])
+    RegisteredDomainExpr.parse(input.asInstanceOf[UTF8String])
 
+  // NB: must call through the module instance (`...Expr$.MODULE$`), and the
+  // helper must NOT be named `eval`: Scala emits no static forwarder for a
+  // companion method whose name clashes with an instance method
+  // (UnaryExpression.eval), so `RegisteredDomainExpr.eval(...)` does not
+  // exist as Java statics — Janino then fails and every task silently
+  // drops the whole stage to interpreted execution.
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.ops.RegisteredDomainExpr.eval($c)")
+      s"graft.ops.RegisteredDomainExpr$$.MODULE$$.parse($c)")
 
   override protected def withNewChildInternal(
       newChild: Expression): RegisteredDomainExpr = copy(child = newChild)
 }
 
 object RegisteredDomainExpr {
-  /** Static entry point shared by interpreted eval and generated code;
-    * operates on UTF8String to avoid copies where the input is ASCII.
+  /** Entry point shared by interpreted eval and generated code (which
+    * calls it via `MODULE$` — see doGenCode note); operates on UTF8String
+    * to avoid copies where the input is ASCII.
     */
-  def eval(s: UTF8String): UTF8String =
+  def parse(s: UTF8String): UTF8String =
     UTF8String.fromString(DomainParse.registeredDomain(s.toString))
 
   /** Register `registered_domain(col)` on an existing session so SQL and

@@ -41,4 +41,22 @@ class DomainExprSpec extends SparkSpec {
     val d = df.distinct().collect()
     assert(d.length == 1 && d.head.getString(0) == "example.co.uk")
   }
+
+  test("generated code COMPILES (no silent interpreted fallback)") {
+    // WholeStageCodegenExec swallows Janino failures and re-runs the stage
+    // interpreted — the `*(` plan gate above cannot see that. Compiling a
+    // projection through the generator directly throws on any codegen
+    // regression (this caught the missing-static-forwarder bug: a
+    // companion helper named `eval` clashes with UnaryExpression.eval and
+    // gets no Java static, breaking the generated call).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      RegisteredDomainExpr(BoundReference(0, StringType, nullable = true))))
+    val out = proj(InternalRow(UTF8String.fromString("shop.example.co.uk")))
+    assert(out.getUTF8String(0).toString == "example.co.uk")
+  }
 }
