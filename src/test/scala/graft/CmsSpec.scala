@@ -49,6 +49,46 @@ class CmsSpec extends SparkSpec {
     assert(sketch.sum == CountMin.Depth * n)
   }
 
+  test("streaming twin: per-batch sketches merged incrementally equal " +
+    "the batch sketch (incremental heavy hitters)") {
+    // the mergeable state is the whole point of the sketch: a stream can
+    // maintain corpus-wide token frequencies by elementwise-adding each
+    // micro-batch's sketch — state stays O(depth·width) forever, and the
+    // running sketch is bit-equal to a from-scratch batch aggregation.
+    val dir = java.nio.file.Files.createTempDirectory("cms_stream")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // three shards arriving as separate micro-batches
+    (0 until 3).foreach { i =>
+      val shard = docs.filter(col("doc_id") % 3 === i)
+        .select(to_json(struct(col("text"))).as("j")).as[String]
+        .collect().mkString("\n")
+      java.nio.file.Files.write(dir.resolve(s"shard$i.json"),
+        shard.getBytes)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val running = new CountMinAggregator().zero
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("cms_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bs = batch
+          .select(explode(split(col("text"), " ")).as("value")).as[String]
+          .select(new CountMinAggregator().toColumn).head()
+        running.synchronized {
+          new CountMinAggregator().merge(running, bs); ()
+        }
+      }.start()
+    q.awaitTermination(60000)
+    val batchSketch = tokens
+      .select(new CountMinAggregator().toColumn).head()
+    assert(running.sameElements(batchSketch))
+  }
+
   test("declared q106 ranks by estimate with exact counts attached") {
     val out = Queries.byName("q106_cms_heavy_hitters")
       .build(spark, sf).collect()
