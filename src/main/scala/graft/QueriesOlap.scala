@@ -277,6 +277,72 @@ object QueriesOlap {
                      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin)}
               |    AS mavg3
               |FROM orders WHERE o_custkey < 200
-              |ORDER BY o_custkey, o_orderkey""".stripMargin))
+              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // A13 robust statistics — per-language median + MAD (median absolute
+    // deviation) outlier gate over document lengths, the outlier-immune
+    // quality filter (mean/stddev move with the very outliers they're
+    // meant to catch; median/MAD don't). EXACT medians with NO
+    // buffer-all Percentile aggregate and NO corpus-sized window: both
+    // medians come from the VALUE HISTOGRAM — groupBy (lang, value)
+    // first, then cumulative counts over the distinct values only. The
+    // shuffle and window state are O(distinct lengths), not O(docs) —
+    // the 100 TB-safe exact-median path for bounded-domain columns
+    // (document lengths, ranks, scores all qualify). Even-count groups
+    // take the mean of the two middle values, matching DuckDB median().
+    Q("q107_mad_outliers",
+      (s, d) => {
+        val docs = documents(s, d).select(col("lang"), col("n_chars"))
+        // exact per-group median from a (group, value, count) histogram
+        def histMedian(df: org.apache.spark.sql.DataFrame, v: String,
+            out: String): org.apache.spark.sql.DataFrame = {
+          val hist = df.groupBy(col("lang"), col(v))
+            .agg(count(lit(1)).as("c"))
+          val wc = Window.partitionBy("lang").orderBy(col(v))
+          val cum = hist
+            .withColumn("cum", sum("c").over(wc))
+            .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+          // 1-based middle positions: (n+1) DIV 2 and (n+2) DIV 2 —
+          // integral division (Column./ promotes to double and would
+          // shift the even-count lower-middle by +0.5)
+          val lo = cum.filter(col("cum") >= expr("(n + 1) DIV 2"))
+            .groupBy("lang").agg(min(col(v)).as("v1"))
+          val hi = cum.filter(col("cum") >= expr("(n + 2) DIV 2"))
+            .groupBy("lang").agg(min(col(v)).as("v2"))
+          lo.join(hi, "lang")
+            .select(col("lang"),
+              ((col("v1") + col("v2")) / 2.0).as(out))
+        }
+        val med = histMedian(docs, "n_chars", "med_chars")
+        val dev = docs.join(broadcast(med), "lang")
+          .select(col("lang"),
+            abs(col("n_chars") - col("med_chars")).as("dev"))
+        val mad = histMedian(dev, "dev", "mad_chars")
+        docs.join(broadcast(med), "lang").join(broadcast(mad), "lang")
+          .groupBy("lang")
+          .agg(first("med_chars").as("med_chars"),
+            first("mad_chars").as("mad_chars"),
+            count(lit(1)).as("n_docs"),
+            sum(when(abs(col("n_chars") - col("med_chars")) >
+              col("mad_chars") * 3, 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("lang")
+      },
+      Some("""WITH med AS (
+             |  SELECT lang, median(n_chars) AS med_chars
+             |  FROM documents GROUP BY 1),
+             |dev AS (
+             |  SELECT d.lang, abs(d.n_chars - m.med_chars) AS dev
+             |  FROM documents d JOIN med m USING (lang)),
+             |mad AS (
+             |  SELECT lang, median(dev) AS mad_chars FROM dev GROUP BY 1)
+             |SELECT d.lang, m.med_chars, a.mad_chars,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN abs(d.n_chars - m.med_chars) >
+             |    3 * a.mad_chars THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers
+             |FROM documents d
+             |JOIN med m ON d.lang = m.lang
+             |JOIN mad a ON d.lang = a.lang
+             |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin))
   )
 }
