@@ -125,6 +125,58 @@ class IngestSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("S6b: dynamic partition overwrite makes batch re-runs idempotent") {
+    import spark.implicits._
+    // the exactly-once answer for BATCH pipelines: a failed/duplicated
+    // daily run re-writes ONLY its own date partition — static overwrite
+    // would wipe the whole table, append would double-count. At 100 TB
+    // the replaced unit is one partition dir, not the table.
+    val dir = Files.createTempDirectory("dynpart").toString
+    val v1 = Seq(("2023-01-01", "a", 1L), ("2023-01-01", "b", 2L),
+      ("2023-01-02", "c", 3L)).toDF("date", "k", "v")
+    v1.write.partitionBy("date").mode("overwrite").parquet(dir)
+    // day-2 batch re-runs with corrected data; day-1 must survive
+    val rerun = Seq(("2023-01-02", "c", 30L), ("2023-01-02", "d", 40L))
+      .toDF("date", "k", "v")
+    val prev = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rerun.write.partitionBy("date").mode("overwrite").parquet(dir)
+    finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", p)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // partition-column inference types `date` as DATE — cast for compare
+    val got = spark.read.parquet(dir)
+      .select(col("date").cast("string"), col("k"), col("v"))
+      .orderBy("date", "k")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSeq
+    assert(got == Seq(("2023-01-01", "a", 1L), ("2023-01-01", "b", 2L),
+      ("2023-01-02", "c", 30L), ("2023-01-02", "d", 40L)))
+  }
+
+  test("S1b: mergeSchema reads across schema evolution (added column)") {
+    import spark.implicits._
+    // corpora evolve: later shards add columns (a new quality score, a
+    // new provenance field). mergeSchema unions the file schemas —
+    // early files surface NULL for the added column instead of failing
+    // the read or silently dropping the field.
+    val dir = Files.createTempDirectory("evolve").toString
+    Seq((1L, "x")).toDF("id", "a")
+      .write.parquet(s"$dir/batch=1")
+    Seq((2L, "y", 0.9)).toDF("id", "a", "quality")
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "quality", "batch"))
+    val rows = merged.orderBy("id")
+      .select("id", "a", "quality").collect()
+    assert(rows(0).isNullAt(2), "pre-evolution file must read NULL")
+    assert(rows(1).getDouble(2) == 0.9)
+  }
+
   test("every declared oracle query has matching column sets documented") {
     // guard against the #1 driver-contract risk: a queries key without
     // an oracleSql entry is only legal for documented no-oracle ops
