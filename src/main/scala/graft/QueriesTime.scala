@@ -422,6 +422,42 @@ object QueriesTime {
              |  FROM isl GROUP BY user_id, grp)
              |SELECT user_id, max(len) AS longest_streak,
              |  CAST(count(*) AS BIGINT) AS n_streaks
-             |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // T14 mergeable-sketch distinct-count rollup — the Spark form of
+    // ClickHouse `uniqState` / `uniqMerge` (AggregatingMergeTree), the
+    // reference warehouse's pre-aggregation idiom: store a per-day HLL
+    // SKETCH of user ids, answer any coarser grain by MERGING sketches —
+    // never re-reading raw events. `approx_count_distinct` can't do this
+    // (its estimate is final); `hll_sketch_agg` state is re-aggregable,
+    // so the daily cube costs one raw scan forever. Day rows carry the
+    // exact distinct next to the estimate as the audit column (the exact
+    // side is the thing this pattern EXISTS to avoid at 100 TB — a
+    // per-day cube of exact distinct sets is O(users·days) state);
+    // day = -1 is the merged-total row, estimated purely from the 3
+    // daily sketches. No-oracle by design (Datasketches binary images
+    // are engine-specific); HllRollupSpec proves merge-vs-direct
+    // equality and estimate accuracy.
+    Q("q108_hll_rollup",
+      (s, d) => {
+        val ev = events(s, d)
+          .select(Scalars.longDiv("ts", NsPerDay).as("day"),
+            col("user_id"))
+        val daily = ev.groupBy("day")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("uniq_exact"))
+        val perDay = daily.select(col("day"),
+          hll_sketch_estimate(col("sk")).as("uniq_est"),
+          col("uniq_exact"))
+        val total = daily
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("uniq_est"))
+          .crossJoin(broadcast(
+            ev.agg(countDistinct(col("user_id")).as("uniq_exact"))))
+          .select(lit(-1L).as("day"), col("uniq_est"),
+            col("uniq_exact"))
+        perDay.unionByName(total).orderBy("day")
+      },
+      None)
   )
 }
