@@ -289,7 +289,48 @@ object QueriesCuration {
              |  CAST(count(*) AS BIGINT) AS n_customers,
              |  min(c_custkey) AS min_key,
              |  count(*) >= 5 AS k_anonymous
-             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // X25 SCD-2 history construction — q91's latest-wins (SCD-1) keeps
+    // only the survivor; type-2 keeps EVERY version with a validity
+    // interval [version, valid_to) so any historical state can be
+    // queried. The interval close is `lead(version)` over (key, version
+    // asc) — one window per key partition, no self-join of history
+    // against itself (the O(versions²) trap). Same stand-in update
+    // batch as q91 (doc_id % 10 = 0 re-arrives as v2); dump restricted
+    // to the multi-version keys (% 100 = 0 slice) with a total order.
+    Q("q109_scd2_history",
+      (s, d) => {
+        val base = documents(s, d)
+          .select(col("doc_id"), col("n_chars"), lit(1L).as("version"))
+        val updates = documents(s, d)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), (col("n_chars") + 37L).as("n_chars"),
+            lit(2L).as("version"))
+        val w = Window.partitionBy("doc_id").orderBy(col("version").asc)
+        base.unionByName(updates)
+          .withColumn("valid_to", lead(col("version"), 1).over(w))
+          .withColumn("is_current", col("valid_to").isNull)
+          .filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id"), col("version"), col("n_chars"),
+            col("valid_to"), col("is_current"))
+          .orderBy("doc_id", "version")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, n_chars, CAST(1 AS BIGINT) AS version
+             |  FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, n_chars + 37, 2 FROM documents
+             |  WHERE doc_id % 10 = 0),
+             |h AS (
+             |  SELECT doc_id, version, n_chars,
+             |    lead(version) OVER (PARTITION BY doc_id
+             |      ORDER BY version ASC) AS valid_to
+             |  FROM u)
+             |SELECT doc_id, version, n_chars, valid_to,
+             |  valid_to IS NULL AS is_current
+             |FROM h WHERE doc_id % 100 = 0
+             |ORDER BY doc_id, version""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */
