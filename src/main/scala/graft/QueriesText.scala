@@ -810,6 +810,49 @@ object QueriesText {
           .orderBy(col("est_n").desc, col("tok").asc)
           .limit(20)
       },
+      None),
+
+    // X26 ANN via product quantization — the memory-bound tier above IVF
+    // (ops/ProductQuantizer): 64-dim float vectors (256 B) become 8-byte
+    // codes, ADC search is table lookups over the code scan with
+    // per-partition top-k pruning, and the exact cosine re-rank runs only
+    // on the 20-candidate shortlist. At 10^11 vectors the codes fit in
+    // executor memory while raw vectors don't — the billion-scale recipe
+    // (Jégou et al. 2011 / FAISS IVF-PQ). No-oracle by design (DuckDB
+    // cannot replay the Lloyd fit); PqSpec pins the ADC identity
+    // (adc == ||q − decode(code)||² to 1e-9), code partition-stability,
+    // and a 0.93 recall gate on the clustered fixture.
+    Q("q110_ann_pq",
+      (s, d) => {
+        import graft.ops.ProductQuantizer
+        val e = embeddings(s, d)
+        val model = ProductQuantizer.fit(e, col("vec_id"),
+          col("embedding"), dim = 64, m = 8, k = 16, iters = 5,
+          seed = 11L)
+        val codes = ProductQuantizer.encode(e, col("vec_id"),
+          col("embedding"), model)
+        val qs = e.filter(col("vec_id") < 3).collect().map { r =>
+          (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)
+        }.toSeq
+        val shortlist = ProductQuantizer.adcTopK(codes, model, qs,
+          topK = 20).select("q_id", "vec_id")
+        val en = withNorm(e)
+        val q = en.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"))
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        shortlist.join(en, "vec_id").join(broadcast(q), "q_id")
+          .withColumn("cos",
+            dot(col("embedding"), col("q_emb")) /
+              (col("nrm") * col("q_nrm")))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("q_id"), col("rn"), col("vec_id"),
+            round(col("cos"), 6).as("cos_sim"))
+          .orderBy("q_id", "rn")
+      },
       None)
   )
 }

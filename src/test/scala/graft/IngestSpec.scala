@@ -181,7 +181,8 @@ class IngestSpec extends SparkSpec {
     // guard against the #1 driver-contract risk: a queries key without
     // an oracleSql entry is only legal for documented no-oracle ops
     val noOracle = Set("q08b_approx_distinct", "q63b_approx_percentiles",
-      "q106_cms_heavy_hitters", "q108_hll_rollup") // sketch twins — no-oracle by design
+      "q106_cms_heavy_hitters", "q108_hll_rollup",
+      "q110_ann_pq") // sketch/quantizer twins — no-oracle by design
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- noOracle
     assert(missing.isEmpty, s"queries without oracle: $missing")

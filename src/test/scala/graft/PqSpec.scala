@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.ProductQuantizer
+import graft.sources.SeededGenerator
+
+/** Product quantization: the ADC identity (testable to machine epsilon),
+  * code determinism under partitioning, the 32× compression claim, and a
+  * recall gate on the clustered fixture (oracle stand-in — PQ is
+  * no-oracle: DuckDB cannot replay a Lloyd fit).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 16
+  private lazy val fixture = SeededGenerator
+    .clusteredEmbeddings(spark, n = 400, seed = 42L, dim = Dim,
+      clusters = 8, noise = 0.05)
+    .cache()
+
+  private lazy val model = ProductQuantizer.fit(fixture,
+    col("vec_id"), col("embedding"), dim = Dim, m = 4, k = 16,
+    iters = 5, seed = 7L)
+
+  test("ADC distance equals exact distance to the decoded vector") {
+    // squared L2 sums over disjoint subspaces, so the table-lookup sum
+    // must EQUAL ||q - decode(code)||^2 — not approximately, exactly.
+    val rows = fixture.limit(5).collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    val codes = ProductQuantizer.encode(fixture,
+      col("vec_id"), col("embedding"), model)
+      .filter(col("vec_id") < 5)
+      .as[(Long, Array[Byte])].collect().toMap
+    val q = rows.head._2
+    rows.foreach { case (vid, _) =>
+      val code = codes(vid)
+      val dec = model.decode(code)
+      val exact = q.indices.map(i => {
+        val d = q(i) - dec(i); d * d
+      }).sum
+      val adc = ProductQuantizer
+        .adcTopK(
+          Seq((vid, code)).toDF("vec_id", "code"), model,
+          Seq((-1L, q)), topK = 1)
+        .collect().head.getDouble(3)
+      assert(math.abs(adc - exact) < 1e-9,
+        s"vec $vid: adc $adc != exact $exact")
+    }
+  }
+
+  test("codes are bit-stable under partitioning") {
+    def codesAt(p: Int) = ProductQuantizer
+      .encode(fixture.repartition(p), col("vec_id"), col("embedding"),
+        model)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+      .map { case (id, c) => (id, c.toSeq) }.toSeq
+    assert(codesAt(1) == codesAt(7))
+  }
+
+  test("compression: a 16-dim float vector becomes 4 bytes of code") {
+    val c = ProductQuantizer.encode(fixture,
+      col("vec_id"), col("embedding"), model)
+      .as[(Long, Array[Byte])].head()
+    assert(c._2.length == 4) // vs 16 floats = 64 bytes -> 16x
+  }
+
+  test("ADC top-k recall on clustered data: finds the query's cluster") {
+    // ground truth: brute-force L2 top-3 per query
+    val vecs = fixture.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)
+    }
+    val queries = vecs.filter(_._1 < 20)
+    def l2(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
+    val truth = queries.map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (vid, v) => (l2(qv, v), vid) }
+        .sortBy(x => (x._1, x._2)).take(3).map(_._2).toSet
+    }.toMap
+    val codes = ProductQuantizer.encode(fixture,
+      col("vec_id"), col("embedding"), model).cache()
+    val got = ProductQuantizer
+      .adcTopK(codes, model, queries.map { case (q, v) => (q, v) }.toSeq,
+        topK = 20)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recall = queries.map { case (qid, _) =>
+      (truth(qid) intersect got(qid)).size.toDouble / truth(qid).size
+    }.sum / queries.length
+    info(f"PQ ADC recall@3-in-20: $recall%.3f")
+    // within-cluster ordering differences are noise-scale (0.05) while PQ
+    // quantization error is codebook-scale, so the SHORTLIST is what PQ
+    // owes us — production IVF-PQ exact-re-ranks it (q110 does). A
+    // 20-of-400 (5%) shortlist must recover nearly all of the exact top-3.
+    assert(recall >= 0.85, f"recall $recall%.3f below gate")
+  }
+}
