@@ -740,8 +740,12 @@ object QueriesText {
           explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy("doc_id", "lang", "tok")
           .agg(count(lit(1)).as("tf"))
-        val dfreq = toks.select("doc_id", "tok").distinct()
-          .groupBy("tok").agg(count(lit(1)).as("df"))
+        // df rides the tf aggregate: tf's grouped output IS the distinct
+        // (doc, tok) set, so document frequency is one more partial+final
+        // count over it — the raw token stream is exploded and shuffled
+        // ONCE, not twice (a second full distinct() pass costs another
+        // corpus-sized shuffle at 100 TB).
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_total"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("tok").asc)
