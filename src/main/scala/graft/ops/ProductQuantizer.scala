@@ -187,10 +187,16 @@ object ProductQuantizer {
     val cand = codes.select(col("vec_id"), col("code"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // bounded per-partition top-k per query (max-heap of size k)
+        // bounded per-partition top-k per query. Rank order is (dist asc,
+        // vid asc) and the heap's head must be the element that order
+        // calls WORST — max by (dist, vid) lexicographically. Getting the
+        // tie arm wrong is not theoretical: identical codes have
+        // IDENTICAL adc distances (PQ quantizes), so k-boundary ties are
+        // routine and a mis-ordered heap makes the shortlist depend on
+        // partition iteration order.
         val heaps = tables.map { case (qid, _) =>
           qid -> new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-            Ordering.by(x => (x._1, -x._2))) // worst candidate on top
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
         }
         it.foreach { case (vid, code) =>
           var qi = 0

@@ -97,6 +97,29 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.85, f"recall $recall%.3f below gate")
   }
 
+  test("ADC shortlist is partition-invariant even with tied distances") {
+    // duplicate-heavy corpus: many vectors share codes, so adc ties are
+    // guaranteed at the k boundary — the shortlist must still be the
+    // same exact (dist, vid) prefix for any partitioning.
+    val base = fixture.limit(10).collect().map(_.getSeq[Float](1))
+    val dup = (0L until 200L).map { i =>
+      (i, base((i % 10).toInt)) // 20 copies of each of 10 vectors
+    }.toDF("vec_id", "embedding")
+    val codes = ProductQuantizer.encode(dup, col("vec_id"),
+      col("embedding"), model)
+    val q = Seq((999L, base(0).map(_.toDouble).toArray))
+    def listAt(p: Int) = ProductQuantizer
+      .adcTopK(codes.repartition(p), model, q, topK = 7)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(listAt(1) == listAt(5))
+    // and the prefix is the lexicographic (dist, vid) minimum: with 20
+    // exact copies of the query's own vector, the tied block must come
+    // out in ascending vec_id order
+    val ids = listAt(5).map(_._2)
+    assert(ids == ids.sorted.take(7))
+  }
+
   test("real-corpus recall (uniform 64-dim — the hard case, no cluster " +
     "structure to lean on)") {
     val e = Tables.embeddings(spark, sf)
