@@ -458,6 +458,59 @@ object QueriesTime {
             col("uniq_exact"))
         perDay.unionByName(total).orderBy("day")
       },
-      None)
+      None),
+
+    // T15 windowed multi-step funnel — q79's ordered funnel with the
+    // production constraint added: each step must land within W of the
+    // PREVIOUS step's first qualifying occurrence (signup → click ≤ 7d
+    // later → purchase ≤ 7d after that). Not expressible as one
+    // min-when pass (step N's candidate window depends on step N−1's
+    // time), so each step is one agg + one join — all keyed on user_id,
+    // so every shuffle reuses the same partitioning (exchange reuse; at
+    // scale this is 3 co-partitioned hash joins, nothing pairwise).
+    // Timestamps quantized to µs on both engines (DuckDB's parquet
+    // reader coerces ns → µs; §7.5 discipline via Scalars.longDiv).
+    Q("q111_windowed_funnel",
+      (s, d) => {
+        val W = 604800000000L // 7 days in µs
+        val ev = events(s, d).select(col("user_id"), col("event_type"),
+          Scalars.longDiv("ts", 1000L).as("us"))
+        val ta = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("us").as("t_a"))
+        val tb = ev.filter(col("event_type") === "click")
+          .join(ta, "user_id")
+          .filter(col("us") > col("t_a") && col("us") <= col("t_a") + W)
+          .groupBy("user_id").agg(min("us").as("t_b"))
+        val tc = ev.filter(col("event_type") === "purchase")
+          .join(tb, "user_id")
+          .filter(col("us") > col("t_b") && col("us") <= col("t_b") + W)
+          .groupBy("user_id").agg(min("us").as("t_c"))
+        ta.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(tb.agg(count(lit(1)).as("n_click_7d")))
+          .crossJoin(tc.agg(count(lit(1)).as("n_purchase_7d")))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |ta AS (
+             |  SELECT user_id, min(us) AS t_a FROM ev
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |tb AS (
+             |  SELECT e.user_id, min(e.us) AS t_b
+             |  FROM ev e JOIN ta ON e.user_id = ta.user_id
+             |  WHERE e.event_type = 'click'
+             |    AND e.us > ta.t_a AND e.us <= ta.t_a + 604800000000
+             |  GROUP BY 1),
+             |tc AS (
+             |  SELECT e.user_id, min(e.us) AS t_c
+             |  FROM ev e JOIN tb ON e.user_id = tb.user_id
+             |  WHERE e.event_type = 'purchase'
+             |    AND e.us > tb.t_b AND e.us <= tb.t_b + 604800000000
+             |  GROUP BY 1)
+             |SELECT (SELECT CAST(count(*) AS BIGINT) FROM ta)
+             |    AS n_signup,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM tb) AS n_click_7d,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM tc)
+             |    AS n_purchase_7d""".stripMargin))
   )
 }
