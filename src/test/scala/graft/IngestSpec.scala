@@ -177,6 +177,24 @@ class IngestSpec extends SparkSpec {
     assert(rows(1).getDouble(2) == 0.9)
   }
 
+  test("S1c: ORC round-trips with predicate pushdown (mixed-format lake)") {
+    // a 100 TB lake is rarely one format; the same declarative plan must
+    // scan ORC with the same pruning/pushdown guarantees as parquet.
+    val dir = Files.createTempDirectory("orclake").toString
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("l_partkey") > 100)
+    val viaParquet = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") > 100)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    assert(back.count() == viaParquet.count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_partkey,100)"),
+      s"ORC scan did not push the range predicate:\n$plan")
+  }
+
   test("every declared oracle query has matching column sets documented") {
     // guard against the #1 driver-contract risk: a queries key without
     // an oracleSql entry is only legal for documented no-oracle ops
