@@ -40,6 +40,8 @@ object CountMin {
     * partitionings, and engines (MurmurHash3 over the token string).
     */
   private val Seeds = Array(0x9747b28c, 0x85ebca6b, 0xc2b2ae35, 0x27d4eb2f)
+  require(Seeds.length == Depth,
+    s"CountMin needs one seed per row: ${Seeds.length} seeds for depth $Depth")
 
   def bucket(tok: String, row: Int): Int =
     (MurmurHash3.stringHash(tok, Seeds(row)) & 0x7fffffff) % Width

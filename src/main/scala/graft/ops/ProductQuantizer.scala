@@ -73,6 +73,7 @@ object ProductQuantizer {
       m: Int, k: Int, iters: Int, seed: Long,
       fitSample: Int = 50000): Model = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
+    require(k <= 256, s"k $k exceeds 256: codes are stored as one byte per subspace")
     val subDim = dim / m
     val sample: Array[Array[Double]] = df
       .select(embCol.as("e"), xxhash64(idCol, lit(seed)).as("h"))
