@@ -94,17 +94,25 @@ object QueriesText {
     * plain longs per doc, never the shingle+md5 pipeline.
     */
   private[graft] def bandPairs(docs: DataFrame): DataFrame = {
-    val sigs = minhashSigs(docs)
-    val bands = sigs.select(col("doc_id"),
-      explode(array(
-        concat_ws("-", lit("b0"), col("h0"), col("h1")),
-        concat_ws("-", lit("b1"), col("h2"), col("h3")))).as("band_key"))
+    val bands = bandKeys(docs)
     val a = bands.select(col("doc_id").as("a_id"), col("band_key"))
     val b = bands.select(col("doc_id").as("b_id"), col("band_key"))
     a.join(b, Seq("band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
   }
+
+  /** LSH band keys per doc, `(doc_id, band_key)` — the PERSISTABLE form of
+    * the signature index: band keys are what candidate joins probe, so the
+    * incremental pipeline ([[graft.pipelines.DedupPipeline.addBatch]])
+    * stores exactly this table and joins each new batch against it instead
+    * of re-shingling the corpus.
+    */
+  private[graft] def bandKeys(docs: DataFrame): DataFrame =
+    minhashSigs(docs).select(col("doc_id"),
+      explode(array(
+        concat_ws("-", lit("b0"), col("h0"), col("h1")),
+        concat_ws("-", lit("b1"), col("h2"), col("h3")))).as("band_key"))
 
   private def minhashSigs(docs: DataFrame): DataFrame = {
     val mins = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
@@ -697,6 +705,54 @@ object QueriesText {
            |         row_number() OVER (PARTITION BY cluster
            |           ORDER BY n_chars DESC, doc_id ASC) AS rn
            |  FROM lab) WHERE rn = 1 ORDER BY cluster""".stripMargin
+      }),
+
+    // X27 incremental dedup — the index-maintenance form of q92: the corpus
+    // arrives as 3 batches; each batch is shingled ONCE, joined against the
+    // persisted (doc_id, band_key) index, and only components touched by a
+    // new edge are re-closed (pipelines/DedupPipeline.addBatch). The final
+    // labels are bit-identical to the from-scratch closure — which is
+    // exactly what the oracle replays (q92's recursive CTE over the FULL
+    // corpus). At 100 TB this is the daily-ingest shape: per-day cost
+    // tracks the batch, not the corpus.
+    Q("q112_incremental_dedup",
+      (s, d) => {
+        val docs = documents(s, d)
+        val batches = (0 until 3).map(i =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === i))
+        val idx = batches.foldLeft(
+          graft.pipelines.DedupPipeline.emptyIndex(s))(
+          graft.pipelines.DedupPipeline.addBatch)
+        idx.labels.orderBy("v")
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs),
+           |verts AS (SELECT DISTINCT src AS v FROM edges),
+           |reach(v, r) AS (
+           |  SELECT v, v FROM verts
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e
+           |    ON e.src = reach.v),
+           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+           |SELECT v, component FROM comp ORDER BY v""".stripMargin
       }),
 
     // Multimodal plumbing: opaque binary column + typed metadata. The

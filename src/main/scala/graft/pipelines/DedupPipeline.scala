@@ -79,4 +79,79 @@ object DedupPipeline {
     val l = labels(docs).localCheckpoint(true)
     DedupOutputs(l, sizeHistogram(l), representatives(docs, l))
   }
+
+  // ---- incremental index maintenance ---------------------------------------
+
+  /** The persisted dedup index: `bands` is the `(doc_id, band_key)` LSH
+    * index of every document ever processed; `labels` is the current
+    * `(v, component)` closure over them (paired docs only, like
+    * [[labels]]). Both stand in for durable tables — the
+    * `localCheckpoint(true)` cut points in [[addBatch]] are where a
+    * production run writes parquet.
+    */
+  final case class DedupIndex(bands: DataFrame, labels: DataFrame)
+
+  def emptyIndex(s: org.apache.spark.sql.SparkSession): DedupIndex = {
+    import org.apache.spark.sql.types._
+    val bands = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("band_key", StringType))))
+    val labels = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("v", LongType),
+        StructField("component", LongType))))
+    DedupIndex(bands, labels)
+  }
+
+  /** Fold one new batch into the index WITHOUT recomputing the corpus
+    * closure — the daily-ingest form of dedup at 100 TB (the full corpus
+    * is shingled exactly once, on the day each document arrives):
+    *
+    *  1. Shingle + sign ONLY the batch; candidate edges come from the
+    *     batch's band self-join plus one equi-join of batch bands against
+    *     the persisted band index. Per-batch cost is O(batch + collisions),
+    *     never O(corpus).
+    *  2. Only components TOUCHED by a new edge are re-closed: their label
+    *     edges (v, component) — stars, so diameter ≤ 2 — replay together
+    *     with the new edges through the same [[ConnectedComponents]]
+    *     closure. A new doc colliding with two previously-separate
+    *     components merges them here, exactly as a from-scratch run would.
+    *  3. Every untouched component's labels pass through by identity —
+    *     at steady state that is ~all of them, so the closure's join work
+    *     tracks the BATCH size, not the corpus size.
+    *
+    * Labels are min-doc_id per component in both the incremental and the
+    * from-scratch form, so the results are bit-identical whatever the
+    * batch split — `DedupPipelineSpec` proves it over a 3-batch sequence
+    * and q112's oracle replays the from-scratch closure in DuckDB.
+    */
+  def addBatch(index: DedupIndex, batch: DataFrame): DedupIndex = {
+    val nb = QueriesText.bandKeys(batch).localCheckpoint(true)
+    val a = nb.select(col("doc_id").as("a_id"), col("band_key"))
+    val b = nb.select(col("doc_id").as("b_id"), col("band_key"))
+    val newNew = a.join(b, Seq("band_key"))
+      .filter(col("a_id") < col("b_id"))
+    val newOld = nb.join(index.bands.withColumnRenamed("doc_id", "old_id"),
+        Seq("band_key"))
+      .filter(col("doc_id") =!= col("old_id"))
+      .select(least(col("doc_id"), col("old_id")).as("a_id"),
+        greatest(col("doc_id"), col("old_id")).as("b_id"))
+    val newEdges = newNew.select("a_id", "b_id")
+      .union(newOld).distinct()
+      .localCheckpoint(true)
+    val touched = newEdges.select(explode(array(col("a_id"), col("b_id"))).as("v"))
+      .distinct()
+    val touchedComps = index.labels.join(touched, Seq("v"))
+      .select("component").distinct()
+    val affected = index.labels.join(touchedComps, Seq("component"))
+    val untouched = index.labels.join(touchedComps, Seq("component"), "left_anti")
+    val reclosed = ConnectedComponents.labelMinProp(
+      newEdges.union(affected.select(col("v").as("a_id"),
+        col("component").as("b_id"))))
+    DedupIndex(
+      bands = index.bands.union(nb).localCheckpoint(true),
+      labels = reclosed.union(untouched.select("v", "component"))
+        .localCheckpoint(true))
+  }
 }

@@ -20,6 +20,46 @@ class DedupPipelineSpec extends SparkSpec {
     assert(out.representatives.collect().toSeq == q93.collect().toSeq)
   }
 
+  test("incremental 3-batch index maintenance equals the from-scratch closure") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val batches = (0 until 3).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val idx = batches.foldLeft(
+      DedupPipeline.emptyIndex(spark))(DedupPipeline.addBatch)
+    val scratch = DedupPipeline.labels(docs)
+    assert(idx.labels.orderBy("v", "component").collect().toSeq ==
+      scratch.orderBy("v", "component").collect().toSeq)
+    // the band index covers the whole corpus after the last batch
+    assert(idx.bands.count() ==
+      QueriesText.bandKeys(docs).count())
+  }
+
+  test("addBatch merges components bridged by a new doc; untouched " +
+    "components pass through by identity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val batch = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    // the batch doc's two real band keys, wired into a handcrafted index
+    // so the new doc bridges two previously-separate components
+    val ks = QueriesText.bandKeys(batch)
+      .orderBy("band_key").collect().map(_.getString(1))
+    assert(ks.length == 2 && ks(0) != ks(1))
+    val index = DedupPipeline.DedupIndex(
+      bands = Seq((1L, ks(0)), (10L, ks(1)),
+        (50L, "zz-untouched"), (51L, "zz-untouched")).toDF("doc_id", "band_key"),
+      labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+        (50L, 50L), (51L, 50L)).toDF("v", "component"))
+    val out = DedupPipeline.addBatch(index, batch)
+    val got = out.labels.orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      50L -> 50L, 51L -> 50L, 100L -> 1L))
+    // the index keeps growing append-only: old bands + the batch's bands
+    assert(out.bands.count() == 6)
+  }
+
   test("labels materialize once: downstream plans read the checkpoint, " +
     "not the closure pipeline") {
     val out = DedupPipeline.run(Tables.documents(spark, sf))
