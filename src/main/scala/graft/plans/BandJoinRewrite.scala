@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -34,9 +34,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * Semantics are exactly preserved for INNER joins: any pair with
   * |a − b| ≤ H has |trunc(a/H) − trunc(b/H)| ≤ 1, so it meets in exactly
   * ONE bin (the right row's own), and pairs outside the band are removed
-  * by the retained predicate — the output multiset is identical. Outer
-  * joins are deliberately NOT matched: the 3× probe explode would
-  * triplicate unmatched preserved-side rows.
+  * by the retained predicate — the output multiset is identical.
+  *
+  * LEFT OUTER band joins rewrite too, with the probe explode flipped to
+  * the NON-preserved side (exploding the left would triplicate unmatched
+  * preserved rows): the right side probes `[bin−1, bin, bin+1]`, the left
+  * keeps one bin per row, and a matching pair still meets exactly once
+  * (unique probe). The outer result is then
+  *
+  * {{{   inner-bin-join(L, R³)  ∪  anti-bin-join(L, R³) ⋈ nulls(R)   }}}
+  *
+  * — the anti join preserves a left row iff NO (right row, probe) matched,
+  * which is exactly the null-extension set, and both branches are hash
+  * joins on the bin key. Full outer / right joins stay unmatched (the
+  * right side is the exploded one; a symmetric flip would be needed).
   *
   * The rewrite is idempotent by construction: the new condition carries a
   * bin-equality conjunct, and joins with any equi conjunct are skipped
@@ -77,6 +88,42 @@ case class BandJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           Project(left.output ++ right.output, banded)
         case _ => j
       }
+
+    case j @ Join(left, right, LeftOuter, Some(cond), hint)
+        if j.resolved && !hasEquiConjunct(cond, left, right) =>
+      extractBand(cond, left, right) match {
+        case Some((lTime, rTime, h)) if h > 0 =>
+          val inner = bandedRightProbe(left, right, cond, hint,
+            lTime, rTime, h, Inner)
+          val anti = bandedRightProbe(left, right, cond, hint,
+            lTime, rTime, h, LeftAnti)
+          val nullsR = right.output.map(a =>
+            Alias(Literal.create(null, a.dataType), a.name)())
+          Union(Seq(
+            Project(left.output ++ right.output, inner),
+            Project(left.output ++ nullsR, anti)))
+        case _ => j
+      }
+  }
+
+  /** The bin join with the probe explode on the RIGHT side (each matching
+    * pair meets in exactly one probe; the left multiset is never altered,
+    * so LeftAnti over it is exact null-extension membership).
+    */
+  private def bandedRightProbe(left: LogicalPlan, right: LogicalPlan,
+      cond: Expression, hint: JoinHint, lTime: Attribute, rTime: Attribute,
+      h: Long, joinType: org.apache.spark.sql.catalyst.plans.JoinType): Join = {
+    val probe = AttributeReference(Probe, LongType, nullable = false)()
+    val gen = Generate(
+      Explode(CreateArray(Seq(-1L, 0L, 1L).map(Literal(_)))),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(probe), child = right)
+    val binL = Alias(IntegralDivide(asLong(lTime), Literal(h)), BinL)()
+    val binR = Alias(
+      Add(IntegralDivide(asLong(rTime), Literal(h)), probe), BinR)()
+    Join(Project(left.output :+ binL, left),
+      Project(right.output :+ binR, gen), joinType,
+      Some(And(EqualTo(binL.toAttribute, binR.toAttribute), cond)), hint)
   }
 
   private def asLong(e: Expression): Expression =

@@ -87,23 +87,64 @@ class BandJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("LEFT band join rewrites as inner-bin-join ∪ anti-join null-fill " +
+    "with the naive outer multiset preserved exactly") {
+    val (l, r) = sides(spark)
+    def leftJoin(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, b("r_ts") >= a("l_ts") - H && b("r_ts") <= a("l_ts") + H,
+        "left")
+    def outRows(df: DataFrame): Seq[(Long, Option[Long])] =
+      df.select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0),
+          if (x.isNullAt(1)) None else Some(x.getLong(1))))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val expected = outRows(leftJoin(l, r)) // naive BNLJ = ground truth
+    // the fixture exercises both arms: matched rows and null-extended ones
+    assert(expected.contains((5L, Some(14L))), "bin-straddling pair missing")
+    assert(expected.contains((8L, None)), "unmatched preserved row missing")
+    withRule {
+      val df = leftJoin(l, r)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"rule did not replan the LEFT band join:\n$p")
+      assert(p.contains("__graft_band_bin"),
+        s"bin key missing from the rewritten left join:\n$p")
+      assert(outRows(df) === expected,
+        "left-join rewrite changed the outer multiset")
+    }
+  }
+
   test("rule declines joins it cannot preserve") {
     val (l, r) = sides(spark)
     withRule {
-      // outer join: probe explode would triplicate unmatched left rows
-      val outer = l.join(r,
+      // full outer: BOTH sides are preserved; the probe explode lives on
+      // the right, so null-extended right rows cannot be recovered
+      val fo = l.join(r,
         r("r_ts") >= l("l_ts") - H && r("r_ts") <= l("l_ts") + H,
-        "left")
-      val po = outer.queryExecution.executedPlan.toString
-      assert(!po.contains("__graft_band_bin"),
-        s"rule rewrote an OUTER band join:\n$po")
-      assert(outer.count() >= l.count(), "left join lost preserved rows")
+        "full")
+      val pf = fo.queryExecution.executedPlan.toString
+      assert(!pf.contains("__graft_band_bin"),
+        s"rule rewrote a FULL OUTER band join:\n$pf")
+      // right outer: preserved side is the exploded side — declined too
+      val ro = l.join(r,
+        r("r_ts") >= l("l_ts") - H && r("r_ts") <= l("l_ts") + H,
+        "right")
+      val pr = ro.queryExecution.executedPlan.toString
+      assert(!pr.contains("__graft_band_bin"),
+        s"rule rewrote a RIGHT OUTER band join:\n$pr")
       // equi conjunct present: planner already has a hash key
       val equi = l.join(r, l("l_id") === r("r_id") &&
         r("r_ts") >= l("l_ts") - H && r("r_ts") <= l("l_ts") + H)
       val pe = equi.queryExecution.executedPlan.toString
       assert(!pe.contains("__graft_band_bin"),
         s"rule rewrote a join that already had an equi key:\n$pe")
+      // and the left-join arm of the same guard: equi key wins there too
+      val le = l.join(r, l("l_id") === r("r_id") &&
+        r("r_ts") >= l("l_ts") - H && r("r_ts") <= l("l_ts") + H, "left")
+      val ple = le.queryExecution.executedPlan.toString
+      assert(!ple.contains("__graft_band_bin"),
+        s"rule rewrote a left join that already had an equi key:\n$ple")
     }
   }
 
