@@ -377,6 +377,62 @@ object QueriesRel {
              |GROUP BY c_mktsegment, o_orderpriority
              |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)),
 
+    // J12 deep join graph — the TPC-H Q5 shape over all six relational
+    // testdata tables: revenue by nation where customer and supplier sit
+    // in the same ASIA nation, one order-date year. Join ORDER is the
+    // declared design: region→nation reduce the two dim chains first
+    // (broadcast), the date filter reaches the orders scan, and the only
+    // fact⋈fact edge (lineitem ⋈ reduced orders) runs ONCE, sort-merge
+    // (q94's hint rationale: pin the 100 TB strategy at test sizes) —
+    // never an unreduced fact join. Supplier (with its nation name) rides
+    // a broadcast carrying the c_nationkey = s_nationkey same-nation
+    // constraint. At 1000 executors only lineitem⋈orders shuffles, and
+    // both its inputs are pre-filtered.
+    Q("q113_deep_join",
+      (s, d) => {
+        val asia = nation(s, d)
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = supplier(s, d)
+          .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val cust = customer(s, d)
+          .join(broadcast(asia.select(col("n_nationkey").as("cn_key"))),
+            col("c_nationkey") === col("cn_key"))
+          .select("c_custkey", "c_nationkey")
+        val ord = orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "c_nationkey")
+        lineitem(s, d)
+          .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .groupBy("n_name")
+          .agg(Scalars.moneySum(Scalars.round2(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some(s"""SELECT n_name,
+             |  ${Scalars.moneySumSql(Scalars.round2Sql(
+                  "l_extendedprice * (1.0 - l_discount)"))} AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+
     // O1/O2 sort + LIMIT/OFFSET pagination — reference
     // `s3_rankings_collector.py:137-138`, `rankings_generator.py:125-127`.
     // Unique tiebreak o_orderkey makes the page deterministic (§7.5 #5).

@@ -87,6 +87,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
 
+  test("q113 deep join: every dim edge broadcasts, exactly one SMJ on " +
+    "the reduced fact⋈fact edge, date filter pushed to the orders scan") {
+    val p = plan("q113_deep_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"dim chain (region/nation/supplier/customer) not all broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).size == 1,
+      s"expected exactly one fact⋈fact SMJ (lineitem⋈orders):\n$p")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"order-date filter did not reach the scan:\n$p")
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
   test("q13b bucketed join runs with zero exchanges end-to-end") {
     val df = Queries.byName("q13b_bucketed_join").build(spark, sf)
     df.collect() // finalize the adaptive plan
