@@ -79,11 +79,46 @@ for name in sorted(oracle):
     else:
         passes.append(name)
 
+# ---- partial oracle: bounds-checked sketch output ---------------------------
+# q106 (Count-Min heavy hitters) has no hash oracle (the sketch hashes with
+# Scala-side Murmur3), but its GUARANTEES are cross-engine checkable: the
+# dump's exact_n column must equal DuckDB's exact token count, and every
+# estimate must satisfy exact <= est <= exact + eps*N for eps = e/Width
+# (ops/CountMin.scala: Width=2048 — update here if the sketch is resized).
+bounds_checked = []
+cms = f"{out}/q106_cms_heavy_hitters"
+if os.path.isdir(cms):
+    rows = con.execute(
+        f"SELECT tok, exact_n, est_n FROM read_parquet('{cms}/*.parquet')"
+    ).fetchall()
+    n_tokens = con.execute(
+        "SELECT count(*) FROM (SELECT unnest(str_split(text, ' ')) FROM documents)"
+    ).fetchone()[0]
+    bound = math.e / 2048 * n_tokens
+    bad = []
+    if not rows:
+        bad.append("empty dump")
+    for tok, exact_n, est_n in rows:
+        dd = con.execute(
+            "SELECT count(*) FROM (SELECT unnest(str_split(text, ' ')) AS t"
+            " FROM documents) WHERE t = ?", [tok]).fetchone()[0]
+        if dd != exact_n:
+            bad.append(f"{tok!r}: spark exact {exact_n} != duckdb {dd}")
+        elif not (exact_n <= est_n <= exact_n + bound):
+            bad.append(
+                f"{tok!r}: est {est_n} outside [{exact_n}, {exact_n}+{bound:.1f}]")
+    if bad:
+        fails.append(("q106_cms_heavy_hitters", "; ".join(bad[:5])))
+    else:
+        bounds_checked.append("q106_cms_heavy_hitters")
+
 for name in sorted(set(os.path.basename(d) for d in glob.glob(f"{out}/q*"))):
-    if name not in oracle:
+    if name not in oracle and name not in bounds_checked:
         skips.append(name)
 
 print(f"PASS {len(passes)}: {' '.join(passes)}")
+if bounds_checked:
+    print(f"BOUNDS-PASS {len(bounds_checked)}: {' '.join(bounds_checked)}")
 if skips:
     print(f"NO-ORACLE {len(skips)}: {' '.join(skips)}")
 if fails:
