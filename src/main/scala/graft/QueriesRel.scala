@@ -703,6 +703,21 @@ object QueriesRel {
              |FROM lineitem
              |WHERE l_partkey BETWEEN 500 AND 599
              |  AND l_suppkey BETWEEN 20 AND 39
-             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // S9-at-scale / X28 point lookup through the bloom-filter layout
+    // (ops/ParquetBloom.bloomOrdersPath): orders physically sorted by
+    // o_orderkey, probed by o_custkey — the one-sort-order reality where
+    // min/max stats cannot skip and per-row-group blooms can. Result is
+    // layout-independent (q104's oracle pattern: same predicate on the
+    // plain table); ParquetBloomSpec measures the skipping itself (8/8
+    // row groups stats-only vs 0/8 bloomed for an absent key).
+    Q("q114_bloom_lookup",
+      (s, d) => s.read.parquet(graft.ops.ParquetBloom.bloomOrdersPath(s, d))
+        .filter(col("o_custkey") === 42)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin))
   )
 }

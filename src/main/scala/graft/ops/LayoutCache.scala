@@ -1,0 +1,58 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.SparkSession
+
+/** First-touch physical-layout builds, installed ATOMICALLY into the
+  * session warehouse — shared by every op that materializes an alternate
+  * layout of a base table (z-order q104, bloom-filter q114, bucketing).
+  *
+  * Two hazards, both real in this repo's own harness:
+  *  - same-JVM races (Verify runs queries concurrently-ish, tests share
+  *    one session): serialized by the in-memory map;
+  *  - CROSS-JVM races (Verify and Bench are separate sbt JVMs): the build
+  *    runs into a process-private temp dir and `Files.move(ATOMIC_MOVE)`s
+  *    into place, so a reader can never list a half-written directory. A
+  *    racer that loses the rename discards its temp copy and trusts the
+  *    winner. An existing dir is trusted only with `_SUCCESS` present
+  *    (Spark writes it last).
+  */
+object LayoutCache {
+
+  private val installed = TrieMap.empty[String, String]
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Return the warehouse path for layout `name`, building it first via
+    * `build(tmpPath)` if no complete install exists. `name` must encode
+    * everything the layout depends on (e.g. a hash of the source dir).
+    */
+  def installOnce(s: SparkSession, name: String)
+      (build: String => Unit): String =
+    installed.synchronized {
+      installed.getOrElseUpdate(name, {
+        val wh = java.nio.file.Paths.get(java.net.URI.create(
+          s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val p = wh.resolve(name)
+        if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
+          val tmp = wh.resolve(s"$name.tmp-${java.util.UUID.randomUUID}")
+          build(tmp.toString)
+          try java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException
+                if java.nio.file.Files.exists(p.resolve("_SUCCESS")) =>
+              deleteRecursively(tmp) // lost the race; winner is complete
+          }
+        }
+        p.toString
+      })
+    }
+}

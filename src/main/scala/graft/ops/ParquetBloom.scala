@@ -81,6 +81,25 @@ object ParquetBloom {
     try (r.getRowGroups.size, total) finally r.close()
   }
 
+  /** Orders laid out by o_orderkey with a bloom filter on o_custkey —
+    * the declared q114 lookup layout, built once per sf dir
+    * ([[LayoutCache]] atomic-install contract, q104's lifecycle). The
+    * physical sort serves orderkey ranges; the bloom serves point lookups
+    * on the non-sort customer key, which is the scan-skipping q114
+    * demonstrates (result layout-independent, oracled on the plain
+    * table). Row groups capped small so even the sf0.01 layout has
+    * several to skip; production uses the default 128 MB.
+    */
+  def bloomOrdersPath(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val h = (d.hashCode & 0x7fffffff).toHexString
+    LayoutCache.installOnce(s, s"bloom114_orders_$h") { tmp =>
+      writeWithBloom(
+        graft.Tables.orders(s, d).orderBy("o_orderkey"),
+        tmp, ndv = 200000, blockSize = 256 * 1024, "o_custkey")
+    }
+  }
+
   /** True iff the file's first row group carries a bloom filter for
     * `column` (footer-level evidence the write option took effect).
     */

@@ -1,7 +1,5 @@
 package graft.ops
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -78,53 +76,21 @@ object ZOrder {
   def bitsFor(maxKey: Long): Int =
     math.min(31, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(maxKey, 1L))))
 
-  // ---- cached lineitem layout for the declared query -----------------------
-  private val layoutFor = TrieMap.empty[String, String]
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
-
   /** Lineitem z-clustered on (l_partkey, l_suppkey), built once per sf dir
     * into the session warehouse (same lifecycle as the q13b bucketed
-    * layout). Bit width is derived from the actual max key at build time
-    * (sf1 shifts keys into the 1e8 range — a fixed small width would alias
+    * layout; [[LayoutCache]] for the cross-JVM atomic-install contract).
+    * Bit width is derived from the actual max key at build time (sf1
+    * shifts keys into the 1e8 range — a fixed small width would alias
     * every data copy into the same z-tiles and void the pruning).
-    *
-    * Cross-process safety: Verify and Bench run as separate sbt JVMs, so
-    * the in-memory map alone cannot serialize builders. The layout is built
-    * into a process-private temp dir and atomically renamed into place —
-    * readers only ever see a complete dir, and a racer that loses the
-    * rename discards its temp copy and trusts the winner. An existing dir
-    * is trusted only with its `_SUCCESS` marker present.
     */
-  def zLineitemPath(s: SparkSession, d: String): String =
-    layoutFor.synchronized {
-      layoutFor.getOrElseUpdate(d, {
-        val h = (d.hashCode & 0x7fffffff).toHexString
-        val wh = java.nio.file.Paths.get(java.net.URI.create(
-          s.conf.get("spark.sql.warehouse.dir")).getPath)
-        val p = wh.resolve(s"z104_lineitem_$h")
-        if (!java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
-          val li = graft.Tables.lineitem(s, d)
-          val maxKey = li.agg(greatest(max("l_partkey"), max("l_suppkey")))
-            .head.get(0).asInstanceOf[Number].longValue
-          val tmp = wh.resolve(s"z104_lineitem_$h.tmp-${java.util.UUID.randomUUID}")
-          writeZClustered(li, col("l_partkey"), col("l_suppkey"),
-            bits = bitsFor(maxKey), files = 32, tmp.toString)
-          try java.nio.file.Files.move(tmp, p,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileSystemException
-                if java.nio.file.Files.exists(p.resolve("_SUCCESS")) =>
-              deleteRecursively(tmp) // lost the race; winner's layout is complete
-          }
-        }
-        p.toString
-      })
+  def zLineitemPath(s: SparkSession, d: String): String = {
+    val h = (d.hashCode & 0x7fffffff).toHexString
+    LayoutCache.installOnce(s, s"z104_lineitem_$h") { tmp =>
+      val li = graft.Tables.lineitem(s, d)
+      val maxKey = li.agg(greatest(max("l_partkey"), max("l_suppkey")))
+        .head.get(0).asInstanceOf[Number].longValue
+      writeZClustered(li, col("l_partkey"), col("l_suppkey"),
+        bits = bitsFor(maxKey), files = 32, tmp)
     }
+  }
 }

@@ -75,6 +75,21 @@ class ParquetBloomSpec extends SparkSpec {
     assert(bloomed < statsOnly)
   }
 
+  test("the declared q114 layout carries the o_custkey bloom and equals " +
+    "the plain-table lookup") {
+    val layoutDir = ParquetBloom.bloomOrdersPath(spark, sf)
+    val part = new java.io.File(layoutDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    assert(ParquetBloom.hasBloomFilter(part, "o_custkey"))
+    val viaLayout = Queries.byName("q114_bloom_lookup")
+      .build(spark, sf).collect().toSeq
+    val plain = Tables.orders(spark, sf)
+      .filter(col("o_custkey") === 42)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(viaLayout == plain && plain.nonEmpty)
+  }
+
   test("a present key survives the bloom tier and Spark reads the right " +
     "rows through the bloom-enabled layout") {
     val someCust = Tables.orders(spark, D)
