@@ -94,9 +94,14 @@ object ParquetBloom {
       d: String): String = {
     val h = (d.hashCode & 0x7fffffff).toHexString
     LayoutCache.installOnce(s, s"bloom114_orders_$h") { tmp =>
-      writeWithBloom(
-        graft.Tables.orders(s, d).orderBy("o_orderkey"),
-        tmp, ndv = 200000, blockSize = 256 * 1024, "o_custkey")
+      val orders = graft.Tables.orders(s, d)
+      // size the filter to the column's actual NDV (approx is fine — the
+      // ndv only dials the bit-array size / fpp tradeoff)
+      val ndv = orders.select(
+        org.apache.spark.sql.functions.approx_count_distinct("o_custkey"))
+        .head.getLong(0)
+      writeWithBloom(orders.orderBy("o_orderkey"),
+        tmp, ndv = math.max(ndv, 64L), blockSize = 256 * 1024, "o_custkey")
     }
   }
 
