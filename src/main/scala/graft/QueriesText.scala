@@ -755,6 +755,57 @@ object QueriesText {
            |SELECT v, component FROM comp ORDER BY v""".stripMargin
       }),
 
+    // X28 per-batch dedup verdict — the decision the incremental index
+    // (q112) exists to serve daily: after folding the corpus's batches,
+    // which docs of the LAST batch are novel vs duplicates of anything
+    // older? One batch-sized left join against the maintained labels (no
+    // closure re-run); kept iff the doc IS its cluster's min-id label or
+    // was never paired. Oracle replays the from-scratch closure and the
+    // same keep rule over the last batch's docs.
+    Q("q115_batch_verdict",
+      (s, d) => {
+        val docs = documents(s, d)
+        val batches = (0 until 3).map(i =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === i))
+        val idx = batches.foldLeft(
+          graft.pipelines.DedupPipeline.emptyIndex(s))(
+          graft.pipelines.DedupPipeline.addBatch)
+        graft.pipelines.DedupPipeline.batchVerdict(idx.labels, batches(2))
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        s"""WITH RECURSIVE
+           |t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION
+           |  SELECT b_id, a_id FROM pairs),
+           |verts AS (SELECT DISTINCT src AS v FROM edges),
+           |reach(v, r) AS (
+           |  SELECT v, v FROM verts
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e
+           |    ON e.src = reach.v),
+           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+           |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+           |       (c.component IS NULL OR c.component = d.doc_id) AS is_novel
+           |FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+           |WHERE d.doc_id % 3 = 2
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // "decode" is a deterministic fake (real image/audio libs are absent —
     // see ops/Multimodal.scala for the mapPartitions decode seam).

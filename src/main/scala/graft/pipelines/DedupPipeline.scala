@@ -154,4 +154,20 @@ object DedupPipeline {
       labels = reclosed.union(untouched.select("v", "component"))
         .localCheckpoint(true))
   }
+
+  /** The question the index answers each day: which of THIS batch's docs
+    * are novel, and which duplicate something already in the corpus (or an
+    * earlier doc of the same batch)? With min-doc_id labels the canonical
+    * survivor of every cluster is its smallest id, so a batch doc is novel
+    * iff it IS its cluster's label — or was never paired at all. One
+    * batch-sized left join against the labels table; no closure re-run.
+    */
+  def batchVerdict(labels: DataFrame, batch: DataFrame): DataFrame =
+    batch.select("doc_id")
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"),
+        (col("component").isNull ||
+          col("component") === col("doc_id")).as("is_novel"))
+      .orderBy("doc_id")
 }

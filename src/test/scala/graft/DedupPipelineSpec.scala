@@ -58,6 +58,16 @@ class DedupPipelineSpec extends SparkSpec {
       50L -> 50L, 51L -> 50L, 100L -> 1L))
     // the index keeps growing append-only: old bands + the batch's bands
     assert(out.bands.count() == 6)
+    // verdict: the bridge doc duplicates cluster 1 (an older doc owns the
+    // min label); a collision-free follow-up batch doc is novel
+    val v1 = DedupPipeline.batchVerdict(out.labels, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(v1 == Seq((100L, 1L, false)))
+    val batch2 = Seq((200L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val out2 = DedupPipeline.addBatch(out, batch2)
+    val v2 = DedupPipeline.batchVerdict(out2.labels, batch2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(v2 == Seq((200L, 200L, true)))
   }
 
   test("labels materialize once: downstream plans read the checkpoint, " +
