@@ -716,15 +716,8 @@ object QueriesText {
     // corpus). At 100 TB this is the daily-ingest shape: per-day cost
     // tracks the batch, not the corpus.
     Q("q112_incremental_dedup",
-      (s, d) => {
-        val docs = documents(s, d)
-        val batches = (0 until 3).map(i =>
-          docs.filter(pmod(col("doc_id"), lit(3)) === i))
-        val idx = batches.foldLeft(
-          graft.pipelines.DedupPipeline.emptyIndex(s))(
-          graft.pipelines.DedupPipeline.addBatch)
-        idx.labels.orderBy("v")
-      },
+      (s, d) => graft.pipelines.DedupPipeline
+        .foldBatches(documents(s, d), 3).labels.orderBy("v"),
       Some {
         def h(i: Int): String = minhashSqlExpr(
           MinhashAB(i)._1, MinhashAB(i)._2)
@@ -765,12 +758,9 @@ object QueriesText {
     Q("q115_batch_verdict",
       (s, d) => {
         val docs = documents(s, d)
-        val batches = (0 until 3).map(i =>
-          docs.filter(pmod(col("doc_id"), lit(3)) === i))
-        val idx = batches.foldLeft(
-          graft.pipelines.DedupPipeline.emptyIndex(s))(
-          graft.pipelines.DedupPipeline.addBatch)
-        graft.pipelines.DedupPipeline.batchVerdict(idx.labels, batches(2))
+        val idx = graft.pipelines.DedupPipeline.foldBatches(docs, 3)
+        graft.pipelines.DedupPipeline.batchVerdict(idx.labels,
+          docs.filter(pmod(col("doc_id"), lit(3)) === 2))
       },
       Some {
         def h(i: Int): String = minhashSqlExpr(

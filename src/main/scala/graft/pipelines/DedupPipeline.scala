@@ -112,22 +112,35 @@ object DedupPipeline {
     *     batch's band self-join plus one equi-join of batch bands against
     *     the persisted band index. Per-batch cost is O(batch + collisions),
     *     never O(corpus).
-    *  2. Only components TOUCHED by a new edge are re-closed: their label
-    *     edges (v, component) — stars, so diameter ≤ 2 — replay together
-    *     with the new edges through the same [[ConnectedComponents]]
-    *     closure. A new doc colliding with two previously-separate
-    *     components merges them here, exactly as a from-scratch run would.
-    *  3. Every untouched component's labels pass through by identity —
-    *     at steady state that is ~all of them, so the closure's join work
-    *     tracks the BATCH size, not the corpus size.
+    *  2. The closure runs on the CONTRACTED graph: each new-edge endpoint
+    *     maps to its current component id (itself if unlabeled), so the
+    *     transitive closure sees one node per touched component — its
+    *     input is |new edges|, independent of how large the touched
+    *     clusters have grown. A new doc bridging two old components
+    *     merges their nodes here exactly as a from-scratch run would,
+    *     and because a component id IS its minimum member, the contracted
+    *     min-label equals the true min doc id of the merged cluster.
+    *  3. Touched components' members relabel through ONE join against the
+    *     contraction result; untouched labels pass through by identity —
+    *     at steady state that is ~all of them, so per-batch work tracks
+    *     the BATCH size, not the corpus or cluster size.
     *
     * Labels are min-doc_id per component in both the incremental and the
     * from-scratch form, so the results are bit-identical whatever the
     * batch split — `DedupPipelineSpec` proves it over a 3-batch sequence
     * and q112's oracle replays the from-scratch closure in DuckDB.
     */
-  def addBatch(index: DedupIndex, batch: DataFrame): DedupIndex = {
-    val nb = QueriesText.bandKeys(batch).localCheckpoint(true)
+  def addBatch(index: DedupIndex, batch: DataFrame): DedupIndex =
+    addBatchBands(index,
+      QueriesText.bandKeys(batch).localCheckpoint(true))
+
+  /** [[addBatch]] with the batch's band keys already computed —
+    * `(doc_id, band_key)`, the exact rows the index persists. Lets a
+    * caller that signed the documents elsewhere (or, as q112's standalone
+    * simulation does, signed the whole corpus in one pass and sliced it
+    * per batch — same per-doc work, fewer jobs) skip the signature stage.
+    */
+  def addBatchBands(index: DedupIndex, nb: DataFrame): DedupIndex = {
     val a = nb.select(col("doc_id").as("a_id"), col("band_key"))
     val b = nb.select(col("doc_id").as("b_id"), col("band_key"))
     val newNew = a.join(b, Seq("band_key"))
@@ -139,20 +152,47 @@ object DedupPipeline {
         greatest(col("doc_id"), col("old_id")).as("b_id"))
     val newEdges = newNew.select("a_id", "b_id")
       .union(newOld).distinct()
-      .localCheckpoint(true)
-    val touched = newEdges.select(explode(array(col("a_id"), col("b_id"))).as("v"))
-      .distinct()
-    val touchedComps = index.labels.join(touched, Seq("v"))
-      .select("component").distinct()
-    val affected = index.labels.join(touchedComps, Seq("component"))
-    val untouched = index.labels.join(touchedComps, Seq("component"), "left_anti")
-    val reclosed = ConnectedComponents.labelMinProp(
-      newEdges.union(affected.select(col("v").as("a_id"),
-        col("component").as("b_id"))))
+    // contract: endpoint -> its current component (itself if unlabeled)
+    val contracted = newEdges
+      .join(index.labels.select(col("v").as("a_id"),
+        col("component").as("ca")), Seq("a_id"), "left")
+      .join(index.labels.select(col("v").as("b_id"),
+        col("component").as("cb")), Seq("b_id"), "left")
+      .select(coalesce(col("ca"), col("a_id")).as("src"),
+        coalesce(col("cb"), col("b_id")).as("dst"))
+    val cc = ConnectedComponents.labelMinProp(contracted)
+      .localCheckpoint(true) // (node, newRoot); nodes = touched comp ids + batch doc ids
+    val affected = index.labels
+      .join(cc.select(col("v").as("component"), col("component").as("root")),
+        Seq("component"))
+      .select(col("v"), col("root").as("component"))
+    val untouched = index.labels
+      .join(cc.select(col("v").as("component")), Seq("component"), "left_anti")
+    // nodes that are NOT old component ids label themselves directly:
+    // batch docs AND previously-unpaired old docs first touched by this
+    // batch (old comp ids are covered through `affected` — their (root,
+    // root) self-label rides the member join)
+    val newlyLabeled = cc.join(
+      index.labels.select(col("component").as("oldc")).distinct(),
+      cc("v") === col("oldc"), "left_anti")
     DedupIndex(
       bands = index.bands.union(nb).localCheckpoint(true),
-      labels = reclosed.union(untouched.select("v", "component"))
+      labels = affected.union(newlyLabeled.select("v", "component"))
+        .union(untouched.select("v", "component"))
         .localCheckpoint(true))
+  }
+
+  /** The declared standalone simulation shape (q112/q115): the corpus
+    * arrives as `n` batches split by `doc_id mod n`; the whole corpus is
+    * signed in ONE pass (identical per-doc work to per-batch signing —
+    * each doc is signed exactly once either way) and each fold consumes
+    * its band slice.
+    */
+  def foldBatches(docs: DataFrame, n: Int): DedupIndex = {
+    val allBands = QueriesText.bandKeys(docs).localCheckpoint(true)
+    (0 until n).foldLeft(emptyIndex(docs.sparkSession)) { (ix, i) =>
+      addBatchBands(ix, allBands.filter(pmod(col("doc_id"), lit(n)) === i))
+    }
   }
 
   /** The question the index answers each day: which of THIS batch's docs

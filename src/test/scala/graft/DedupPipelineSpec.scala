@@ -23,13 +23,19 @@ class DedupPipelineSpec extends SparkSpec {
   test("incremental 3-batch index maintenance equals the from-scratch closure") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
+    val scratchRows = DedupPipeline.labels(docs)
+      .orderBy("v", "component").collect().toSeq
+    // per-batch signing path (the production shape)
     val batches = (0 until 3).map(i =>
       docs.filter(pmod(col("doc_id"), lit(3)) === i))
     val idx = batches.foldLeft(
       DedupPipeline.emptyIndex(spark))(DedupPipeline.addBatch)
-    val scratch = DedupPipeline.labels(docs)
     assert(idx.labels.orderBy("v", "component").collect().toSeq ==
-      scratch.orderBy("v", "component").collect().toSeq)
+      scratchRows)
+    // sign-once-slice-per-batch path (the declared q112/q115 shape)
+    val idx2 = DedupPipeline.foldBatches(docs, 3)
+    assert(idx2.labels.orderBy("v", "component").collect().toSeq ==
+      scratchRows)
     // the band index covers the whole corpus after the last batch
     assert(idx.bands.count() ==
       QueriesText.bandKeys(docs).count())
