@@ -160,25 +160,24 @@ object DedupPipeline {
         col("component").as("cb")), Seq("b_id"), "left")
       .select(coalesce(col("ca"), col("a_id")).as("src"),
         coalesce(col("cb"), col("b_id")).as("dst"))
+    // no extra checkpoint: labelMinProp's output is a narrow select over
+    // its own final-round checkpoint, already materialized
     val cc = ConnectedComponents.labelMinProp(contracted)
-      .localCheckpoint(true) // (node, newRoot); nodes = touched comp ids + batch doc ids
-    val affected = index.labels
-      .join(cc.select(col("v").as("component"), col("component").as("root")),
-        Seq("component"))
-      .select(col("v"), col("root").as("component"))
-    val untouched = index.labels
-      .join(cc.select(col("v").as("component")), Seq("component"), "left_anti")
-    // nodes that are NOT old component ids label themselves directly:
-    // batch docs AND previously-unpaired old docs first touched by this
-    // batch (old comp ids are covered through `affected` — their (root,
-    // root) self-label rides the member join)
-    val newlyLabeled = cc.join(
-      index.labels.select(col("component").as("oldc")).distinct(),
-      cc("v") === col("oldc"), "left_anti")
+    // ONE full-outer join on (old component id = cc node) covers all three
+    // label cases — matched rows relabel touched components' members to
+    // their new root; labels-only rows are untouched components passing
+    // through by identity; cc-only rows are nodes that are NOT old
+    // component ids (batch docs AND previously-unpaired old docs first
+    // touched by this batch) labeling themselves directly. Old comp ids
+    // ride the member join — their (root, root) self-label is a labels row.
+    val ccc = cc.select(col("v").as("cnode"), col("component").as("root"))
+    val merged = index.labels
+      .join(ccc, index.labels("component") === ccc("cnode"), "full_outer")
     DedupIndex(
       bands = index.bands.union(nb).localCheckpoint(true),
-      labels = affected.union(newlyLabeled.select("v", "component"))
-        .union(untouched.select("v", "component"))
+      labels = merged
+        .select(coalesce(col("v"), col("cnode")).as("v"),
+          coalesce(col("root"), col("component")).as("component"))
         .localCheckpoint(true))
   }
 
