@@ -76,6 +76,40 @@ class DedupPipelineSpec extends SparkSpec {
     assert(v2 == Seq((200L, 200L, true)))
   }
 
+  test("streaming twin: micro-batches folded through foreachBatch equal " +
+    "the one-shot corpus closure (daily-ingest dedup as a stream)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
+    // one file per micro-batch (coalesce(1)); fold order doesn't matter —
+    // addBatch is batch-split-invariant, which is exactly what lets the
+    // same code serve a Structured Streaming sink
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(dir.resolve(s"b$i").toString)
+    }
+    var index = DedupPipeline.emptyIndex(spark)
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dedup_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        index = DedupPipeline.addBatch(index, batch)
+      }.start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+    val scratch = DedupPipeline.labels(docs)
+      .orderBy("v", "component").collect().toSeq
+    assert(index.labels.orderBy("v", "component").collect().toSeq == scratch)
+    // and the maintained index serves the daily verdict with no re-closure
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val verdict = DedupPipeline.batchVerdict(index.labels, b0)
+    assert(verdict.count() == b0.count())
+  }
+
   test("labels materialize once: downstream plans read the checkpoint, " +
     "not the closure pipeline") {
     val out = DedupPipeline.run(Tables.documents(spark, sf))
