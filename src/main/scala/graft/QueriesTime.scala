@@ -511,6 +511,29 @@ object QueriesTime {
              |    AS n_signup,
              |  (SELECT CAST(count(*) AS BIGINT) FROM tb) AS n_click_7d,
              |  (SELECT CAST(count(*) AS BIGINT) FROM tc)
-             |    AS n_purchase_7d""".stripMargin))
+             |    AS n_purchase_7d""".stripMargin)),
+
+    // S15/X28 small-file compaction (ops/Compaction): the layout is built
+    // the way a micro-batch sink fragments it (8 files per day dir), then
+    // bin-packed back to target-size files. The declared query is a FULL
+    // scan of the post-maintenance table so the oracle (raw events in
+    // DuckDB) proves the rewrite lost, invented, and duplicated nothing —
+    // the layout-independent oracle pattern of q96/q104/q114. Counts only
+    // (§7.5: no accumulation-order-dependent double sums). CompactionSpec
+    // pins the mechanics: incremental (packed partitions untouched),
+    // idempotent (second run rewrites zero), pruning still live.
+    Q("q116_compacted_scan",
+      (s, d) => {
+        val path = graft.ops.Compaction.compactedEventsPath(s, d)
+        s.read.parquet(path)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("uniq_users"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+             |FROM events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin))
   )
 }
