@@ -42,13 +42,20 @@ class RuntimeFilterSpec extends SparkSpec {
     val path = dayPartitionedEvents(spark, sf)
     val fact = spark.read.parquet(path)
     val nDays = fact.select("day").distinct().count()
-    // a date dim; the query filters IT, never naming fact.day literally
-    val dim = fact.select(col("day").as("d_day")).distinct()
-      .withColumn("is_report_week",
-        col("d_day") >= lit("2024-01-08").cast("date") &&
-          col("d_day") <= lit("2024-01-14").cast("date"))
+    // a date dim whose report-week flag is DATA (materialized to parquet,
+    // read back): the optimizer cannot rewrite the dim filter into a
+    // static literal predicate on fact.day (constraint inference would,
+    // for a computed column), so pruning can only happen at runtime
+    val dimPath = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+    fact.select(col("day").as("d_day")).distinct()
+      .withColumn("week_tag",
+        when(col("d_day") >= lit("2024-01-08").cast("date") &&
+          col("d_day") <= lit("2024-01-14").cast("date"), "report-week")
+          .otherwise("other"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
     val q = fact.join(broadcast(dim), fact("day") === dim("d_day"))
-      .filter(col("is_report_week"))
+      .filter(col("week_tag") === "report-week")
       .groupBy("day").agg(count(lit(1)).as("n"))
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"),
