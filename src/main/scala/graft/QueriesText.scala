@@ -33,7 +33,7 @@ object QueriesText {
   /** Elementwise dot product of two float-array columns in double precision,
     * summed left-to-right (matches DuckDB list_sum(list_transform(...))).
     */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -49,7 +49,7 @@ object QueriesText {
     * each vector's norm is computed exactly once — the correct shape at any
     * corpus size.
     */
-  private def withNorm(e: DataFrame): DataFrame =
+  private[graft] def withNorm(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
       .repartition(col("vec_id"))
@@ -62,6 +62,39 @@ object QueriesText {
       s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** From-scratch IVF build + top-3 search (fixed first-10 centroids) —
+    * the shared oracle of the one-shot q54 AND the incremental q117: the
+    * fold's per-vector assignment is split-invariant, so both declared
+    * forms must reproduce exactly this result.
+    */
+  private lazy val ivfOracleSql: String =
+    s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |               FROM embeddings WHERE vec_id < 10),
+       |scoredcells AS (
+       |  SELECT e.vec_id, e.embedding, c.c_id,
+       |    ${dotSql("e.embedding", "c.c_emb")} AS cdot,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${dotSql("e.embedding", "c.c_emb")} DESC,
+       |               c.c_id ASC) AS crn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id AS cell
+       |  FROM scoredcells WHERE crn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell
+       |      FROM assigned WHERE vec_id < 3),
+       |pairs AS (
+       |  SELECT q.q_id, a.vec_id,
+       |    ${cosSql("a.embedding", "q.q_emb")} AS cos
+       |  FROM assigned a JOIN q ON a.cell = q.cell
+       |  WHERE a.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, vec_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM pairs)
+       |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
+       |       round(cos, 6) AS cos_sim
+       |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
   // ---- minhash constants (shared with the DuckDB oracle) -----------------
   private val MinhashAB = Seq((2971L, 1129L), (3511L, 2029L),
@@ -498,61 +531,36 @@ object QueriesText {
     // stand-in on centroid-disjoint queries and the nprobe dial above
     // it). The cell assignment is one pass over the corpus against
     // broadcast centroids; search cost scales with cell size, not corpus
-    // size.
+    // size. Built through pipelines/AnnIndexPipeline's stage functions —
+    // the same code the incremental fold (q117) uses, so the one-shot and
+    // maintained forms cannot drift.
     Q("q54_ann_ivf",
       (s, d) => {
-        val e = withNorm(embeddings(s, d))
-        val cents = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-        val wCell = Window.partitionBy("vec_id")
-          .orderBy(col("cdot").desc, col("c_id").asc)
-        val assigned = e.join(broadcast(cents), lit(true))
-          .withColumn("cdot", dot(col("embedding"), col("c_emb")))
-          .withColumn("crn", row_number().over(wCell))
-          .filter(col("crn") === 1)
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            col("c_id").as("cell"))
-        val q = assigned.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_nrm"), col("cell"))
-        val wTop = Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        assigned.join(broadcast(q), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos",
-            dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 3)
-          .select(col("q_id"), col("rn"), col("vec_id"),
-            round(col("cos"), 6).as("cos_sim"))
-          .orderBy("q_id", "rn")
+        import graft.pipelines.AnnIndexPipeline
+        val e = embeddings(s, d)
+        val ix = AnnIndexPipeline.AnnIndex(
+          AnnIndexPipeline.assign(e, AnnIndexPipeline.centroids(e)))
+        AnnIndexPipeline.search(ix, col("vec_id") < 3, 3)
       },
-      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
-              |               FROM embeddings WHERE vec_id < 10),
-              |scoredcells AS (
-              |  SELECT e.vec_id, e.embedding, c.c_id,
-              |    ${dotSql("e.embedding", "c.c_emb")} AS cdot,
-              |    row_number() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ${dotSql("e.embedding", "c.c_emb")} DESC,
-              |               c.c_id ASC) AS crn
-              |  FROM embeddings e CROSS JOIN cents c),
-              |assigned AS (
-              |  SELECT vec_id, embedding, c_id AS cell
-              |  FROM scoredcells WHERE crn = 1),
-              |q AS (SELECT vec_id AS q_id, embedding AS q_emb, cell
-              |      FROM assigned WHERE vec_id < 3),
-              |pairs AS (
-              |  SELECT q.q_id, a.vec_id,
-              |    ${cosSql("a.embedding", "q.q_emb")} AS cos
-              |  FROM assigned a JOIN q ON a.cell = q.cell
-              |  WHERE a.vec_id <> q.q_id),
-              |scored AS (
-              |  SELECT q_id, vec_id, cos, row_number() OVER (
-              |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
-              |  FROM pairs)
-              |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
-              |       round(cos, 6) AS cos_sim
-              |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin)),
+      Some(ivfOracleSql)),
+
+    // X29 incremental ANN-index maintenance — the daily-ingest form of
+    // q54, and the ANN twin of q112's incremental dedup index: the corpus
+    // arrives as 3 batches (vec_id mod 3), each assigned against the FIXED
+    // broadcast centroid set and appended to the persisted index; the
+    // existing index is never read, so per-batch cost is O(batch × k).
+    // Search serves from the folded index. Assignment is per-vector
+    // independent, so the fold is bit-identical to the from-scratch build —
+    // the oracle IS q54's from-scratch SQL, and AnnIndexSpec gates the
+    // append-only/no-index-scan plan shape.
+    Q("q117_incremental_ann",
+      (s, d) => {
+        import graft.pipelines.AnnIndexPipeline
+        AnnIndexPipeline.search(
+          AnnIndexPipeline.foldBatches(embeddings(s, d), 3),
+          col("vec_id") < 3, 3)
+      },
+      Some(ivfOracleSql)),
 
     // X1c end-to-end near-dup prune: the q53 LSH candidate pairs applied as
     // a dedup decision — drop every doc that appears as the larger id of a
