@@ -38,7 +38,7 @@ object QueriesText {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private[graft] def norm(a: Column): Column = sqrt(dot(a, a))
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -561,6 +561,62 @@ object QueriesText {
           col("vec_id") < 3, 3)
       },
       Some(ivfOracleSql)),
+
+    // X30 semantic decontamination — the embedding-space complement of
+    // q87's n-gram form: corpus documents whose embedding lands within
+    // cosine τ of ANY held-out eval vector are contamination. The eval
+    // set is a benchmark suite: FIXED SIZE by nature (label 0 within the
+    // original id range stands in for it) — it does NOT grow with the
+    // corpus, which is what keeps the comparison O(corpus), and small
+    // enough to broadcast. Candidates are CELL-BLOCKED through the same
+    // fixed coarse quantizer the ANN index uses (X29): the corpus×eval
+    // comparison is an equi-join on cell, never all-pairs, and per-doc
+    // work is the (bounded) eval occupancy of its own cell. Cell blocking
+    // is a recall dial, not exactness: a cross-cell near-pair is missed
+    // by design (multi-probe / the q51 LSH union is the knob) — the
+    // oracle replays the same blocked rule, so the DECLARED decision is
+    // cross-engine exact. Output: the contaminated docs with hit count
+    // and peak similarity, vec_id-unique total order.
+    Q("q118_semantic_decontam",
+      (s, d) => {
+        import graft.pipelines.AnnIndexPipeline
+        val e = embeddings(s, d)
+        val a = AnnIndexPipeline.assign(e, AnnIndexPipeline.centroids(e))
+        val eval = a.filter(col("label") === 0 && col("vec_id") < 500)
+          .select(col("cell"), col("embedding").as("t_emb"),
+            col("nrm").as("t_nrm"))
+        a.filter(col("label") =!= 0)
+          .join(broadcast(eval), Seq("cell"))
+          .withColumn("cos",
+            dot(col("embedding"), col("t_emb")) / (col("nrm") * col("t_nrm")))
+          .filter(col("cos") >= 0.25)
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_hits"),
+            round(max(col("cos")), 6).as("max_cos"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+              |               FROM embeddings WHERE vec_id < 10),
+              |scoredcells AS (
+              |  SELECT e.vec_id, e.embedding, e.label, c.c_id,
+              |    row_number() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dotSql("e.embedding", "c.c_emb")} DESC,
+              |               c.c_id ASC) AS crn
+              |  FROM embeddings e CROSS JOIN cents c),
+              |assigned AS (
+              |  SELECT vec_id, embedding, label, c_id AS cell
+              |  FROM scoredcells WHERE crn = 1),
+              |ev AS (SELECT cell, embedding AS t_emb FROM assigned
+              |       WHERE label = 0 AND vec_id < 500),
+              |hits AS (
+              |  SELECT a.vec_id,
+              |    ${cosSql("a.embedding", "ev.t_emb")} AS cos
+              |  FROM assigned a JOIN ev ON a.cell = ev.cell
+              |  WHERE a.label <> 0)
+              |SELECT vec_id, count(*) AS n_hits,
+              |       round(max(cos), 6) AS max_cos
+              |FROM hits WHERE cos >= 0.25
+              |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
     // X1c end-to-end near-dup prune: the q53 LSH candidate pairs applied as
     // a dedup decision — drop every doc that appears as the larger id of a

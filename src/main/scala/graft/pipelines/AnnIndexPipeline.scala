@@ -53,17 +53,23 @@ object AnnIndexPipeline {
   /** Cell-assign one batch: score every (vector, centroid) pair against
     * the BROADCAST centroid set, keep the argmax cell (dot desc, c_id
     * tiebreak). The only shuffle is the batch-sized argmax window; the
-    * index is not touched.
+    * index is not touched. Extra batch columns (labels, source tags —
+    * index metadata) pass through; the norm is materialized behind the
+    * exchange so CollapseProject cannot inline it per candidate pair
+    * (`QueriesText.withNorm`'s rule).
     */
   def assign(batch: DataFrame, cents: DataFrame): DataFrame = {
+    val withN = batch
+      .withColumn("nrm", QueriesText.norm(col("embedding")))
+      .repartition(col("vec_id"))
+    val keep = withN.columns.map(col).toSeq
     val wCell = Window.partitionBy("vec_id")
       .orderBy(col("cdot").desc, col("c_id").asc)
-    QueriesText.withNorm(batch).join(broadcast(cents), lit(true))
+    withN.join(broadcast(cents), lit(true))
       .withColumn("cdot", QueriesText.dot(col("embedding"), col("c_emb")))
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("c_id").as("cell"))
+      .select(keep :+ col("c_id").as("cell"): _*)
   }
 
   /** Append one batch's assignments to the index. Existing rows pass

@@ -406,4 +406,21 @@ class PlanSpec extends SparkSpec {
         s"$c box bounds not pushed: $pushed")
     }
   }
+
+  test("q118 decontam compares corpus×eval through the cell equi-join, " +
+      "broadcast eval side, never all-pairs") {
+    val p = plan("q118_semantic_decontam")
+    // exactly one BNLJ is legitimate: the 10-row centroid scoring; the
+    // corpus×eval comparison itself must ride the cell equi-join
+    assert(!p.contains("CartesianProduct"),
+      s"decontam degenerated to an all-pairs product:\n$p")
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2,
+      s"more nested-loop joins than the two centroid scorings:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("cell"),
+      s"cell-blocked eval join missing:\n$p")
+    // the final per-doc rollup aggregates partially (map-side combine)
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no partial aggregation in decontam rollup:\n$p")
+  }
 }
