@@ -51,6 +51,35 @@ class AnnIndexSpec extends SparkSpec {
       rows(AnnIndexPipeline.assign(b1, cents)))
   }
 
+  test("streaming twin: embedding micro-batches folded through " +
+      "foreachBatch equal the one-shot index (daily ANN ingest as a stream)") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_stream")
+    (0 until 3).foreach { i =>
+      e.filter(pmod(col("vec_id"), lit(3)) === i).coalesce(1)
+        .write.mode("overwrite").parquet(dir.resolve(s"b$i").toString)
+    }
+    // centroids fixed up front (the versioned-offline-artifact contract);
+    // fold order doesn't matter — assignment is per-vector independent,
+    // which is exactly what lets the same addBatch serve a streaming sink
+    var index = AnnIndex(AnnIndexPipeline.assign(e.limit(0), cents))
+    val q = spark.readStream
+      .schema(e.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ann_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        index = AnnIndexPipeline.addBatch(index, batch, cents)
+      }.start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+    assert(rows(index.assigned) == rows(AnnIndexPipeline.assign(e, cents)))
+    // and the maintained index serves search with no corpus re-assignment
+    val hits = AnnIndexPipeline.search(index, col("vec_id") < 3, 3)
+    assert(hits.count() > 0)
+  }
+
   test("assignment plan broadcasts the centroids and never joins or " +
       "scans the existing index") {
     val plan: QueryExecution =
