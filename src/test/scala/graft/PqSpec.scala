@@ -59,6 +59,26 @@ class PqSpec extends SparkSpec {
     assert(codesAt(1) == codesAt(7))
   }
 
+  test("incremental encode: batches encoded against the frozen codebook " +
+      "and appended equal the one-shot code table (maintained PQ index — " +
+      "the X26 leg of the X27/X29 daily-ingest pattern)") {
+    // The codebook is a versioned offline artifact (fit once on a bounded
+    // historical sample); daily batches encode against it in one map pass
+    // and append. Encoding is per-vector independent, so the fold must be
+    // bit-identical to a from-scratch encode — and a silent codebook refit
+    // between batches would break exactly this equality.
+    def tbl(df: org.apache.spark.sql.DataFrame) = ProductQuantizer
+      .encode(df, col("vec_id"), col("embedding"), model)
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, c) => (id, c.toSeq) }.toSeq.sortBy(_._1)
+    val oneShot = tbl(fixture)
+    val folded = (0 until 3)
+      .map(i => tbl(fixture.filter(pmod(col("vec_id"), lit(3)) === i)))
+      .reduce(_ ++ _).sortBy(_._1)
+    assert(folded == oneShot)
+    assert(folded.nonEmpty)
+  }
+
   test("compression: a 16-dim float vector becomes 4 bytes of code") {
     val c = ProductQuantizer.encode(fixture,
       col("vec_id"), col("embedding"), model)
