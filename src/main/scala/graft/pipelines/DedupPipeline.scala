@@ -173,8 +173,17 @@ object DedupPipeline {
     val ccc = cc.select(col("v").as("cnode"), col("component").as("root"))
     val merged = index.labels
       .join(ccc, index.labels("component") === ccc("cnode"), "full_outer")
+    // bands: APPEND-ONLY — union the already-materialized index with the
+    // (caller-checkpointed) batch piece, never re-materialize the whole
+    // accumulated index per fold (that write is O(corpus) per batch — the
+    // exact trap this pipeline exists to avoid; a production run appends
+    // one parquet partition). The union tree deepens by one leaf per
+    // batch; a long-running daily job compacts it periodically, which is
+    // q116's maintenance op applied to the index table itself. labels ARE
+    // rewritten whole: the table is paired-docs-sized (≪ corpus) and the
+    // full-outer relabel produces it in one pass.
     DedupIndex(
-      bands = index.bands.union(nb).localCheckpoint(true),
+      bands = index.bands.union(nb),
       labels = merged
         .select(coalesce(col("v"), col("cnode")).as("v"),
           coalesce(col("root"), col("component")).as("component"))
