@@ -182,6 +182,47 @@ object QueriesPipeline {
              |  string_agg(para, ' ' ORDER BY span_no) AS text_dedup,
              |  CAST(count(*) AS BIGINT) AS kept_spans
              |FROM k WHERE rn = 1
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // X32 classifier-based quality filtering — the learned complement of
+    // q44's heuristic rules (CCNet/GPT-3 run both: rule-based cleanup,
+    // then a fastText-style linear classifier decides keep/drop). What is
+    // graded here is the SCALE PLUMBING of model scoring: hashing-trick
+    // features (token hash mod D buckets — no vocabulary table, no OOV
+    // path, D fixed at training time) and a weight vector small enough to
+    // live in every task (real fastText weights are D×1 after the hidden
+    // layer collapses; here the vector is ARITHMETIC — w(f) derives from f
+    // in closed form — standing in for a broadcast lookup with zero
+    // join). Score = Σ_tokens w(f(token)): one explode + one partial+final
+    // agg on doc_id; map-side combine carries (count, sum) pairs, never
+    // token strings. Integer weights keep the score bit-exact cross-engine
+    // (a float sigmoid would be libm-dependent; the keep decision only
+    // needs the sign). At 100 TB this is the same shape as q45/q103:
+    // fanOut → explode → hash — no new scale risk.
+    Q("q120_quality_classifier",
+      (s, d) => {
+        val tok = fanOut(documents(s, d))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val f = Scalars.tokenHash(col("w")) % lit(256L)
+        val wgt = (f * lit(2971L) + lit(1129L)) % lit(1997L) - lit(998L)
+        tok.select(col("doc_id"), wgt.as("wgt"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("score"))
+          .select(col("doc_id"), col("n_tokens"), col("score"),
+            (col("score") > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+             |            FROM documents),
+             |feat AS (SELECT doc_id,
+             |           ('0x' || substr(md5(w), 1, 15))::BIGINT % 256 AS f
+             |         FROM tok),
+             |scored AS (SELECT doc_id,
+             |             CAST(count(*) AS BIGINT) AS n_tokens,
+             |             CAST(sum((f * 2971 + 1129) % 1997 - 998)
+             |               AS BIGINT) AS score
+             |           FROM feat GROUP BY doc_id)
+             |SELECT doc_id, n_tokens, score, score > 0 AS keep
+             |FROM scored ORDER BY doc_id""".stripMargin))
   )
 }

@@ -54,6 +54,35 @@ object QueriesText {
       norm(col("embedding")).as("nrm"))
       .repartition(col("vec_id"))
 
+  /** q119's candidate stage, extracted so PlanSpec can gate its join shape
+    * (the closure's internal checkpoint truncates lineage, hiding this
+    * plan from the declared query's executedPlan): cosine-τ edges over the
+    * (coarse IVF cell × 4-bit sign sub-bucket) composite block.
+    */
+  private[graft] def semanticEdges(e: DataFrame): DataFrame = {
+    import graft.pipelines.AnnIndexPipeline
+    val sub = (0 until 4).map { j =>
+      when(element_at(col("embedding"), j + 1) > 0f, lit(1 << j))
+        .otherwise(0)
+    }.reduce(_ + _)
+    val blocked = AnnIndexPipeline
+      .assign(e, AnnIndexPipeline.centroids(e))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cell"), sub.as("sub"))
+    val x = blocked.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_e"), col("nrm").as("a_n"),
+      col("cell"), col("sub"))
+    val y = blocked.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_e"), col("nrm").as("b_n"),
+      col("cell"), col("sub"))
+    x.join(y, Seq("cell", "sub"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
+      .filter(col("cos") >= 0.30)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+  }
+
   /** DuckDB rendition of the same computation (1-based list indexing; 64-dim
     * vectors per FIXTURES.md §B). Summation order matches Spark's aggregate.
     */
@@ -617,6 +646,76 @@ object QueriesText {
               |       round(max(cos), 6) AS max_cos
               |FROM hits WHERE cos >= 0.25
               |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // X31 SemDeDup — corpus-level semantic dedup, the embedding-space
+    // member of the dedup family (q40 exact, q53/q75 MinHash, q49 SimHash,
+    // q48 n-gram, q97 span): embeddings mutually within cosine τ form one
+    // semantic cluster; its min-vec_id member is the kept representative.
+    // The cluster-then-dedup recipe: candidates are blocked on (coarse IVF
+    // cell × 4-bit sign sub-bucket), so pairwise work is bounded by block
+    // occupancy — the cell count is the scale knob (grow k with the corpus
+    // and occupancy stays flat; measured max 35 at sf0.1), never all-pairs
+    // (q50's bounded-slice pairwise generalized to the whole corpus). The
+    // sign sub-bucket matters precisely when the corpus carries heavy
+    // exact-copy multiplicity (the sf1 scaled copies): identical vectors
+    // always co-block, so τ=1 duplicates are never missed, while the
+    // composite key keeps mixed cells from degrading to within-cell n².
+    // Blocking is a recall dial exactly as in q118 (multi-probe is the
+    // knob); the oracle replays the same blocked rule, so the declared
+    // decision is cross-engine exact. Edges feed the same closure the
+    // MinHash tier uses (O(log n) rounds, edge list materialized once);
+    // the per-vector verdict is one corpus-sized left join against the
+    // paired-docs-sized label table.
+    Q("q119_semantic_dedup",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val labels = graft.ops.ConnectedComponents
+          .labelMinProp(semanticEdges(e))
+          .withColumnRenamed("v", "vec_id")
+        e.select("vec_id").join(labels, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("cluster"),
+            (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+              .as("is_kept"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val sign = (0 until 4).map { j =>
+          s"(CASE WHEN a.embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH RECURSIVE
+           |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+           |          FROM embeddings WHERE vec_id < 10),
+           |scoredcells AS (
+           |  SELECT a.vec_id, a.embedding, c.c_id, ($sign) AS sub,
+           |    row_number() OVER (PARTITION BY a.vec_id
+           |      ORDER BY ${dotSql("a.embedding", "c.c_emb")} DESC,
+           |               c.c_id ASC) AS crn
+           |  FROM embeddings a CROSS JOIN cents c),
+           |blocked AS (
+           |  SELECT vec_id, embedding, c_id AS cell, sub
+           |  FROM scoredcells WHERE crn = 1),
+           |pairs AS (
+           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           |  FROM blocked a JOIN blocked b
+           |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+           |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30),
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           |          UNION SELECT b_id, a_id FROM pairs),
+           |verts AS (SELECT DISTINCT src AS v FROM edges),
+           |reach(v, r) AS (
+           |  SELECT v, v FROM verts
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e
+           |    ON e.src = reach.v),
+           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+           |SELECT emb.vec_id,
+           |       coalesce(c.component, emb.vec_id) AS cluster,
+           |       (coalesce(c.component, emb.vec_id) = emb.vec_id)
+           |         AS is_kept
+           |FROM embeddings emb LEFT JOIN comp c ON c.v = emb.vec_id
+           |ORDER BY emb.vec_id""".stripMargin
+      }),
 
     // X1c end-to-end near-dup prune: the q53 LSH candidate pairs applied as
     // a dedup decision — drop every doc that appears as the larger id of a

@@ -423,4 +423,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial"),
       s"no partial aggregation in decontam rollup:\n$p")
   }
+
+  test("q119 semantic dedup generates candidates through the (cell, sub) " +
+      "equi-join, never an all-pairs product") {
+    // gate the candidate stage directly: the closure's internal checkpoint
+    // truncates lineage, so the declared query's executedPlan shows only
+    // the verdict join
+    val p = QueriesText.semanticEdges(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"semantic dedup degenerated to an all-pairs product:\n$p")
+    // the only nested-loop joins are the 10-row centroid scorings inside
+    // AnnIndexPipeline.assign (once per side of the pair join)
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2,
+      s"more nested-loop joins than the centroid scorings:\n$p")
+    // the pairwise stage keys on BOTH block columns — cell alone would
+    // degrade to within-cell n² under exact-copy multiplicity
+    assert(p.contains("SortMergeJoin [cell") ||
+      p.contains("BroadcastHashJoin [cell") ||
+      (p.contains("cell") && p.contains("sub")),
+      s"composite (cell, sub) block key missing from the pair join:\n$p")
+  }
+
+  test("q120 classifier scoring aggregates partially — executors exchange " +
+      "(count, sum) pairs, never token strings") {
+    val p = plan("q120_quality_classifier")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no partial aggregation in classifier scoring:\n$p")
+    // hashing-trick features need only doc_id + text: the scan must prune
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      s"documents scan reads unprojected columns:\n$p")
+  }
 }
