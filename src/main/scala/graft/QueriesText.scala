@@ -656,10 +656,9 @@ object QueriesText {
     // occupancy — the cell count is the scale knob (grow k with the corpus
     // and occupancy stays flat; measured max 35 at sf0.1), never all-pairs
     // (q50's bounded-slice pairwise generalized to the whole corpus). The
-    // sign sub-bucket matters precisely when the corpus carries heavy
-    // exact-copy multiplicity (the sf1 scaled copies): identical vectors
-    // always co-block, so τ=1 duplicates are never missed, while the
-    // composite key keeps mixed cells from degrading to within-cell n².
+    // sign sub-bucket keeps mixed cells from degrading to within-cell n²;
+    // identical vectors always co-block, so τ=1 duplicates are never
+    // missed whatever the blocking resolution.
     // Blocking is a recall dial exactly as in q118 (multi-probe is the
     // knob); the oracle replays the same blocked rule, so the declared
     // decision is cross-engine exact. Edges feed the same closure the
@@ -668,14 +667,32 @@ object QueriesText {
     // paired-docs-sized label table.
     Q("q119_semantic_dedup",
       (s, d) => {
+        // Exact-dedup FIRST (the real pipeline order): semantic work runs
+        // over DISTINCT contents only, then the verdict fans back out
+        // through the copy→representative mapping. Identical vectors are
+        // always mutually τ-duplicates in the same block, so a copy group
+        // expands its representative's component verbatim — the output is
+        // bit-identical to running the closure on the full corpus, but
+        // pairwise+closure cost is INVARIANT to copy multiplicity (the
+        // sf1 scaled corpus is 10 exact copies: without this, every
+        // within-block pair count inflates ×copies²; measured 8.1 s → the
+        // uniq form tracks the distinct-content corpus instead). The
+        // mapping costs one shuffle on the embedding bytes (a fixed 256 B
+        // key — at 100 TB group on xxhash64(content) instead to keep the
+        // exchange narrow).
         val e = embeddings(s, d)
+        val wCopy = Window.partitionBy("embedding")
+        val mapping = e.select(col("vec_id"), col("embedding"))
+          .withColumn("rep_id", min(col("vec_id")).over(wCopy))
+        val reps = mapping.filter(col("vec_id") === col("rep_id"))
+          .select(col("vec_id"), col("embedding"))
         val labels = graft.ops.ConnectedComponents
-          .labelMinProp(semanticEdges(e))
-          .withColumnRenamed("v", "vec_id")
-        e.select("vec_id").join(labels, Seq("vec_id"), "left")
+          .labelMinProp(semanticEdges(reps))
+          .withColumnRenamed("v", "rep_id")
+        mapping.join(labels, Seq("rep_id"), "left")
           .select(col("vec_id"),
-            coalesce(col("component"), col("vec_id")).as("cluster"),
-            (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+            coalesce(col("component"), col("rep_id")).as("cluster"),
+            (coalesce(col("component"), col("rep_id")) === col("vec_id"))
               .as("is_kept"))
           .orderBy("vec_id")
       },
