@@ -330,7 +330,54 @@ object QueriesCuration {
              |SELECT doc_id, version, n_chars, valid_to,
              |  valid_to IS NULL AS is_current
              |FROM h WHERE doc_id % 100 = 0
-             |ORDER BY doc_id, version""".stripMargin))
+             |ORDER BY doc_id, version""".stripMargin)),
+
+    // X33 deterministic epoch shuffle — the training-order artifact every
+    // LLM run derives per epoch: a seeded content-hash order over the
+    // corpus, cut round-robin into K=8 exactly-balanced shards with a
+    // within-shard position. Content-hash seeding makes it reproducible
+    // (same order every run, any partitioning, any engine — rand() is
+    // neither) and re-seedable per epoch (ep0/ep1 orders are independent).
+    // The global rank comes from the distributed prefix sum (GlobalRank,
+    // q86's primitive): range partition on the order key + per-partition
+    // offsets — NO global window, no single-task sort at any corpus size.
+    // The order key embeds doc_id in its low 32 bits
+    // ((h mod 2^31)·2^32 + doc_id, collision-free by construction):
+    // ordering by the bare hash would be nondeterministic under hash
+    // ties — invisible at small sf, a silent cross-engine divergence at
+    // corpus scale.
+    Q("q121_epoch_shuffle",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"))
+        def one(e: Int): org.apache.spark.sql.DataFrame = {
+          val h = pmod(Scalars.tokenHash(
+            concat(lit(s"ep$e-"), col("doc_id").cast("string"))),
+            lit(1L << 31))
+          val keyed = docs.select(col("doc_id"),
+            (h * lit(1L << 32) + col("doc_id")).as("ok"))
+          GlobalRank.prefixSum(keyed, col("ok"), lit(1L))
+            .select(lit(e).as("epoch"),
+              (col("k") % lit(1L << 32)).as("doc_id"),
+              (col("cum_before") % lit(8L)).as("shard"),
+              expr("cum_before DIV 8").as("pos"))
+        }
+        one(0).union(one(1)).orderBy("epoch", "doc_id")
+      },
+      Some("""WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+             |k AS (SELECT e.epoch, d.doc_id,
+             |        (('0x' || substr(md5('ep' ||
+             |           CAST(e.epoch AS VARCHAR) || '-' ||
+             |           CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |         % 2147483648) * 4294967296 + d.doc_id AS ok
+             |      FROM documents d CROSS JOIN e),
+             |r AS (SELECT epoch, doc_id,
+             |        row_number() OVER (PARTITION BY epoch
+             |          ORDER BY ok) - 1 AS rnk
+             |      FROM k)
+             |SELECT CAST(epoch AS INT) AS epoch, doc_id,
+             |       CAST(rnk % 8 AS BIGINT) AS shard,
+             |       CAST(rnk // 8 AS BIGINT) AS pos
+             |FROM r ORDER BY epoch, doc_id""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

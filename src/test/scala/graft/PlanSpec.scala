@@ -446,6 +446,17 @@ class PlanSpec extends SparkSpec {
       s"composite (cell, sub) block key missing from the pair join:\n$p")
   }
 
+  test("q121 epoch shuffle ranks through the distributed prefix sum — " +
+      "no window operator anywhere in the plan") {
+    // a global row_number() would single-task the whole corpus; the rank
+    // must come from range partition + per-partition offsets (GlobalRank)
+    val p = plan("q121_epoch_shuffle")
+    assert(!p.contains("Window"),
+      s"epoch shuffle fell back to a window rank:\n$p")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"no range partitioning on the order key:\n$p")
+  }
+
   test("q120 classifier scoring aggregates partially — executors exchange " +
       "(count, sum) pairs, never token strings") {
     val p = plan("q120_quality_classifier")
