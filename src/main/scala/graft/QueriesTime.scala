@@ -534,6 +534,90 @@ object QueriesTime {
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
              |FROM events GROUP BY event_type ORDER BY event_type"""
-        .stripMargin))
+        .stripMargin)),
+
+    // X34 audience overlap via KMV sketches (see [[audienceOverlap]]).
+    Q("q122_audience_overlap",
+      (s, d) => audienceOverlap(s, d),
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+             |          1, 15))::BIGINT AS h
+             |      FROM events),
+             |r AS (SELECT event_type, h, row_number() OVER (
+             |        PARTITION BY event_type ORDER BY h) AS rn
+             |      FROM h),
+             |sk AS (SELECT event_type, h FROM r WHERE rn <= 512),
+             |p AS (SELECT a.event_type AS a_type, b.event_type AS b_type
+             |      FROM (SELECT DISTINCT event_type FROM sk) a
+             |      JOIN (SELECT DISTINCT event_type FROM sk) b
+             |        ON a.event_type < b.event_type),
+             |u AS (SELECT DISTINCT p.a_type, p.b_type, s.h
+             |      FROM p JOIN sk s ON s.event_type = p.a_type
+             |                       OR s.event_type = p.b_type),
+             |ur AS (SELECT a_type, b_type, h, row_number() OVER (
+             |         PARTITION BY a_type, b_type ORDER BY h) AS rn
+             |       FROM u),
+             |lk AS (SELECT a_type, b_type, h FROM ur WHERE rn <= 512),
+             |agg AS (SELECT a_type, b_type, max(h) AS kth_hash,
+             |          CAST(count(*) AS INT) AS l_n,
+             |          CAST(sum(CASE WHEN
+             |              EXISTS (SELECT 1 FROM sk x
+             |                WHERE x.event_type = l.a_type AND x.h = l.h)
+             |              AND EXISTS (SELECT 1 FROM sk y
+             |                WHERE y.event_type = l.b_type AND y.h = l.h)
+             |            THEN 1 ELSE 0 END) AS INT) AS rho_k
+             |        FROM lk l GROUP BY a_type, b_type)
+             |SELECT a_type, b_type, rho_k, kth_hash,
+             |  CASE WHEN l_n < 512 THEN CAST(rho_k AS BIGINT)
+             |       ELSE CAST(floor((rho_k / CAST(l_n AS DOUBLE)) *
+             |         (CAST(l_n - 1 AS DOUBLE) * 1152921504606846976.0
+             |           / CAST(kth_hash AS DOUBLE))) AS BIGINT) END
+             |    AS est_inter
+             |FROM agg ORDER BY a_type, b_type""".stripMargin))
   )
+
+  /** X34 audience overlap via KMV sketches — registered separately so the
+    * udaf builds once. "How many users did BOTH X and Y": the question the
+    * HLL tier (q108) cannot answer from its sketches (HLL unions, never
+    * intersects). One pass builds a ≤K-hash sketch per event type
+    * (partial+final, 4 KiB state — ops/KmvSketch); the pairwise stage runs
+    * over the 5-row sketch table with codegen'd array builtins. The hash
+    * family is the cross-engine md5 form, so the oracle replays the SKETCH
+    * CONTENT exactly — including the k-th hash and the matched fraction —
+    * and the estimator is fixed-operand IEEE arithmetic, floor-truncated
+    * (§7.5: half-even round() diverges cross-engine; floor of the same
+    * double never does). A sketch below K is exact (it IS the distinct
+    * hash set): sf0.01 (150 users/type) exercises that path, sf0.1+
+    * (1 500+/type) the saturated estimator, so the 100× sweep covers both.
+    */
+  private[graft] def audienceOverlap(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import graft.ops.{KmvAggregator, KmvSketch}
+    val k = KmvSketch.K
+    val kmv = udaf(new KmvAggregator(k))
+    val sk = Tables.events(s, d)
+      .select(col("event_type"),
+        Scalars.tokenHash(col("user_id").cast("string")).as("h"))
+      .groupBy("event_type")
+      .agg(kmv(col("h")).as("sk"))
+    val a = sk.select(col("event_type").as("a_type"), col("sk").as("a_sk"))
+    val b = sk.select(col("event_type").as("b_type"), col("sk").as("b_sk"))
+    a.join(b, col("a_type") < col("b_type"))
+      .withColumn("lk",
+        slice(array_sort(array_union(col("a_sk"), col("b_sk"))), 1, k))
+      .withColumn("l_n", size(col("lk")))
+      .withColumn("kth_hash", element_at(col("lk"), col("l_n")))
+      .withColumn("rho_k",
+        size(array_intersect(array_intersect(col("lk"), col("a_sk")),
+          col("b_sk"))))
+      .withColumn("est_inter",
+        when(col("l_n") < k, col("rho_k").cast("long"))
+          .otherwise(floor(
+            (col("rho_k").cast("double") / col("l_n").cast("double")) *
+              ((col("l_n") - 1).cast("double") * lit(KmvSketch.M) /
+                col("kth_hash").cast("double")))))
+      .select(col("a_type"), col("b_type"), col("rho_k"),
+        col("kth_hash"), col("est_inter"))
+      .orderBy("a_type", "b_type")
+  }
 }

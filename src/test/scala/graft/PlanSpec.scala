@@ -457,6 +457,20 @@ class PlanSpec extends SparkSpec {
       s"no range partitioning on the order key:\n$p")
   }
 
+  test("q122 KMV sketches aggregate partially — executors exchange " +
+      "bounded hash arrays, never user sets") {
+    val p = plan("q122_audience_overlap")
+    // typed-udaf partial+final: the sketch fold must run map-side
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no object aggregate for the KMV udaf:\n$p")
+    assert(p.contains("partial"),
+      s"no partial (map-side) sketch aggregation:\n$p")
+    // the pairwise stage is over the 5-row sketch table; the events scan
+    // feeds the agg with exactly (event_type, user_id)
+    assert(!p.contains("props") && !p.contains("event_id"),
+      s"events scan reads unprojected columns:\n$p")
+  }
+
   test("q120 classifier scoring aggregates partially — executors exchange " +
       "(count, sum) pairs, never token strings") {
     val p = plan("q120_quality_classifier")
