@@ -48,6 +48,37 @@ class KmvSpec extends SparkSpec {
     assert(m.toSeq == Seq(1L, 2L, 3L, 5L))
   }
 
+  test("streaming twin: micro-batch sketches folded through foreachBatch " +
+      "equal the one-shot sketch (X27/X29-pattern for the KMV tier)") {
+    val agg = new KmvAggregator()
+    val users = Tables.events(spark, sf).select(col("user_id"))
+    val dir = java.nio.file.Files.createTempDirectory("kmv_stream")
+    (0 until 3).foreach { i =>
+      users.filter(col("user_id") % 3 === i)
+        .write.mode("overwrite").parquet(dir.resolve(s"b$i").toString)
+    }
+    var running: Array[Long] = agg.zero
+    val q = spark.readStream
+      .schema(users.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kmv_ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sk = batch
+          .select(Scalars.tokenHash(col("user_id").cast("string")).as("h"))
+          .as[Long].select(agg.toColumn).head()
+        running = agg.merge(running, sk) // commutative: batch order is moot
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    val direct = hashes.select(agg.toColumn).head()
+    assert(running.sameElements(direct),
+      s"incremental sketch (${running.length}) != one-shot (${direct.length})")
+  }
+
   test("saturated estimator lands within 10% of the true distinct count " +
       "on a 20x-K synthetic cardinality") {
     val k = KmvSketch.K
