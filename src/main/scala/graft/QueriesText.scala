@@ -1134,6 +1134,82 @@ object QueriesText {
             round(col("cos"), 6).as("cos_sim"))
           .orderBy("q_id", "rn")
       },
-      None)
+      None),
+
+    // X35 BM25 query-relevance scoring — the RANKED-retrieval member of
+    // the text tier (q103 scores terms within a doc; BM25 scores docs
+    // against a QUERY — the relevance signal curation pipelines use to
+    // mine domain-specific training data from a crawl). Semantics are the
+    // rational-idf BM25 variant (k1=6/5, b=3/4, the log in Robertson's
+    // idf replaced by its rational argument (N−df+½)/(df+½) — monotone in
+    // df, so per-term ordering is classic BM25): with L = Σ dl (so
+    // dl/avgdl = dl·N/L), the term score is the exact integer ratio
+    //   22·tf·L·(2N−2df+1) / ((10·tf·L + 3·L + 9·dl·N)·(2df+1)),
+    // both sides < 2^63 at every tested sf. Cross-engine discipline: each
+    // term score is floor-quantized to 1e-9 fixed point (floor of IEEE
+    // ops both engines execute identically — the Scalars.round2 lesson),
+    // so the per-doc SUM is an exact BIGINT — accumulation-order-free
+    // where a double sum of raw scores would flip low bits at sf1.
+    // Scale shape: the token stream is filtered to the query's terms
+    // IMMEDIATELY after tokenization — the corpus-wide shuffle carries
+    // only query-term postings (the inverted-index access pattern,
+    // relationally), never the vocabulary; dl is map-only arithmetic; N,
+    // L, df are one scalar agg + one 3-row agg, both broadcast back. At
+    // 100 TB per-query cost is O(postings of the query terms), the same
+    // asymptotics as a Lucene/ES query, with no index build required.
+    Q("q123_bm25_relevance",
+      (s, d) => {
+        val terms = Seq("vector", "stream", "query")
+        val base = fanOut(documents(s, d))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val stats = base.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("l_total"))
+        val hit = base
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        val dfreq = hit.groupBy("tok").agg(count(lit(1)).as("df"))
+        hit.join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(stats))
+          .withColumn("numer", lit(22L) * col("tf") * col("l_total") *
+            (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+          .withColumn("denom",
+            (lit(10L) * col("tf") * col("l_total") +
+              lit(3L) * col("l_total") +
+              lit(9L) * col("dl") * col("n_docs")) *
+              (lit(2L) * col("df") + lit(1L)))
+          .withColumn("term_fp",
+            floor(lit(1e9) * col("numer") / col("denom")).cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("terms_hit"), sum("term_fp").as("score_fp"))
+          .orderBy(col("score_fp").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH base AS (SELECT doc_id, str_split(text, ' ') AS toks
+             |             FROM documents),
+             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |            CAST(sum(len(toks)) AS BIGINT) AS l_total
+             |          FROM base),
+             |hit AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
+             |          max(dl) AS dl
+             |        FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             |                unnest(toks) AS tok FROM base)
+             |        WHERE tok IN ('vector', 'stream', 'query')
+             |        GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+             |          FROM hit GROUP BY 1),
+             |scored AS (SELECT h.doc_id,
+             |    CAST(floor((1e9 * (22 * h.tf * s.l_total *
+             |        (2 * s.n_docs - 2 * f.df + 1))) /
+             |      ((10 * h.tf * s.l_total + 3 * s.l_total +
+             |        9 * h.dl * s.n_docs) * (2 * f.df + 1)))
+             |      AS BIGINT) AS term_fp
+             |  FROM hit h JOIN dfreq f USING (tok) CROSS JOIN stats s)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS terms_hit,
+             |  CAST(sum(term_fp) AS BIGINT) AS score_fp
+             |FROM scored GROUP BY doc_id
+             |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin))
   )
 }

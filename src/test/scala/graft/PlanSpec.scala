@@ -480,4 +480,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("n_chars") && !p.contains("source"),
       s"documents scan reads unprojected columns:\n$p")
   }
+
+  test("q123 bm25 shuffles only query-term postings — term filter below " +
+      "the tf aggregate, stats broadcast back, no window") {
+    val p = plan("q123_bm25_relevance")
+    // the token stream must be filtered to the query's terms BEFORE any
+    // aggregation: the corpus-wide exchange carries postings, not vocab
+    assert(p.contains("vector"),
+      s"query-term filter missing from plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side combine in the tf aggregate:\n$p")
+    // df (3 rows) joins broadcast; (N, L) is the one legitimate 1-row
+    // nested-loop broadcast; nothing may plan as a cartesian product
+    assert(p.contains("BroadcastHashJoin"),
+      s"df join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bm25 degenerated to a cartesian product:\n$p")
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"more nested-loop joins than the 1-row stats broadcast:\n$p")
+    // top-20 must not rank through a window operator
+    assert(!p.contains("Window"), s"bm25 top-k planned a window:\n$p")
+    // scoring needs only (doc_id, text): the documents scan must prune
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      s"documents scan reads unprojected columns:\n$p")
+  }
 }
