@@ -343,6 +343,65 @@ object QueriesOlap {
              |FROM documents d
              |JOIN med m ON d.lang = m.lang
              |JOIN mad a ON d.lang = a.lang
-             |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY d.lang""".stripMargin)),
+
+    // X38 re-aggregable quantile sketch (ops/QuantileSample) — completes
+    // the sketch tier: HLL (q108) unions cardinality, KMV (q122)
+    // intersects it, CMS (q106) answers frequency; this answers
+    // RANK/QUANTILE from bounded mergeable state. Design choice over
+    // KLL/t-digest (both merge-ORDER-dependent → nondeterministic on a
+    // cluster, no oracle): a bottom-K-by-hash row sample — membership is
+    // a pure function of the data, reduce/merge are associative set ops,
+    // so any partitioning, a foreachBatch fold, and a DuckDB
+    // `row_number() OVER (ORDER BY hash) <= K` replay all build the
+    // IDENTICAL sketch, and the estimates are exact order statistics of
+    // the sample (no floating-point estimator anywhere — index arithmetic
+    // is integer DIV both engines). Like q63b it prices quantiles at
+    // O(K) state where q63's exact rank-select pays a corpus shuffle;
+    // unlike q63b (Spark-internal sketch, no-oracle) the sketch content
+    // is cross-engine replayable — full value oracle at every sf.
+    // Scale: one partial+final agg exchanging ≤K-pair arrays; the
+    // quantile extraction runs on the 5-row sketch table with codegen'd
+    // array builtins.
+    Q("q126_quantile_sketch",
+      (s, d) => {
+        import graft.ops.{QuantileSample, QuantileSampleAggregator}
+        val k = QuantileSample.K
+        val qs = udaf(new QuantileSampleAggregator(k))
+        events(s, d)
+          .select(col("event_type"),
+            Scalars.tokenHash(col("event_id").cast("string")).as("h"),
+            col("value"))
+          .groupBy("event_type")
+          .agg(qs(col("h"), col("value")).as("sk"))
+          .select(col("event_type"),
+            size(col("sk.v")).cast("long").as("n_s"),
+            array_sort(col("sk.v")).as("vals"))
+          .select(col("event_type"), col("n_s"),
+            expr("element_at(vals, CAST((n_s - 1) DIV 2 + 1 AS INT))")
+              .as("p50"),
+            expr("element_at(vals, " +
+              "CAST((19 * (n_s - 1)) DIV 20 + 1 AS INT))").as("p95"),
+            expr("element_at(vals, " +
+              "CAST((99 * (n_s - 1)) DIV 100 + 1 AS INT))").as("p99"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h0 AS (SELECT event_type,
+             |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+             |      1, 15))::BIGINT AS h, value
+             |  FROM events),
+             |hd AS (SELECT event_type, h, min(value) AS value
+             |       FROM h0 GROUP BY 1, 2),
+             |r AS (SELECT event_type, h, value, row_number() OVER (
+             |        PARTITION BY event_type ORDER BY h) AS rn
+             |      FROM hd),
+             |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_s,
+             |        list(value ORDER BY value) AS vals
+             |      FROM r WHERE rn <= 256 GROUP BY 1)
+             |SELECT event_type, n_s,
+             |  vals[CAST((n_s - 1) // 2 + 1 AS INTEGER)] AS p50,
+             |  vals[CAST((19 * (n_s - 1)) // 20 + 1 AS INTEGER)] AS p95,
+             |  vals[CAST((99 * (n_s - 1)) // 100 + 1 AS INTEGER)] AS p99
+             |FROM s ORDER BY event_type""".stripMargin))
   )
 }

@@ -1210,6 +1210,117 @@ object QueriesText {
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS terms_hit,
              |  CAST(sum(term_fp) AS BIGINT) AS score_fp
              |FROM scored GROUP BY doc_id
-             |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin))
+             |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // X36 BPE merge-pair mining — the statistic the byte-pair-encoding
+    // tokenizer-training loop maximizes each iteration (Sennrich et al.
+    // 2016): over the corpus, the frequency of every adjacent symbol pair
+    // inside words, weighted by word frequency; the argmax pair becomes
+    // the next merge. Graded here is the first iteration's pair table
+    // (symbol alphabet = raw characters), which is also the expensive one
+    // — later iterations run on the same shape with a rewritten symbol
+    // column. The pipeline placement: tokenizer training runs over the
+    // SAME corpus the curation pipeline just deduped, so this is a
+    // first-class curation-output consumer.
+    // Scale shape — dedup-before-expensive-work (q119's composition,
+    // applied to words): pair extraction runs over the DISTINCT word
+    // table (vocabulary-sized, Heaps'-law sublinear in the corpus), each
+    // word weighted by its corpus frequency — never over the token
+    // stream. Two exchanges total: the word-frequency agg (partial count
+    // map-side, fixed ~word-sized keys) and the pair agg (partial sum,
+    // 2-char keys, alphabet²-bounded cardinality). Both shrink before
+    // they shuffle; nothing pairwise, no window. At 100 TB the token
+    // explode is the only corpus-proportional stage and it is map-only
+    // into a combiner.
+    Q("q124_bpe_pair_mining",
+      (s, d) => {
+        val words = fanOut(documents(s, d))
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        words
+          .filter(length(col("word")) >= 2)
+          .select(col("freq"), explode(
+            expr("transform(sequence(1, length(word) - 1), " +
+              "i -> substring(word, i, 2))")).as("pair"))
+          .groupBy("pair").agg(sum("freq").as("merge_count"))
+          .orderBy(col("merge_count").desc, col("pair").asc)
+          .limit(20)
+      },
+      Some("""WITH words AS (
+             |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+             |  FROM (SELECT unnest(str_split(text, ' ')) AS word
+             |        FROM documents)
+             |  GROUP BY 1),
+             |pairs AS (
+             |  SELECT freq, unnest(list_transform(
+             |    range(1, length(word)),
+             |    i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+             |  FROM words WHERE length(word) >= 2)
+             |SELECT pair, CAST(sum(freq) AS BIGINT) AS merge_count
+             |FROM pairs GROUP BY 1
+             |ORDER BY merge_count DESC, pair LIMIT 20""".stripMargin)),
+
+    // X37 n-gram LM fluency scoring — the perplexity-style quality signal
+    // (CCNet/Gopher filter on a small LM's score; Wenzek et al. 2020).
+    // The learned-model complement DIFFERENT from q120 (hashing-trick
+    // classifier: per-token weights, no context) and q123 (BM25: scores
+    // docs against a query): here the model is a bigram transition table
+    // TRAINED ON THE CORPUS ITSELF in the same job, and each doc is
+    // scored by its mean transition probability — repeated/templated text
+    // scores high, token-salad scores low. Semantics kept exact:
+    // P(r|l) = c(l,r)/c(l·) as the BIGINT fixed point (1e9·c12) DIV c1
+    // (integer floor division, no libm, no IEEE accumulation), so the
+    // per-doc sum Σ tf·p_fp is an exact BIGINT — q123's discipline.
+    // Scale shape: THREE aggs and ONE equi-join, nothing pairwise —
+    // (1) per-doc bigram tf (the only corpus-proportional explode,
+    // map-only into a combiner); (2) model c12 = Σ tf derived FROM the tf
+    // table (q103's df-from-tf lesson — one corpus explode total, the
+    // exchange is reused); (3) c1 = Σ c12 over the left token
+    // (vocab-sized input). The scoring join (doc bigrams ⋈ model) is an
+    // equi-join on the pair string — vocab²-bounded model side, SMJ at
+    // scale, never a nested loop; the model is NOT collected or
+    // broadcast-by-hand because at 100 TB it outgrows the driver.
+    Q("q125_lm_score",
+      (s, d) => {
+        val bg = fanOut(documents(s, d))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(
+            expr("transform(sequence(0, size(toks) - 2), " +
+              "i -> concat_ws(' ', toks[i], toks[i + 1]))")).as("pair"))
+          .groupBy("doc_id", "pair").agg(count(lit(1)).as("tf"))
+          .withColumn("l", expr("split_part(pair, ' ', 1)"))
+        val c12 = bg.groupBy("l", "pair").agg(sum("tf").as("c12"))
+        val c1 = c12.groupBy("l").agg(sum("c12").as("c1"))
+        val model = c12.join(c1, "l")
+          .select(col("pair"),
+            expr("CAST(1000000000 * c12 AS BIGINT) DIV c1").as("p_fp"))
+        bg.join(model, "pair")
+          .groupBy("doc_id")
+          .agg(sum("tf").as("n_bigrams"),
+            sum(col("tf") * col("p_fp")).as("score_fp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, str_split(text, ' ') AS toks
+             |             FROM documents),
+             |bg AS (
+             |  SELECT doc_id, split_part(pair, ' ', 1) AS l, pair,
+             |    CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(list_transform(
+             |          range(1, len(toks)),
+             |          i -> toks[i] || ' ' || toks[i + 1])) AS pair
+             |        FROM base WHERE len(toks) >= 2)
+             |  GROUP BY 1, 2, 3),
+             |c12 AS (SELECT l, pair, CAST(sum(tf) AS BIGINT) AS c12
+             |        FROM bg GROUP BY 1, 2),
+             |c1 AS (SELECT l, CAST(sum(c12) AS BIGINT) AS c1
+             |       FROM c12 GROUP BY 1),
+             |model AS (SELECT pair,
+             |    CAST((1000000000 * c12) // c1 AS BIGINT) AS p_fp
+             |  FROM c12 JOIN c1 USING (l))
+             |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(tf * p_fp) AS BIGINT) AS score_fp
+             |FROM bg JOIN model USING (pair)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

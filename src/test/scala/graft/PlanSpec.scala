@@ -505,4 +505,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("n_chars") && !p.contains("source"),
       s"documents scan reads unprojected columns:\n$p")
   }
+
+  test("q124 bpe pair mining runs dedup-first — pair extraction over the " +
+      "distinct-word table, both aggs partial, pruned scan, no window") {
+    val p = plan("q124_bpe_pair_mining")
+    // word-freq agg and pair agg both combine map-side: the exchanges
+    // carry (word, count) then (2-char pair, sum), never the token stream
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"no map-side combine in the pair count:\n$p")
+    // top-20 is a TakeOrdered, not a window rank
+    assert(!p.contains("Window"), s"pair top-k planned a window:\n$p")
+    // mining needs only text: the documents scan must prune
+    assert(!p.contains("n_chars") && !p.contains("source"),
+      s"documents scan reads unprojected columns:\n$p")
+  }
+
+  test("q125 lm scoring builds the corpus bigram table ONCE — the tf " +
+      "exchange is reused by the model branch, equi-joins only") {
+    val df = Queries.byName("q125_lm_score").build(spark, sf)
+    val p0 = df.queryExecution.executedPlan.toString
+    // model join and scoring join are equi-joins on the pair string —
+    // never a nested loop or cartesian (the vocab² model side forbids it)
+    assert(!p0.contains("CartesianProduct") &&
+      !p0.contains("BroadcastNestedLoopJoin"),
+      s"lm scoring planned a non-equi join:\n$p0")
+    assert(p0.contains("partial_count") || p0.contains("partial"),
+      s"no map-side combine in the bigram tf aggregate:\n$p0")
+    assert(!p0.contains("n_chars") && !p0.contains("source"),
+      s"documents scan reads unprojected columns:\n$p0")
+    // the doc-bigram tf subtree feeds BOTH the scoring join and the
+    // model aggregation: after execution the final adaptive plan must
+    // show the exchange built once and reused, not two corpus explodes
+    df.collect()
+    val p1 = df.queryExecution.executedPlan.toString
+    assert(p1.contains("ReusedExchange") || p1.contains("ReusedQueryStage"),
+      s"bigram tf exchange rebuilt per consumer:\n$p1")
+  }
+
+  test("q126 quantile sketch aggregates partially — executors exchange " +
+      "bounded (hash, value) arrays, events scan pruned") {
+    val p = plan("q126_quantile_sketch")
+    // typed-aggregator partial+final: the exchange carries ≤K-pair
+    // buffers per (group, partition), never event rows
+    assert(p.contains("ObjectHashAggregate"),
+      s"sketch agg not an object aggregate:\n$p")
+    assert(p.contains("partial"),
+      s"no partial sketch aggregation:\n$p")
+    // sketching needs (event_type, event_id, value) only
+    assert(!p.contains("props") && !p.contains("user_id"),
+      s"events scan reads unprojected columns:\n$p")
+  }
 }
