@@ -16,6 +16,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The generated-class cache defaults to 100 entries; the 99-query
       // registry holds ~10× that many codegen units, so INTERLEAVED sweeps

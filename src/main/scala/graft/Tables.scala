@@ -42,23 +42,47 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark cannot read natively;
-    * `spark.sql.legacy.parquet.nanosAsLong` maps it to LongType epoch-nanos.
-    * Queries derive epoch-seconds via integer division (never double math —
-    * 1.7e18 ns exceeds double's 53-bit mantissa) so DuckDB's `epoch_ns(ts)`
-    * agrees exactly (see q30/q37/q39).
+  /** Read `events` and normalize `ts` to LongType epoch-nanos — the engine's
+    * canonical representation, regardless of the file's physical timestamp
+    * encoding. The driver's generator has shipped both parquet timestamp[ns]
+    * (rounds 1-7; Spark maps it to LongType via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and timestamp[us]
+    * (2026-08-13 regeneration; Spark reads TIMESTAMP_NTZ). All downstream
+    * bucket math is integer division on nanos (never double — 1.7e18 ns
+    * exceeds double's 53-bit mantissa, see `Scalars.longDiv`) so DuckDB's
+    * `epoch_ns(ts)` oracle agrees exactly for either encoding (epoch_ns of
+    * a timestamp[us] value is the same nanos with trailing zeros).
+    *
+    * NTZ wall-clock → epoch requires a timezone; sessions pin
+    * `spark.sql.session.timeZone=UTC` (asserted here), matching DuckDB's
+    * naive-timestamps-are-UTC convention. `unix_micros * 1000` is exact
+    * long arithmetic. Scale note: the conversion is a codegen'd projection
+    * over the scan; comparison pushdown on the derived column is lost, but
+    * every events query filters on `event_type`/derived buckets, and a
+    * production 100 TB layout partitions by date (q96) where pruning
+    * happens on the partition column, not raw `ts`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // The conf belongs to SESSION BUILD (Verify/Bench/PlanDump/TestSession
-    // all set it) — a reader mutating session state mid-query was VERDICT
-    // r02 minor #3. Fail fast with the remedy if a caller's session lacks
-    // it, instead of surfacing parquet's inscrutable nanos error later.
-    require(
-      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "events.parquet has timestamp[ns] columns: build the SparkSession " +
-        "with spark.sql.legacy.parquet.nanosAsLong=true")
-    t(s, d, "events")
+    import org.apache.spark.sql.functions.{col, unix_micros, lit}
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // timestamp[ns] file + nanosAsLong=true: already epoch-nanos
+      case TimestampNTZType =>
+        require(
+          s.conf.getOption("spark.sql.session.timeZone").contains("UTC"),
+          "events.ts is TIMESTAMP_NTZ: epoch normalization needs " +
+            "spark.sql.session.timeZone=UTC on the session")
+        df.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        // timestamp[ns] parquet without the legacy conf fails inside the
+        // scan with an inscrutable parquet error; surface the remedy here.
+        throw new IllegalStateException(
+          s"events.ts read as $other — for timestamp[ns] files build the " +
+            "SparkSession with spark.sql.legacy.parquet.nanosAsLong=true")
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -8,8 +8,9 @@ Recipe (the "TESTDATA recipe" named by VERDICT r03 next-round #1): the
 driver's tables are deterministic seed=42 synthetics; a faithful sf1-scale
 instance for *differential* testing (Spark vs DuckDB over the SAME files)
 only needs (a) 10× the rows, (b) intact referential integrity, (c) the
-exact physical parquet schemas the driver writes (notably events.ts
-timestamp[ns] — the nanosAsLong read path must stay exercised). So: emit
+exact physical parquet schemas the driver writes (notably events.ts —
+timestamp[ns] through round 7, timestamp[us] since the 2026-08-13
+regeneration; the same Tables.events read path must stay exercised). So: emit
 `factor` key-shifted copies of every scaled table, shifting every
 primary/foreign key of the scaled fact/dim graph by copy_idx * STRIDE so
 joins land exactly as in copy 0, and keep the tiny fixed dims (region,
@@ -19,9 +20,10 @@ filters on. Copy 0 is byte-identical rows, so point lookups with literal
 keys still hit.
 
 Written with pyarrow (NOT Spark) on purpose: Spark cannot write
-timestamp[ns] parquet, and this file must reproduce the driver's physical
-types bit-for-bit so the engine-under-test sees the same read path at sf1
-as at sf0.1. This is test harness tooling (like verify_local.py), not part
+timestamp[ns] parquet (and rewrites timestamp[us] through its own writer
+path), and this file must reproduce the driver's physical types
+bit-for-bit (coerce_timestamps=None) so the engine-under-test sees the
+same read path at sf1 as at sf0.1. This is test harness tooling (like verify_local.py), not part
 of the Spark library surface.
 """
 import sys, os, glob
