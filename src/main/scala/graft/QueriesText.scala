@@ -677,11 +677,15 @@ object QueriesText {
         // sf1 scaled corpus is 10 exact copies: without this, every
         // within-block pair count inflates ×copies²; measured 8.1 s → the
         // uniq form tracks the distinct-content corpus instead). The
-        // mapping costs one shuffle on the embedding bytes (a fixed 256 B
-        // key — at 100 TB group on xxhash64(content) instead to keep the
-        // exchange narrow).
+        // mapping shuffle keys on xxhash64(embedding) FIRST, then the
+        // embedding itself: the 8 B hash is a pure function of the 256 B
+        // array it prefixes, so the grouping is bit-identical (no
+        // collision risk — hash-equal-but-distinct rows still split on
+        // the second key), while the window sort compares the array only
+        // on hash-equal rows instead of on every comparison.
         val e = embeddings(s, d)
-        val wCopy = Window.partitionBy("embedding")
+        val wCopy = Window.partitionBy(
+          xxhash64(col("embedding")), col("embedding"))
         val mapping = e.select(col("vec_id"), col("embedding"))
           .withColumn("rep_id", min(col("vec_id")).over(wCopy))
         val reps = mapping.filter(col("vec_id") === col("rep_id"))

@@ -89,23 +89,31 @@ object ProductQuantizer {
       val off = s * subDim
       // deterministic farthest-point init (ops/KMeans recipe): start at
       // the first sample (already hash-ordered), greedily add the point
-      // farthest from the chosen set.
+      // farthest from the chosen set. minD caches each sample's distance
+      // to its nearest chosen centroid; a new centroid can only LOWER a
+      // sample's min, so updating against the newest centroid alone gives
+      // the same selections as rescanning the whole set (VERDICT r7 #7:
+      // O(n·k) per subspace instead of O(n·k²); ~k× on the 50k fit).
       val cents = new scala.collection.mutable.ArrayBuffer[Array[Double]]
       cents += java.util.Arrays.copyOfRange(sample(0), off, off + subDim)
+      val minD = Array.tabulate(sample.length)(i =>
+        sqDist(sample(i), off, cents(0), subDim))
       while (cents.length < math.min(k, sample.length)) {
         var bestIdx = 0; var bestD = -1.0
         var i = 0
         while (i < sample.length) {
-          var dm = Double.MaxValue
-          cents.foreach { c =>
-            val d = sqDist(sample(i), off, c, subDim)
-            if (d < dm) dm = d
-          }
-          if (dm > bestD) { bestD = dm; bestIdx = i }
+          if (minD(i) > bestD) { bestD = minD(i); bestIdx = i }
           i += 1
         }
-        cents += java.util.Arrays.copyOfRange(
+        val next = java.util.Arrays.copyOfRange(
           sample(bestIdx), off, off + subDim)
+        cents += next
+        var j = 0
+        while (j < sample.length) {
+          val d = sqDist(sample(j), off, next, subDim)
+          if (d < minD(j)) minD(j) = d
+          j += 1
+        }
       }
       var centroids = cents.toArray
       // Lloyd rounds; empty cells keep their previous centroid

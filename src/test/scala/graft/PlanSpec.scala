@@ -446,6 +446,17 @@ class PlanSpec extends SparkSpec {
       s"composite (cell, sub) block key missing from the pair join:\n$p")
   }
 
+  test("q119 copy-group mapping keys its exchange on xxhash64(embedding), " +
+      "not the raw 256 B array alone") {
+    val p = plan("q119_semantic_dedup")
+    // the copy->representative window must partition on the 8 B hash
+    // prefix so the window sort compares the array only on hash ties
+    // (VERDICT r7 #5); the hash appearing in the plan's hashpartitioning/
+    // window spec is the witness
+    assert(p.contains("xxhash64"),
+      s"copy-group exchange lost the xxhash64 prefix key:\n$p")
+  }
+
   test("q121 epoch shuffle ranks through the distributed prefix sum — " +
       "no window operator anywhere in the plan") {
     // a global row_number() would single-task the whole corpus; the rank
