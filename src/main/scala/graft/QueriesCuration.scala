@@ -36,11 +36,11 @@ object QueriesCuration {
   /** Deterministic 0..99 bucket from a tagged content hash (md5-based so
     * DuckDB replays it bit-for-bit; see Scalars.tokenHash).
     */
-  private def bucket(tag: String) =
+  private[graft] def bucket(tag: String) =
     pmod(Scalars.tokenHash(
       concat(lit(tag), col("doc_id").cast("string"))), lit(100L))
 
-  private def bucketSql(tag: String) =
+  private[graft] def bucketSql(tag: String) =
     s"(('0x' || substr(md5('$tag' || CAST(doc_id AS VARCHAR)), 1, 15))" +
       s"::BIGINT % 100)"
 
@@ -377,7 +377,59 @@ object QueriesCuration {
              |SELECT CAST(epoch AS INT) AS epoch, doc_id,
              |       CAST(rnk % 8 AS BIGINT) AS shard,
              |       CAST(rnk // 8 AS BIGINT) AS pos
-             |FROM r ORDER BY epoch, doc_id""".stripMargin))
+             |FROM r ORDER BY epoch, doc_id""".stripMargin)),
+
+    // X39 sliding context-window chunking — the step that turns a cleaned
+    // corpus into fixed-context training sequences: window W=64 tokens,
+    // stride S=48 (16-token overlap so no span is ever split across a
+    // chunk boundary unseen). Declared rule: chunk starts are
+    // sequence(1, max(n - overlap, 1), S) — every token covered, the last
+    // chunk possibly short, a doc shorter than W yielding exactly one
+    // chunk. chunk_id derives arithmetically from the start ((start-1)/S)
+    // so neither engine needs a positional explode. Each chunk carries a
+    // 60-bit content fingerprint (Scalars.tokenHash of the joined text,
+    // replayable in DuckDB) — the key downstream chunk-level exact dedup
+    // joins on, so provenance (doc_id, start_tok) plus fp IS the chunk
+    // table a 100 TB pipeline materializes.
+    // Scale: pure map-side explode — zero shuffles before the output
+    // sort; chunking parallelizes per input split, and the fingerprint
+    // keeps the emitted rows narrow (no chunk text in the output).
+    Q("q127_context_chunks",
+      (s, d) => {
+        val toks = documents(s, d).select(col("doc_id"),
+          split(col("text"), " ").as("t"))
+          .withColumn("n", size(col("t")))
+        toks
+          .select(col("doc_id"), col("t"), col("n"),
+            explode(expr("sequence(1, greatest(n - 16, 1), 48)"))
+              .as("start_tok"))
+          .withColumn("chunk",
+            expr("concat_ws(' ', slice(t, start_tok, 64))"))
+          .select(col("doc_id"),
+            expr("CAST((start_tok - 1) DIV 48 AS INT)").as("chunk_id"),
+            col("start_tok").cast("long").as("start_tok"),
+            least(lit(64), col("n") - col("start_tok") + 1)
+              .cast("long").as("n_tok"),
+            Scalars.tokenHash(col("chunk")).as("fp"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, str_split(text, ' ') AS t,
+             |         len(str_split(text, ' ')) AS n FROM documents),
+             |ch AS (
+             |  SELECT doc_id, t, n,
+             |    unnest(range(1, greatest(n - 16, 1) + 1, 48)) AS start_tok
+             |  FROM t),
+             |c2 AS (
+             |  SELECT doc_id, n, start_tok,
+             |    array_to_string(t[start_tok : start_tok + 63], ' ') AS chunk
+             |  FROM ch)
+             |SELECT doc_id,
+             |  CAST((start_tok - 1) // 48 AS INT) AS chunk_id,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(least(64, n - start_tok + 1) AS BIGINT) AS n_tok,
+             |  ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS fp
+             |FROM c2 ORDER BY doc_id, chunk_id""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

@@ -1325,6 +1325,62 @@ object QueriesText {
              |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
              |  CAST(sum(tf * p_fp) AS BIGINT) AS score_fp
              |FROM bg JOIN model USING (pair)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // X40 split-leakage audit — the check every train/val/test split needs
+    // AFTER near-dup detection: a pair of near-duplicate documents whose
+    // members land in different hash-split partitions (q85's rule) leaks
+    // evaluation content into training. Candidates come from the SAME LSH
+    // band index the dedup tier maintains (bandPairs — never pairwise),
+    // so the audit is: candidate pairs ⋈ split labels, keep straddlers.
+    // Scale: the banded candidate set is duplicate-density-sized (tiny
+    // relative to the corpus), so it broadcasts to the split-label join —
+    // the corpus itself is scanned once for labels (a narrow doc_id
+    // projection; the split is a pure content-hash function, q85) and
+    // never shuffled. At 100 TB this runs as an incremental audit over
+    // the persisted band index (DedupPipeline) rather than re-signing.
+    Q("q128_split_leakage",
+      (s, d) => {
+        val splits = documents(s, d).select(col("doc_id"),
+          when(QueriesCuration.bucket("split:") < 80, "train")
+            .when(QueriesCuration.bucket("split:") < 90, "val")
+            .otherwise("test").as("split"))
+        val pairs = bandPairs(documents(s, d))
+        splits.select(col("doc_id").as("a_id"), col("split").as("a_split"))
+          .join(broadcast(pairs), Seq("a_id"))
+          .join(splits.select(col("doc_id").as("b_id"),
+            col("split").as("b_split")), Seq("b_id"))
+          .filter(col("a_split") =!= col("b_split"))
+          .select("a_id", "b_id", "a_split", "b_split")
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        val splitCase =
+          s"""CASE WHEN ${QueriesCuration.bucketSql("split:")} < 80
+             |     THEN 'train'
+             |     WHEN ${QueriesCuration.bucketSql("split:")} < 90
+             |     THEN 'val' ELSE 'test' END""".stripMargin
+        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id),
+           |sp AS (SELECT doc_id, $splitCase AS split FROM documents)
+           |SELECT p.a_id, p.b_id, sa.split AS a_split, sb.split AS b_split
+           |FROM pairs p
+           |JOIN sp sa ON sa.doc_id = p.a_id
+           |JOIN sp sb ON sb.doc_id = p.b_id
+           |WHERE sa.split <> sb.split
+           |ORDER BY a_id, b_id""".stripMargin
+      })
   )
 }

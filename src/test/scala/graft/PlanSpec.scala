@@ -457,6 +457,24 @@ class PlanSpec extends SparkSpec {
       s"copy-group exchange lost the xxhash64 prefix key:\n$p")
   }
 
+  test("q127 chunking is map-side pure — the only exchange is the output " +
+      "sort's range partitioning") {
+    val p = plan("q127_context_chunks")
+    assert(!p.contains("hashpartitioning"),
+      s"chunk explode should not shuffle before the output sort:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to (doc_id, text):\n$p")
+  }
+
+  test("q128 split-leakage joins the banded candidate set by broadcast — " +
+      "the corpus-side split labels are never shuffled for the probe") {
+    val p = plan("q128_split_leakage")
+    assert(!p.contains("CartesianProduct"),
+      s"leakage audit degenerated to a product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate pairs not broadcast against the split labels:\n$p")
+  }
+
   test("q121 epoch shuffle ranks through the distributed prefix sum — " +
       "no window operator anywhere in the plan") {
     // a global row_number() would single-task the whole corpus; the rank
