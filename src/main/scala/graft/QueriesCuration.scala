@@ -395,24 +395,7 @@ object QueriesCuration {
     // sort; chunking parallelizes per input split, and the fingerprint
     // keeps the emitted rows narrow (no chunk text in the output).
     Q("q127_context_chunks",
-      (s, d) => {
-        val toks = documents(s, d).select(col("doc_id"),
-          split(col("text"), " ").as("t"))
-          .withColumn("n", size(col("t")))
-        toks
-          .select(col("doc_id"), col("t"), col("n"),
-            explode(expr("sequence(1, greatest(n - 16, 1), 48)"))
-              .as("start_tok"))
-          .withColumn("chunk",
-            expr("concat_ws(' ', slice(t, start_tok, 64))"))
-          .select(col("doc_id"),
-            expr("CAST((start_tok - 1) DIV 48 AS INT)").as("chunk_id"),
-            col("start_tok").cast("long").as("start_tok"),
-            least(lit(64), col("n") - col("start_tok") + 1)
-              .cast("long").as("n_tok"),
-            Scalars.tokenHash(col("chunk")).as("fp"))
-          .orderBy("doc_id", "chunk_id")
-      },
+      (s, d) => contextChunks(documents(s, d)).orderBy("doc_id", "chunk_id"),
       Some("""WITH t AS (
              |  SELECT doc_id, str_split(text, ' ') AS t,
              |         len(str_split(text, ' ')) AS n FROM documents),
@@ -435,4 +418,26 @@ object QueriesCuration {
   /** Full-range (un-modded) tagged content hash for sample ordering. */
   private def bucketFull(tag: String) =
     Scalars.tokenHash(concat(lit(tag), col("doc_id").cast("string")))
+
+  /** The X39 chunk transform, un-sorted: stateless narrow map (per-doc
+    * explode, no aggregation/window), so the SAME plan runs unchanged
+    * under Structured Streaming — each micro-batch chunks its documents
+    * independently (`StreamingSpec`'s chunking twin proves batch/stream
+    * row-set equality). q127 adds the dump's total order on top.
+    */
+  private[graft] def contextChunks(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(expr("sequence(1, greatest(n - 16, 1), 48)"))
+          .as("start_tok"))
+      .withColumn("chunk",
+        expr("concat_ws(' ', slice(t, start_tok, 64))"))
+      .select(col("doc_id"),
+        expr("CAST((start_tok - 1) DIV 48 AS INT)").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(64), col("n") - col("start_tok") + 1)
+          .cast("long").as("n_tok"),
+        Scalars.tokenHash(col("chunk")).as("fp"))
 }

@@ -116,6 +116,29 @@ class StreamingSpec extends SparkSpec {
     assert(seen.get() == 1 && batches.get() == 1)
   }
 
+  test("X39 twin: streaming context chunking matches the batch chunk set " +
+    "(stateless narrow map — same plan, per-micro-batch)") {
+    val in = mkTmp("docstream")
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = QueriesCuration.contextChunks(stream)
+      .writeStream.format("memory").queryName("chunk_twin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("chunk_twin")
+      .orderBy("doc_id", "chunk_id").collect()
+    val batch = QueriesCuration.contextChunks(
+      spark.read.parquet(in)).orderBy("doc_id", "chunk_id").collect()
+    assert(streamed.length == batch.length && batch.nonEmpty,
+      s"row count drift: streamed ${streamed.length} vs batch ${batch.length}")
+    assert(streamed.sameElements(batch),
+      "streaming chunk rows diverge from the batch form")
+  }
+
   test("T8: streaming tumbling-window agg matches the batch date_trunc form") {
     import spark.implicits._
     val in = mkTmp("events_json")
