@@ -412,7 +412,59 @@ object QueriesCuration {
              |  CAST(start_tok AS BIGINT) AS start_tok,
              |  CAST(least(64, n - start_tok + 1) AS BIGINT) AS n_tok,
              |  ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS fp
-             |FROM c2 ORDER BY doc_id, chunk_id""".stripMargin))
+             |FROM c2 ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // X41 chunk-granularity duplication rate — the boilerplate-fraction
+    // signal (RefinedWeb/FineWeb curation): a chunk is "duplicated" when
+    // its exact content fingerprint occurs ≥2 times CORPUS-WIDE (headers,
+    // footers, templated spans — invisible to doc-level dedup because the
+    // containing docs differ). Per source: chunk count, duplicated-chunk
+    // count, and the rate as an exact parts-per-million fixed point
+    // (integer DIV — no IEEE division in a declared result).
+    // Scale: X39's map-side chunker (source carried through the explode —
+    // no doc join) runs ONCE; the corpus-wide occurrence count is a
+    // window over the 8-byte fp (tiny partitions, narrow (source, fp)
+    // rows through ONE exchange), then a partial-agg rollup over
+    // `sources`-many groups. The agg+join alternative re-derives the
+    // chunk table on the count side (two md5 passes over the corpus) and
+    // its fp-count table is chunk-corpus-sized — not broadcastable at
+    // 100 TB; the window form is strictly one chunk pass, one shuffle.
+    Q("q129_chunk_dup_rate",
+      (s, d) => {
+        val ch = contextChunks(documents(s, d), Seq("source"))
+          .select(col("source"), col("fp"))
+        val cnt = count(lit(1)).over(Window.partitionBy("fp"))
+        ch.withColumn("cnt", cnt)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("cnt") >= 2, 1L).otherwise(0L))
+              .as("dup_chunks"))
+          .withColumn("dup_ppm",
+            expr("(1000000 * dup_chunks) DIV n_chunks"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, str_split(text, ' ') AS t,
+             |         len(str_split(text, ' ')) AS n FROM documents),
+             |ch AS (
+             |  SELECT source,
+             |    unnest(range(1, greatest(n - 16, 1) + 1, 48)) AS start_tok,
+             |    t FROM t),
+             |c2 AS (
+             |  SELECT source, ('0x' || substr(md5(
+             |      array_to_string(t[start_tok : start_tok + 63], ' ')),
+             |      1, 15))::BIGINT AS fp
+             |  FROM ch),
+             |c3 AS (
+             |  SELECT source, count(*) OVER (PARTITION BY fp) AS cnt
+             |  FROM c2)
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS dup_chunks,
+             |  CAST((1000000 * sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END))
+             |    // count(*) AS BIGINT) AS dup_ppm
+             |FROM c3 GROUP BY source ORDER BY source""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */
@@ -426,18 +478,22 @@ object QueriesCuration {
     * row-set equality). q127 adds the dump's total order on top.
     */
   private[graft] def contextChunks(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      docs: org.apache.spark.sql.DataFrame,
+      extra: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    val passthrough = extra.map(col)
+    docs.select(col("doc_id") +: passthrough :+
+        split(col("text"), " ").as("t"): _*)
       .withColumn("n", size(col("t")))
-      .select(col("doc_id"), col("t"), col("n"),
+      .select(col("doc_id") +: passthrough :+ col("t") :+ col("n") :+
         explode(expr("sequence(1, greatest(n - 16, 1), 48)"))
-          .as("start_tok"))
+          .as("start_tok"): _*)
       .withColumn("chunk",
         expr("concat_ws(' ', slice(t, start_tok, 64))"))
-      .select(col("doc_id"),
-        expr("CAST((start_tok - 1) DIV 48 AS INT)").as("chunk_id"),
-        col("start_tok").cast("long").as("start_tok"),
+      .select(col("doc_id") +: passthrough :+
+        expr("CAST((start_tok - 1) DIV 48 AS INT)").as("chunk_id") :+
+        col("start_tok").cast("long").as("start_tok") :+
         least(lit(64), col("n") - col("start_tok") + 1)
-          .cast("long").as("n_tok"),
-        Scalars.tokenHash(col("chunk")).as("fp"))
+          .cast("long").as("n_tok") :+
+        Scalars.tokenHash(col("chunk")).as("fp"): _*)
+  }
 }

@@ -475,6 +475,17 @@ class PlanSpec extends SparkSpec {
       s"candidate pairs not broadcast against the split labels:\n$p")
   }
 
+  test("q129 chunk-dup rate derives the chunk table ONCE — window count " +
+      "over fp, not a second md5 pass through an agg+join") {
+    val p = plan("q129_chunk_dup_rate")
+    assert(p.sliding("Generate explode".length)
+      .count(_ == "Generate explode") == 1,
+      s"chunk explode appears more than once (two corpus md5 passes):\n$p")
+    assert(p.contains("windowspecdefinition(fp"),
+      s"corpus-wide occurrence count is not the fp-partitioned window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product in dup-rate plan:\n$p")
+  }
+
   test("q121 epoch shuffle ranks through the distributed prefix sum — " +
       "no window operator anywhere in the plan") {
     // a global row_number() would single-task the whole corpus; the rank
