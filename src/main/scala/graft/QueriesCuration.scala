@@ -29,6 +29,8 @@ import graft.ops.{GlobalRank, Scalars}
   *    bodies, which outweighs the extra scan parallelism; explode's
   *    downstream groupBy already redistributes). At real scale the scan
   *    has many splits and the question disappears (fanOut scaladoc).
+  *    Exception: q130's stride-1 window hashing is md5-per-position —
+  *    per-row work heavy enough that the single-task scan dominates.
   */
 object QueriesCuration {
   import Tables._
@@ -464,7 +466,100 @@ object QueriesCuration {
              |    AS dup_chunks,
              |  CAST((1000000 * sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END))
              |    // count(*) AS BIGINT) AS dup_ppm
-             |FROM c3 GROUP BY source ORDER BY source""".stripMargin))
+             |FROM c3 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // X42 exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better" — the ExactSubstr operator):
+    // any 8-token window whose exact content recurs ANYWHERE in the
+    // corpus is boilerplate; every occurrence after the first (global
+    // order: doc_id, then position) is removed TOKEN-WISE, and each doc
+    // is reassembled from its surviving tokens. This is the stride-1,
+    // token-granular member of the dedup family — q97 removes fixed
+    // 16-token tiles, q127/q129 fingerprint stride-48 chunks; here EVERY
+    // position starts a window, so a duplicated span is caught at any
+    // alignment (the suffix-array semantics of the paper, relationally).
+    // Pipeline: window fingerprints (rolling-hash family, replayable
+    // md5 fixed point) → first-occurrence-keep window over fp (q97's
+    // rank-1 shape) → dup windows explode to covered positions (cost
+    // tracks DUPLICATION DENSITY, not corpus size) → left join marks
+    // tokens → per-doc reassembly (q97's collect+sort form).
+    // Scale: one shuffle on the 8-byte fp (narrow rows, never text), one
+    // on doc_id for reassembly; nothing pairwise, no corpus-sized
+    // broadcast. fanOut before the stride-1 explode+md5 stage (local
+    // single-row-group files otherwise serialize the hashing into one
+    // task). The dup-position explode is ≤8 rows per duplicated window —
+    // bounded by 8·dup_windows, a duplication-rate fraction of the
+    // corpus at 100 TB.
+    Q("q130_substring_dedup",
+      (s, d) => {
+        val toks = fanOut(documents(s, d))
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .withColumn("n", size(col("t")))
+        val wins = toks
+          .select(col("doc_id"), col("t"), col("n"),
+            explode(expr("sequence(1, greatest(n - 7, 1))")).as("start"))
+          .select(col("doc_id"), col("n"), col("start"),
+            Scalars.tokenHash(
+              concat_ws(" ", slice(col("t"), col("start"), lit(8))))
+              .as("fp"))
+        val wFirst = Window.partitionBy("fp").orderBy("doc_id", "start")
+        val dupPos = wins
+          .withColumn("rn", row_number().over(wFirst))
+          .filter(col("rn") >= 2)
+          .select(col("doc_id"),
+            explode(expr("sequence(start, least(start + 7, n))"))
+              .as("pos"))
+          .distinct()
+        val tokPos = toks
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+        tokPos
+          .join(dupPos.withColumn("dup", lit(true)),
+            Seq("doc_id", "pos"), "left")
+          .withColumn("dup", coalesce(col("dup"), lit(false)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when(col("dup"), 1L).otherwise(0L)).as("dup_tok"),
+            expr("array_join(transform(filter(array_sort(" +
+              "collect_list(struct(pos, dup, tok))), x -> NOT x.dup)," +
+              " x -> x.tok), ' ')").as("text_dedup"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, str_split(text, ' ') AS t,
+             |         len(str_split(text, ' ')) AS n FROM documents),
+             |w AS (
+             |  SELECT doc_id, t, n,
+             |    unnest(range(1, greatest(n - 7, 1) + 1)) AS start FROM t),
+             |f AS (
+             |  SELECT doc_id, n, start,
+             |    ('0x' || substr(md5(
+             |      array_to_string(t[start : start + 7], ' ')),
+             |      1, 15))::BIGINT AS fp
+             |  FROM w),
+             |r AS (
+             |  SELECT doc_id, n, start,
+             |    row_number() OVER (PARTITION BY fp
+             |      ORDER BY doc_id, start) AS rn
+             |  FROM f),
+             |dp AS (
+             |  SELECT DISTINCT doc_id,
+             |    unnest(range(start, least(start + 8, n + 1))) AS pos
+             |  FROM r WHERE rn >= 2),
+             |tp AS (
+             |  SELECT doc_id, i AS pos, t[i] AS tok
+             |  FROM t, unnest(range(1, n + 1)) AS u(i)),
+             |m AS (
+             |  SELECT tp.doc_id, tp.pos, tp.tok,
+             |    (dp.pos IS NOT NULL) AS dup
+             |  FROM tp LEFT JOIN dp
+             |    ON tp.doc_id = dp.doc_id AND tp.pos = dp.pos)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS dup_tok,
+             |  coalesce(string_agg(CASE WHEN NOT dup THEN tok END,
+             |    ' ' ORDER BY pos), '') AS text_dedup
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

@@ -10,10 +10,12 @@ import graft.ops.Scalars
   * its warehouse: continuous date spines with gap-fill, time-bucketed
   * distincts, day-over-day retention, and ordered funnels.
   *
-  * `events.ts` is parquet timestamp[ns] read as LongType epoch-nanos
-  * (Tables.events scaladoc); all bucket math is integer division on the
-  * nanos — never double math, 1.7e18 exceeds double's 53-bit mantissa —
-  * so DuckDB's `epoch_ns(ts)` agrees exactly.
+  * `events.ts` is normalized by Tables.events to LongType epoch-nanos
+  * from WHATEVER physical encoding the driver's generator shipped
+  * (int64 / timestamp[ns] / timestamp[us] NTZ or tz — see its scaladoc);
+  * all bucket math here is integer division on the nanos — never double
+  * math, 1.7e18 exceeds double's 53-bit mantissa — so DuckDB's
+  * `epoch_ns(ts)` agrees exactly.
   *
   * Scale notes:
   *  - The date spine (q76) is generated, not scanned: sequence+explode of

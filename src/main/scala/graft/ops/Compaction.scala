@@ -112,7 +112,7 @@ object Compaction {
     */
   def compactedEventsPath(s: SparkSession, d: String): String = {
     import org.apache.spark.sql.functions.{date_add, lit}
-    val h = (d.hashCode & 0x7fffffff).toHexString
+    val h = LayoutCache.sourceKey(d)
     LayoutCache.installOnce(s, s"c116_events_$h") { tmp =>
       graft.Tables.events(s, d)
         .withColumn("day", date_add(lit("1970-01-01").cast("date"),

@@ -22,6 +22,28 @@ object LayoutCache {
 
   private val installed = TrieMap.empty[String, String]
 
+  /** Content fingerprint of a source dir for use in layout names: a hash
+    * over the sorted (relative path, size, mtime) of every file under it.
+    * The warehouse outlives both JVMs and testdata generations, and
+    * installed layouts are trusted across JVMs — so a layout keyed on the
+    * source PATH alone would be served stale after the driver regenerates
+    * the testdata in place (it does, between rounds). Keying on content
+    * metadata makes a regeneration produce a fresh key; the orphaned old
+    * layout is dead weight on disk, never a wrong answer.
+    */
+  def sourceKey(d: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(d)
+    val parts =
+      if (!java.nio.file.Files.isDirectory(root)) Seq(d)
+      else java.nio.file.Files.walk(root).iterator.asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toSeq.sorted
+    ((d + parts.mkString("|")).hashCode & 0x7fffffff).toHexString
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {

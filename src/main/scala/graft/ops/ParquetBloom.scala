@@ -92,7 +92,7 @@ object ParquetBloom {
     */
   def bloomOrdersPath(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
-    val h = (d.hashCode & 0x7fffffff).toHexString
+    val h = LayoutCache.sourceKey(d)
     LayoutCache.installOnce(s, s"bloom114_orders_$h") { tmp =>
       val orders = graft.Tables.orders(s, d)
       // size the filter to the column's actual NDV (approx is fine — the

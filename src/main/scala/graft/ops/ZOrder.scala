@@ -84,7 +84,7 @@ object ZOrder {
     * every data copy into the same z-tiles and void the pruning).
     */
   def zLineitemPath(s: SparkSession, d: String): String = {
-    val h = (d.hashCode & 0x7fffffff).toHexString
+    val h = LayoutCache.sourceKey(d)
     LayoutCache.installOnce(s, s"z104_lineitem_$h") { tmp =>
       val li = graft.Tables.lineitem(s, d)
       val maxKey = li.agg(greatest(max("l_partkey"), max("l_suppkey")))

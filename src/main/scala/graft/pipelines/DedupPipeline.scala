@@ -203,6 +203,37 @@ object DedupPipeline {
     }
   }
 
+  /** The fold's outputs persisted ONCE per corpus dir via
+    * [[graft.ops.LayoutCache]] (the q104/q114/q116 first-touch layout
+    * contract — a maintained dedup index IS a physical layout of the
+    * corpus): the 3-batch fold runs on first touch, its band index and
+    * labels land in the session warehouse as parquet, and every consumer
+    * (q112's labels dump, q115's batch verdict, q128's leakage audit)
+    * reads the tables instead of re-folding. This is the production shape
+    * the simulation queries document — per-day cost is one [[addBatch]];
+    * CONSUMERS pay one batch-sized (or probe-sized) join, never a corpus
+    * re-shingle. Cached-vs-scratch bit-identity is pinned by
+    * DedupPipelineSpec.
+    */
+  def cachedFold(s: org.apache.spark.sql.SparkSession, d: String,
+      n: Int = 3): DedupIndex = {
+    val h = graft.ops.LayoutCache.sourceKey(d)
+    val p = graft.ops.LayoutCache.installOnce(
+        s, s"dedup112_index_n${n}_$h") { tmp =>
+      val ix = foldBatches(graft.Tables.documents(s, d), n)
+      ix.bands.write.parquet(tmp + "/bands")
+      ix.labels.write.parquet(tmp + "/labels")
+      // LayoutCache's completeness marker is a TOP-LEVEL _SUCCESS; the
+      // two table writes each put theirs one directory down
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(tmp, "_SUCCESS"))
+      ()
+    }
+    DedupIndex(
+      bands = s.read.parquet(p + "/bands"),
+      labels = s.read.parquet(p + "/labels"))
+  }
+
   /** The question the index answers each day: which of THIS batch's docs
     * are novel, and which duplicate something already in the corpus (or an
     * earlier doc of the same batch)? With min-doc_id labels the canonical

@@ -110,6 +110,22 @@ class DedupPipelineSpec extends SparkSpec {
     assert(verdict.count() == b0.count())
   }
 
+  test("cachedFold: the persisted LayoutCache index is bit-identical to " +
+    "the scratch fold, and consumers read parquet, not the closure") {
+    val scratch = DedupPipeline.foldBatches(Tables.documents(spark, sf), 3)
+    val cached = DedupPipeline.cachedFold(spark, sf)
+    assert(cached.labels.orderBy("v", "component").collect().toSeq ==
+      scratch.labels.orderBy("v", "component").collect().toSeq)
+    assert(cached.bands.orderBy("doc_id", "band_key").collect().toSeq ==
+      scratch.bands.orderBy("doc_id", "band_key").collect().toSeq)
+    // steady-state consumers scan the warehouse artifact — no minhash /
+    // band-join stages anywhere in their plans
+    assert(cached.labels.inputFiles.forall(_.contains("dedup112_index")),
+      cached.labels.inputFiles.take(3).mkString(", "))
+    val plan = cached.labels.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("band_key"), plan.take(500))
+  }
+
   test("labels materialize once: downstream plans read the checkpoint, " +
     "not the closure pipeline") {
     val out = DedupPipeline.run(Tables.documents(spark, sf))

@@ -407,6 +407,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q115 batch verdict reads the persisted dedup index — no fold " +
+      "re-run, no corpus re-shingle in the steady-state plan") {
+    val df = Queries.byName("q115_batch_verdict").build(spark, sf)
+    // the labels side is a parquet scan of the LayoutCache artifact
+    // (plan toString truncates scan locations — check inputFiles)
+    assert(df.inputFiles.exists(_.contains("dedup112_index")),
+      df.inputFiles.take(3).mkString(", "))
+    // and nothing upstream re-shingles or re-bands the corpus
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("band_key") && !p.toLowerCase.contains("minhash"),
+      s"verdict plan re-runs the signature pipeline:\n${p.take(800)}")
+  }
+
+  test("q130 substring dedup: nothing pairwise — dup detection rides the " +
+      "fp window and the token mark is an equi-join") {
+    val p = plan("q130_substring_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"stride-1 dedup degenerated to a pairwise comparison:\n${p.take(800)}")
+    // the corpus-wide recurrence check is ONE window over the 8-byte fp
+    // (narrow rows through the exchange), not a self-join of window text
+    assert(p.contains("row_number"), s"no rank-1 window:\n${p.take(400)}")
+    // per-doc reassembly aggregates with a partial (map-side) phase
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"no aggregate for reassembly:\n${p.take(400)}")
+  }
+
   test("q118 decontam compares corpus×eval through the cell equi-join, " +
       "broadcast eval side, never all-pairs") {
     val p = plan("q118_semantic_decontam")
