@@ -62,11 +62,40 @@ object Tables {
     * production 100 TB layout partitions by date (q96) where pruning
     * happens on the partition column, not raw `ts`.
     */
+  /** Dirs whose events.ts magnitude has been sanity-checked this JVM. */
+  private val tsMagnitudeChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  /** An int64 ts column is trusted as epoch-NANOS — if a future driver
+    * regeneration ships raw int64 epoch-micros/millis instead, the
+    * pass-through would silently misbucket every time query by 1000×.
+    * Guard: once per (JVM, dir), assert min(ts) sits in the epoch-ns
+    * magnitude band (~2014..2100). One single-column agg job on first
+    * use; skipped for empty tables.
+    */
+  private def assertNsMagnitude(dir: String, df: DataFrame): Unit =
+    tsMagnitudeChecked.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.min
+      val r = df.agg(min("ts")).head()
+      if (!r.isNullAt(0)) {
+        val mn = r.getLong(0)
+        require(mn > 1_400_000_000_000_000_000L &&
+          mn < 4_100_000_000_000_000_000L,
+          s"events.ts min=$mn is not epoch-nanos magnitude — the int64 " +
+            "column is being misread (epoch-micros/millis file?); fix " +
+            "Tables.events normalization for this encoding")
+      }
+    })
+
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros, lit}
     val df = t(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df // timestamp[ns] file + nanosAsLong=true: already epoch-nanos
+      case LongType =>
+        // timestamp[ns] file + nanosAsLong=true (or raw int64 nanos):
+        // already epoch-nanos — but verify the magnitude once per dir
+        assertNsMagnitude(d, df)
+        df
       case TimestampNTZType =>
         require(
           s.conf.getOption("spark.sql.session.timeZone").contains("UTC"),

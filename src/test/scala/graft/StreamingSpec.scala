@@ -34,14 +34,16 @@ class StreamingSpec extends SparkSpec {
     val stream1 = StreamingIngest.csvStream(spark, Tables.rankingsV1Schema, in,
       maxFilesPerTrigger = 1)
     val q1 = StreamingIngest.ingestAvailableNow(stream1, out, ckpt)
-    q1.awaitTermination(60000)
+    assert(q1.awaitTermination(60000),
+      "stream did not finish in 60s")
     assert(spark.read.parquet(out).count() == 3)
 
     // restart with no new files → no duplicates (flag-store analog)
     val q2 = StreamingIngest.ingestAvailableNow(
       StreamingIngest.csvStream(spark, Tables.rankingsV1Schema, in, 1),
       out, ckpt)
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(60000),
+      "stream did not finish in 60s")
     assert(spark.read.parquet(out).count() == 3)
 
     // new shard arrives → only it is ingested (resume-from-offset)
@@ -50,7 +52,8 @@ class StreamingSpec extends SparkSpec {
     val q3 = StreamingIngest.ingestAvailableNow(
       StreamingIngest.csvStream(spark, Tables.rankingsV1Schema, in, 1),
       out, ckpt)
-    q3.awaitTermination(60000)
+    assert(q3.awaitTermination(60000),
+      "stream did not finish in 60s")
     val rows = spark.read.parquet(out)
     assert(rows.count() == 4)
     assert(rows.filter(col("domain") === "baz.com").count() == 1)
@@ -93,7 +96,8 @@ class StreamingSpec extends SparkSpec {
 
     // run 2: restart from the checkpoint, drain the rest
     val q2 = StreamingIngest.ingestAvailableNow(stream(), out, ckpt)
-    q2.awaitTermination(180000)
+    assert(q2.awaitTermination(180000),
+      "stream did not finish in 180s")
     val got = spark.read.parquet(out)
     assert(got.count() == 4000, s"expected 4000 rows, got ${got.count()}")
     assert(got.exceptAll(src).isEmpty && src.exceptAll(got).isEmpty,
@@ -112,7 +116,8 @@ class StreamingSpec extends SparkSpec {
       ckpt) { (batch, _) =>
       batches.incrementAndGet(); seen.addAndGet(batch.count())
     }
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "stream did not finish in 60s")
     assert(seen.get() == 1 && batches.get() == 1)
   }
 
@@ -128,7 +133,8 @@ class StreamingSpec extends SparkSpec {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000),
+      "stream did not finish in 120s")
     val streamed = spark.table("chunk_twin")
       .orderBy("doc_id", "chunk_id").collect()
     val batch = QueriesCuration.contextChunks(
@@ -164,7 +170,8 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("win_agg")
       .outputMode("complete")
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "stream did not finish in 60s")
     val got = spark.table("win_agg").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(got == Map(3600L -> 3.0, 7200L -> 4.0))
@@ -197,7 +204,8 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("hop_agg")
       .outputMode("complete")
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "stream did not finish in 60s")
     val streamed = spark.table("hop_agg").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
     // batch: q100's offset-explode arithmetic (here in seconds) — the
@@ -240,7 +248,8 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("dedup_stream")
       .outputMode("append")
       .start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000),
+      "stream did not finish in 60s")
     val ids = spark.table("dedup_stream").collect()
       .map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L),
@@ -271,7 +280,8 @@ class StreamingSpec extends SparkSpec {
         .format("parquet")
         .outputMode("append")
         .start()
-      q.awaitTermination(60000)
+      assert(q.awaitTermination(60000),
+        "stream did not finish in 60s")
       spark.read.parquet(out).collect()
         .map(r => (r.getLong(0), r.getDouble(1))).toMap
     }

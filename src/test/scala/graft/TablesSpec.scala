@@ -53,17 +53,16 @@ class TablesSpec extends SparkSpec {
   }
 
   test("ts contract: timestamp[ns] fixture reads as epoch-ns longs") {
-    val dir = writeVariant("copy")(identity) // int64 round-trip sanity
-    // and the REAL ns file through Tables.events:
     val nsDir = Files.createTempDirectory("ts-real-ns").toString
     Files.copy(Paths.get(fixture), Paths.get(s"$nsDir/events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     assert(eventsNs(nsDir) == expectedNs)
-    assert(eventsNs(dir) == expectedNs)
   }
 
   test("ts contract: int64 epoch-nanos column passes through") {
-    val dir = writeVariant("int64")(df => df) // Spark writes LongType as int64
+    // Spark writes LongType as plain int64 — this round-trip IS the
+    // int64-encoding variant (it previously existed twice as 'copy').
+    val dir = writeVariant("int64")(identity)
     assert(eventsNs(dir) == expectedNs)
   }
 
@@ -89,6 +88,16 @@ class TablesSpec extends SparkSpec {
       case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
       case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
     }
+  }
+
+  test("ts contract: raw int64 epoch-MICROS is rejected loudly, not " +
+    "silently misbucketed 1000x") {
+    val dir = writeVariant("us-int64")(df =>
+      df.withColumn("ts", expr("ts DIV 1000L"))) // int64 micros magnitude
+    val e = intercept[IllegalArgumentException] {
+      Tables.events(spark, dir)
+    }
+    assert(e.getMessage.contains("epoch-nanos magnitude"))
   }
 
   test("ts contract: driver testdata itself normalizes to LongType ns") {

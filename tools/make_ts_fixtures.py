@@ -4,8 +4,10 @@
 Spark cannot WRITE parquet timestamp[ns] (it writes INT96/us), so the one
 physical form TablesSpec cannot produce at runtime is checked in:
 src/test/resources/events_ts_ns.parquet — 10 rows, driver-events schema,
-ts values chosen near bucket boundaries (second/hour/day multiples ±1ns)
-where a lossy double conversion or wrong-unit multiply would misbucket.
+ts values chosen near bucket boundaries (second/hour/day multiples ±1µs —
+µs-exact on purpose, so the timestamp[us] spec variants represent the same
+instants losslessly) where a lossy double conversion or wrong-unit
+multiply would misbucket.
 The us/NTZ and int64 variants are written by the spec itself via Spark;
 all three must yield identical epoch-ns longs from Tables.events.
 
