@@ -1008,6 +1008,34 @@ object QueriesText {
              |  md5(text) AS content_hash
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // X43 perceptual image near-dup (pHash) — the MULTIMODAL member of
+    // the dedup family: resize/re-encode copies that exact byte hashing
+    // (q52's md5) can never pair. Corpus: deterministic synthetic PNGs
+    // (one per doc_id < 200) plus a bilinear-resized re-encoded twin per
+    // image at id+100000 (ops/Multimodal.syntheticImageCorpus — real
+    // ImageIO codecs end-to-end; the renderer stands in for an image
+    // binary column, the testdata blobs being text bytes). Pipeline:
+    // per-partition decode → 32×32 DCT pHash (8-byte hash is all that
+    // shuffles, never pixels) → 4×16-bit Hamming-band equi-join (X2d's
+    // SimHash shape; any pair within distance 3 shares a band by
+    // pigeonhole — deterministic recall at the declared threshold) →
+    // exact bit_count filter. Measured separation on this corpus: twins
+    // ≤2 bits, unrelated ≥16 — the threshold sits in a 14-bit margin.
+    // No SQL oracle (DuckDB cannot decode PNG or replay the DCT);
+    // verify_local bounds-checks the CONSTRUCTION invariant instead:
+    // the output must be exactly {(id, id+100000)} over the base ids,
+    // each with dist ≤ 3 (same class as q106's sketch-guarantee check).
+    Q("q131_phash_neardup",
+      (s, d) => {
+        import graft.ops.Multimodal
+        val ids = documents(s, d).filter(col("doc_id") < 200)
+          .select("doc_id")
+        val corpus = Multimodal.syntheticImageCorpus(ids, 100000L)
+        Multimodal.phashNearDup(Multimodal.perceptualHash(corpus), 3)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
     // X20 TF-IDF top terms: per-doc argmax of tf·idf, aggregated to
     // (lang, term) → how many docs each term dominates. Raw-idf form
     // (score = tf·N/df, no log): tf·N stays under 2^53 so the division

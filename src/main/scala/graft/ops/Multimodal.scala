@@ -223,6 +223,176 @@ object Multimodal {
       .toDF("doc_id", "features")
   }
 
+  // ---- perceptual hash (image near-dup tier) ------------------------------
+
+  /** 32-point DCT-II basis, a(u)·cos((2x+1)uπ/64) — precomputed once per
+    * JVM (the per-task initialization a mapPartitions decoder amortizes).
+    */
+  private lazy val dctBasis: Array[Array[Double]] = {
+    val n = 32
+    Array.tabulate(n, n) { (u, x) =>
+      val a = if (u == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+      a * math.cos((2 * x + 1) * u * math.Pi / (2 * n))
+    }
+  }
+
+  /** Classic DCT perceptual hash (pHash): grayscale bilinear resize to
+    * 32×32 → 2D DCT-II → keep the low-frequency 8×8 block → each bit is
+    * coefficient > median-of-block. Two images that differ only by
+    * resize / re-encode / mild noise keep most low-frequency structure,
+    * so their hashes sit within a few bits of each other; unrelated
+    * images land ~32 bits apart. Pure double math over a deterministic
+    * JDK decode — same bytes, same hash, every task.
+    */
+  def phash64(img: java.awt.image.BufferedImage): Long = {
+    val n = 32
+    val gray = new java.awt.image.BufferedImage(
+      n, n, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = gray.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, n, n, null)
+    } finally g.dispose()
+    val p = Array.ofDim[Double](n, n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        p(y)(x) = gray.getRaster.getSample(x, y, 0).toDouble
+        x += 1
+      }
+      y += 1
+    }
+    // separable 2D DCT, low 8×8 block only: C · P · Cᵀ restricted to u,v<8
+    val block = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) {
+          var xx = 0
+          var row = 0.0
+          while (xx < n) { row += p(yy)(xx) * dctBasis(v)(xx); xx += 1 }
+          s += row * dctBasis(u)(yy)
+          yy += 1
+        }
+        block(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = block.clone(); java.util.Arrays.sort(sorted)
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (block(i) > median) h |= (1L << i); i += 1 }
+    h
+  }
+
+  /** (doc_id, blob) → (doc_id, phash) through the per-partition decode
+    * seam; undecodable blobs are dropped (the quarantine path is
+    * [[decodeImage]]'s "undecodable" rows). Narrow output — the 8-byte
+    * hash is what shuffles, never pixels.
+    */
+  def perceptualHash(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          readImage(bytes).map(img => (id, phash64(img)))
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
+  /** Hamming-band blocked near-dup pairs over a (doc_id, phash) table —
+    * the X2d SimHash band-join shape applied to the image tier: the
+    * 64-bit hash splits into 4 disjoint 16-bit bands; candidates share at
+    * least one exact band (equi-join on (band_no, band_val) — never
+    * all-pairs), then the exact popcount distance filters to `maxDist`.
+    * Pigeonhole guarantee: any pair within Hamming distance 3 shares a
+    * band deterministically; larger distances are caught when some band
+    * survives (probability falls with distance — the LSH recall curve).
+    * Scale: band buckets are duplicate-density-sized; the pair explode is
+    * bounded by bucket occupancy like the MinHash tier, and the exact
+    * check runs only on candidates.
+    */
+  def phashNearDup(hashes: DataFrame, maxDist: Int): DataFrame = {
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(expr(
+        "transform(sequence(0, 3)," +
+          " i -> struct(i AS band_no," +
+          " shiftright(phash, i * 16) & 65535 AS band_val))")).as("b"))
+      .select(col("doc_id"), col("phash"),
+        col("b.band_no").as("band_no"), col("b.band_val").as("band_val"))
+    val a = banded.select(col("doc_id").as("a_id"), col("phash").as("a_h"),
+      col("band_no"), col("band_val"))
+    val b = banded.select(col("doc_id").as("b_id"), col("phash").as("b_h"),
+      col("band_no"), col("band_val"))
+    a.join(b, Seq("band_no", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_h", "b_h").distinct()
+      .withColumn("dist", expr("bit_count(a_h ^ b_h)"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist").cast("int").as("dist"))
+  }
+
+  /** splitmix64 finalizer — the deterministic per-cell luminance source
+    * for [[syntheticImageCorpus]].
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic synthetic image corpus for the declared phash query:
+    * each id renders a 48×32 PNG of an 8×8 grid of cells whose
+    * luminances are splitmix64(id, cell) — rich, id-unique LOW-frequency
+    * structure (exactly the band the 8×8 DCT block measures), so
+    * distinct ids land ~half the hash apart. Each image gets a NEAR-DUP
+    * TWIN (id + `twinOffset`): bilinear-resized to 3/4 and re-encoded —
+    * the resize/re-encode near-dup class, detectable by phash but
+    * invisible to exact byte hashing. Real codecs end-to-end (ImageIO
+    * PNG write → read); the renderer stands in for "images arrived in a
+    * binary column" since the testdata blobs are text bytes.
+    */
+  def syntheticImageCorpus(ids: DataFrame, twinOffset: Long): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val base = ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 48) {
+              val cell = (y / 4) * 8 + (x / 6)
+              val lum = (mix64(id * 64L + cell) & 0xff).toInt
+              img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          (id, buf.toByteArray)
+        }
+      }
+      .toDF("doc_id", "blob")
+    val twins = resizeImage(base, 36, 24)
+      .select((col("doc_id") + twinOffset).as("doc_id"), col("blob"))
+    base.unionByName(twins)
+  }
+
   /** Feature extraction: 16-bin byte histogram, L1-normalized to a
     * fixed-dim Array[Float]. Unlike the decode this is NOT a stub — a byte
     * histogram is a real (if simple) content feature, and its output plugs

@@ -142,4 +142,43 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("dot") <= 0.0).count()
     assert(self == 0L, "degenerate zero feature vector")
   }
+
+  test("pHash: resize/re-encode twins hash within 3 bits; unrelated " +
+    "images stay >= 8 apart; the hash is stable across runs") {
+    import spark.implicits._
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val corpus = Multimodal.syntheticImageCorpus(ids, 100000L)
+    val h = Multimodal.perceptualHash(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h.size == 120, s"expected 60 base + 60 twins, got ${h.size}")
+    (0L until 60L).foreach { i =>
+      val d = java.lang.Long.bitCount(h(i) ^ h(i + 100000L))
+      assert(d <= 3, s"twin of $i drifted $d bits")
+    }
+    for (i <- 0L until 60L; j <- (i + 1) until 60L) {
+      val d = java.lang.Long.bitCount(h(i) ^ h(j))
+      assert(d >= 8, s"unrelated $i,$j only $d bits apart")
+    }
+    // determinism: a fresh decode+hash run reproduces every hash
+    val h2 = Multimodal.perceptualHash(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h2 == h, "pHash is not deterministic across runs")
+  }
+
+  test("pHash band join finds exactly the planted twin pairs — and " +
+    "never via a pairwise plan") {
+    import spark.implicits._
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val corpus = Multimodal.syntheticImageCorpus(ids, 100000L)
+    val pairs = Multimodal.phashNearDup(
+      Multimodal.perceptualHash(corpus), maxDist = 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band blocking degenerated to all-pairs:\n${plan.take(600)}")
+    val got = pairs.orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (0L until 60L).map(i => (i, i + 100000L)),
+      s"pairs mismatch: ${got.take(5)}...")
+  }
 }

@@ -235,6 +235,34 @@ if os.path.isdir(q110):
     else:
         bounds_checked.append("q110_ann_pq")
 
+# q131 (pHash near-dup): DuckDB cannot decode PNG or replay the DCT, but
+# the corpus CONSTRUCTION is the oracle — each base image (doc_id < 200
+# from documents) has exactly one planted resize/re-encode twin at
+# id+100000, twins measure <= 2 bits apart and unrelated images >= 16
+# (Multimodal.syntheticImageCorpus scaladoc), so at threshold 3 the output
+# must be exactly {(id, id+100000)} with dist in [0, 3].
+q131 = f"{out}/q131_phash_neardup"
+if os.path.isdir(q131):
+    got = con.execute(
+        "SELECT a_id, b_id, dist FROM "
+        f"read_parquet('{q131}/*.parquet') ORDER BY a_id").fetchall()
+    base = [r[0] for r in con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id < 200"
+        " ORDER BY doc_id").fetchall()]
+    bad = []
+    expect = [(i, i + 100000) for i in base]
+    if [(a, b) for a, b, _ in got] != expect:
+        bad.append(f"pairs != planted twins: got {len(got)} rows, "
+                   f"expected {len(expect)}; first diff "
+                   f"{next((g for g, e in zip(got, expect) if (g[0], g[1]) != e), got[:1] or expect[:1])}")
+    for a, b, dist in got:
+        if not (0 <= dist <= 3):
+            bad.append(f"({a},{b}): dist {dist} outside [0,3]")
+    if bad:
+        fails.append(("q131_phash_neardup", "; ".join(bad[:5])))
+    else:
+        bounds_checked.append("q131_phash_neardup")
+
 for name in sorted(set(os.path.basename(d) for d in glob.glob(f"{out}/q*"))):
     if name not in oracle and name not in bounds_checked:
         skips.append(name)
