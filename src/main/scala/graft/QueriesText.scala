@@ -155,8 +155,15 @@ object QueriesText {
     * materialization barrier: band keys and the self-join below see four
     * plain longs per doc, never the shingle+md5 pipeline.
     */
-  private[graft] def bandPairs(docs: DataFrame): DataFrame = {
-    val bands = bandKeys(docs)
+  private[graft] def bandPairs(docs: DataFrame): DataFrame =
+    bandPairsFrom(bandKeys(docs))
+
+  /** The candidate self-join over an EXISTING `(doc_id, band_key)` table —
+    * shared by the from-scratch path ([[bandPairs]]) and consumers of the
+    * persisted index (q128 probes `DedupPipeline.cachedFold(...).bands`
+    * so the audit never re-shingles the corpus).
+    */
+  private[graft] def bandPairsFrom(bands: DataFrame): DataFrame = {
     val a = bands.select(col("doc_id").as("a_id"), col("band_key"))
     val b = bands.select(col("doc_id").as("b_id"), col("band_key"))
     a.join(b, Seq("band_key"))
@@ -1372,15 +1379,20 @@ object QueriesText {
     // relative to the corpus), so it broadcasts to the split-label join —
     // the corpus itself is scanned once for labels (a narrow doc_id
     // projection; the split is a pure content-hash function, q85) and
-    // never shuffled. At 100 TB this runs as an incremental audit over
-    // the persisted band index (DedupPipeline) rather than re-signing.
+    // never shuffled. Candidates probe the PERSISTED band index
+    // (DedupPipeline.cachedFold — the same LayoutCache artifact q112
+    // dumps and q115 consumes), so the audit is the incremental form it
+    // documents: NO corpus re-shingle anywhere in the plan (PlanSpec
+    // gate); per-audit cost is the index self-join + one narrow label
+    // scan.
     Q("q128_split_leakage",
       (s, d) => {
         val splits = documents(s, d).select(col("doc_id"),
           when(QueriesCuration.bucket("split:") < 80, "train")
             .when(QueriesCuration.bucket("split:") < 90, "val")
             .otherwise("test").as("split"))
-        val pairs = bandPairs(documents(s, d))
+        val pairs = bandPairsFrom(
+          graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
         splits.select(col("doc_id").as("a_id"), col("split").as("a_split"))
           .join(broadcast(pairs), Seq("a_id"))
           .join(splits.select(col("doc_id").as("b_id"),

@@ -502,6 +502,22 @@ class PlanSpec extends SparkSpec {
       s"candidate pairs not broadcast against the split labels:\n$p")
   }
 
+  test("q128 audits against the PERSISTED band index — no corpus " +
+      "re-shingle in the incremental path") {
+    val df = Queries.byName("q128_split_leakage").build(spark, sf)
+    assert(df.inputFiles.exists(_.contains("dedup112_index")),
+      s"candidates do not probe the persisted index: " +
+        df.inputFiles.take(3).mkString(", "))
+    // the signature pipeline must be absent: band keys come from the
+    // index scan, not recomputation. Its unmistakable markers are the
+    // shingle lead() window and the b0/b1 band-key concat literals (the
+    // split-label side legitimately uses md5 for the bucket hash, so
+    // "md5" alone is not a valid marker).
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("lead(") && !p.contains("concat_ws(-, b0"),
+      s"audit plan re-shingles the corpus:\n${p.take(800)}")
+  }
+
   test("q129 chunk-dup rate derives the chunk table ONCE — window count " +
       "over fp, not a second md5 pass through an agg+join") {
     val p = plan("q129_chunk_dup_rate")
