@@ -1043,6 +1043,61 @@ object QueriesText {
       },
       None),
 
+    // X44 audio near-dup — the AUDIO member of the dedup family:
+    // resampled/re-encoded clips that byte hashing can never pair.
+    // Corpus: deterministic two-voice synthetic score per id, encoded as
+    // real WAV (javax.sound — the JDK's own RIFF codec), plus a planted
+    // twin at id+100000: the same clip linear-resampled 8 kHz → 5.512 kHz
+    // and re-encoded. Pipeline: per-partition WAV decode → 64-bit
+    // chromaprint-family fingerprint (Goertzel band energies over 32
+    // duration-fraction slices, sign-of-cross-voice-comparison bits —
+    // gain- and resample-invariant; only the 8-byte fingerprint ever
+    // shuffles) → the X2d/X43 4×16-bit Hamming-band equi-join → exact
+    // bit_count ≤ 3 (pigeonhole ⇒ deterministic recall). Measured
+    // separation over 200 ids: twins drift 0 bits, unrelated ≥ 13.
+    // No SQL oracle (DuckDB cannot decode WAV or replay Goertzel);
+    // verify_local bounds-checks the construction invariant: output ==
+    // exactly {(id, id+100000)}, dist ∈ [0,3] (q131's check class).
+    Q("q132_audio_neardup",
+      (s, d) => {
+        import graft.ops.MultimodalAv
+        val ids = documents(s, d).filter(col("doc_id") < 150)
+          .select("doc_id")
+        val corpus = MultimodalAv.syntheticAudioCorpus(ids, 100000L)
+        MultimodalAv.hammingNearDup(
+          MultimodalAv.audioFingerprints(corpus), "doc_id", "afp", 3)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
+    // X45 video scene dedup — the VIDEO member: clips sharing scenes
+    // under re-encode/resize, via real multi-frame containers (animated
+    // GIF through ImageIO's sequence codec — palette quantization, LZW).
+    // Corpus: 6-frame clip per id + a planted twin at id+100000 with
+    // every frame bilinear-resized to 3/4 and the clip re-encoded.
+    // Pipeline: per-partition frame sampling (every 2nd frame) → per-
+    // frame DCT pHash (X43's hash; 8-byte rows leave the seam, frames
+    // never shuffle) → Hamming-band equi-join on frame hashes → exact
+    // bit_count ≤ 3 → matched frames counted per clip pair, pairs with
+    // ≥ 2 shared scenes survive. Twin frames measure ≤ 2 bits except one
+    // frame in 360 at 4 (GIF palette quantization on top of the resize),
+    // unrelated ≥ 16 — the ≥2-of-3 scene threshold is exactly why real
+    // scene-overlap detectors don't require every frame to re-match.
+    // No SQL oracle (no GIF/DCT in DuckDB); verify_local checks the
+    // construction invariant: output == planted pairs, frames_matched
+    // ∈ [2, 3].
+    Q("q133_video_scene_dedup",
+      (s, d) => {
+        import graft.ops.MultimodalAv
+        val ids = documents(s, d).filter(col("doc_id") < 120)
+          .select("doc_id")
+        val corpus = MultimodalAv.syntheticVideoCorpus(ids, 100000L)
+        MultimodalAv.sceneDupPairs(
+          MultimodalAv.sampleFrameHashes(corpus, 2), 3, 2)
+          .orderBy("a_id", "b_id")
+      },
+      None),
+
     // X20 TF-IDF top terms: per-doc argmax of tf·idf, aggregated to
     // (lang, term) → how many docs each term dominates. Raw-idf form
     // (score = tf·N/df, no log): tf·N stays under 2^53 so the division

@@ -201,7 +201,9 @@ class IngestSpec extends SparkSpec {
     val noOracle = Set("q08b_approx_distinct", "q63b_approx_percentiles",
       "q106_cms_heavy_hitters", "q108_hll_rollup",
       "q110_ann_pq", // sketch/quantizer twins — no SQL-replayable form
-      "q131_phash_neardup") // DuckDB can't decode PNG / replay the DCT
+      "q131_phash_neardup", // DuckDB can't decode PNG / replay the DCT
+      "q132_audio_neardup", // DuckDB can't decode WAV / replay Goertzel
+      "q133_video_scene_dedup") // DuckDB can't decode GIF frames
     // each of the six is quantitatively bounds-checked by
     // tools/verify_local.py (BOUNDS-PASS) — none is trust-the-spec
     val missing = SparkEntry.queries.keySet --

@@ -263,6 +263,64 @@ if os.path.isdir(q131):
     else:
         bounds_checked.append("q131_phash_neardup")
 
+# q132 (audio near-dup): DuckDB cannot decode WAV or replay Goertzel; the
+# construction is the oracle — each base clip (doc_id < 150) has exactly
+# one planted resample/re-encode twin at id+100000; twins drift 0 bits
+# (measured over 200 ids — the margined cross-voice bit design) and
+# unrelated clips sit >= 13 bits apart, so at threshold 3 the output must
+# be exactly {(id, id+100000)} with dist in [0, 3].
+q132 = f"{out}/q132_audio_neardup"
+if os.path.isdir(q132):
+    got = con.execute(
+        "SELECT a_id, b_id, dist FROM "
+        f"read_parquet('{q132}/*.parquet') ORDER BY a_id").fetchall()
+    base = [r[0] for r in con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id < 150"
+        " ORDER BY doc_id").fetchall()]
+    bad = []
+    expect = [(i, i + 100000) for i in base]
+    if [(a, b) for a, b, _ in got] != expect:
+        bad.append(f"pairs != planted twins: got {len(got)} rows, "
+                   f"expected {len(expect)}; first diff "
+                   f"{next((g for g, e in zip(got, expect) if (g[0], g[1]) != e), got[:1] or expect[:1])}")
+    for a, b, dist in got:
+        if not (0 <= dist <= 3):
+            bad.append(f"({a},{b}): dist {dist} outside [0,3]")
+    if bad:
+        fails.append(("q132_audio_neardup", "; ".join(bad[:5])))
+    else:
+        bounds_checked.append("q132_audio_neardup")
+
+# q133 (video scene dedup): DuckDB cannot decode GIF frames; the
+# construction is the oracle — each base 6-frame clip (doc_id < 120) has
+# one planted resized re-encoded twin at id+100000. Unrelated frames sit
+# >= 16 bits apart (never pair), twin frames measure <= 2 bits except one
+# frame in 360 at 4 (GIF palette quantization noise on top of the
+# resize — the reason the operator thresholds on >= 2 of 3 shared scenes
+# instead of all 3, like any real scene-overlap detector). So the output
+# must be exactly {(id, id+100000)} with frames_matched in [2, 3].
+q133 = f"{out}/q133_video_scene_dedup"
+if os.path.isdir(q133):
+    got = con.execute(
+        "SELECT a_id, b_id, frames_matched FROM "
+        f"read_parquet('{q133}/*.parquet') ORDER BY a_id").fetchall()
+    base = [r[0] for r in con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id < 120"
+        " ORDER BY doc_id").fetchall()]
+    bad = []
+    expect = [(i, i + 100000) for i in base]
+    if [(a, b) for a, b, _ in got] != expect:
+        bad.append(f"pairs != planted twin pairs: got {len(got)} rows, "
+                   f"expected {len(expect)}; first diff "
+                   f"{next((g for g, e in zip(got, expect) if (g[0], g[1]) != e), got[:1] or expect[:1])}")
+    for a, b, nf in got:
+        if not (2 <= nf <= 3):
+            bad.append(f"({a},{b}): frames_matched {nf} outside [2,3]")
+    if bad:
+        fails.append(("q133_video_scene_dedup", "; ".join(bad[:5])))
+    else:
+        bounds_checked.append("q133_video_scene_dedup")
+
 for name in sorted(set(os.path.basename(d) for d in glob.glob(f"{out}/q*"))):
     if name not in oracle and name not in bounds_checked:
         skips.append(name)
