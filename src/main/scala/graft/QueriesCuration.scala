@@ -229,6 +229,74 @@ object QueriesCuration {
               |FROM documents GROUP BY source
               |ORDER BY source""".stripMargin)),
 
+    // X49 temperature-scaled mixing allocation — the sampling-budget step
+    // multilingual/multi-source pretraining runs (α-smoothed multinomial,
+    // Conneau & Lample 2019): per-source sampling mass ∝ n^α with α=1/2,
+    // flattening the natural distribution so small sources are not
+    // swamped; a fixed budget B=100000 is allotted by largest-remainder
+    // rounding (Hamilton's method), so Σ alloc = B EXACTLY — downstream
+    // shard writers depend on that invariant. Cross-engine discipline:
+    // w = floor(1e6·sqrt(n)) is one exactly-rounded IEEE sqrt + multiply
+    // (bit-identical in any engine) frozen to integer fixed point, so the
+    // total W, every quotient, and every remainder are exact BIGINT
+    // arithmetic — no accumulation-order-dependent double sums (the
+    // Scalars.moneySum lesson applied to sampling weights).
+    // Scale shape: one partial+final count over sources-many groups; the
+    // weight/allocation arithmetic runs on the sources-sized table (by
+    // nature tiny — a mixing table is human-curated cardinality), with
+    // the totals broadcast back and the remainder ranking a window over
+    // that same tiny table. The corpus is scanned once, for the counts.
+    Q("q137_mix_allocation",
+      (s, d) => {
+        // the sources-sized weight table is materialized ONCE
+        // (localCheckpoint = the production write of the mixing table):
+        // totals, quotients, and the remainder ranking all derive from it,
+        // so the corpus is scanned exactly once, for the counts.
+        val counts = documents(s, d)
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w_fp",
+            floor(lit(1e6) * sqrt(col("n_docs").cast("double"))))
+          .localCheckpoint(true)
+        val tot = counts.agg(sum("w_fp").as("w_tot"))
+        val base = counts.crossJoin(broadcast(tot))
+          .withColumn("alloc_base", expr("(100000L * w_fp) DIV w_tot"))
+          .withColumn("rem", expr("(100000L * w_fp) % w_tot"))
+        val lo = base.agg((lit(100000L) - sum("alloc_base")).as("leftover"))
+        val wr = Window.orderBy(col("rem").desc, col("source").asc)
+        base.crossJoin(broadcast(lo))
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("alloc",
+            col("alloc_base") +
+              when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .select("source", "n_docs", "w_fp", "alloc")
+          .orderBy("source")
+      },
+      Some("""WITH counts AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY source),
+             |wf AS (
+             |  SELECT source, n_docs,
+             |    CAST(floor(1e6 * sqrt(CAST(n_docs AS DOUBLE)))
+             |      AS BIGINT) AS w_fp
+             |  FROM counts),
+             |tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_tot FROM wf),
+             |base AS (
+             |  SELECT wf.source, wf.n_docs, wf.w_fp,
+             |    (100000 * wf.w_fp) // t.w_tot AS alloc_base,
+             |    (100000 * wf.w_fp) % t.w_tot AS rem
+             |  FROM wf CROSS JOIN tot t),
+             |lo AS (SELECT CAST(100000 - sum(alloc_base) AS BIGINT)
+             |         AS leftover FROM base),
+             |rk AS (
+             |  SELECT source, n_docs, w_fp, alloc_base,
+             |    CAST(row_number() OVER (
+             |      ORDER BY rem DESC, source ASC) AS BIGINT) AS rk
+             |  FROM base)
+             |SELECT source, n_docs, w_fp,
+             |  CAST(alloc_base + (CASE WHEN rk.rk <= lo.leftover
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+             |FROM rk CROSS JOIN lo ORDER BY source""".stripMargin)),
+
     // X17 incremental corpus upsert — latest-version-wins per doc_id (the
     // relational form of ClickHouse ReplacingMergeTree / SCD-1: a re-crawl
     // batch replaces prior versions of the same document). Stand-in update

@@ -218,6 +218,101 @@ object QueriesText {
       |         str_split(text, ' ')[i+2]))
       |  ELSE [text] END)""".stripMargin
 
+  /** The dedup-closure replay shared by the q92/q93/q135 oracles: shingles
+    * → minhash signatures → band keys → candidate pairs → symmetric edges
+    * → recursive reachability → per-vertex min-label component (the SQL
+    * twin of DedupPipeline.labels). Callers prepend `WITH RECURSIVE` and
+    * append their consumer CTEs / final SELECT.
+    */
+  private lazy val closureSqlCtes: String = {
+    def h(i: Int): String = minhashSqlExpr(MinhashAB(i)._1, MinhashAB(i)._2)
+    s"""t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+       |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+       |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+       |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+       |bands AS (
+       |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs),
+       |verts AS (SELECT DISTINCT src AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e
+       |    ON e.src = reach.v),
+       |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)"""
+      .stripMargin
+  }
+
+  /** q123's exact fixed-point BM25 scorer over the fixed 3-term query —
+    * (doc_id, terms_hit, score_fp), un-ranked — shared by the standalone
+    * relevance ranking (q123) and the RRF hybrid fusion (q134). Semantics
+    * and the cross-engine fixed-point discipline are documented at q123.
+    */
+  private[graft] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("vector", "stream", "query")
+    val base = fanOut(documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("l_total"))
+    val hit = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = hit.groupBy("tok").agg(count(lit(1)).as("df"))
+    hit.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("numer", lit(22L) * col("tf") * col("l_total") *
+        (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+      .withColumn("denom",
+        (lit(10L) * col("tf") * col("l_total") +
+          lit(3L) * col("l_total") +
+          lit(9L) * col("dl") * col("n_docs")) *
+          (lit(2L) * col("df") + lit(1L)))
+      .withColumn("term_fp",
+        floor(lit(1e9) * col("numer") / col("denom")).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("terms_hit"), sum("term_fp").as("score_fp"))
+  }
+
+  /** DuckDB twin of [[bm25Scored]]: CTE chain ending in
+    * `bm25(doc_id, terms_hit, score_fp)`. Callers prepend `WITH`.
+    */
+  private lazy val bm25SqlCtes: String =
+    """base AS (SELECT doc_id, str_split(text, ' ') AS toks
+      |             FROM documents),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |            CAST(sum(len(toks)) AS BIGINT) AS l_total
+      |          FROM base),
+      |hit AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
+      |          max(dl) AS dl
+      |        FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |                unnest(toks) AS tok FROM base)
+      |        WHERE tok IN ('vector', 'stream', 'query')
+      |        GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+      |          FROM hit GROUP BY 1),
+      |scored AS (SELECT h.doc_id,
+      |    CAST(floor((1e9 * (22 * h.tf * s.l_total *
+      |        (2 * s.n_docs - 2 * f.df + 1))) /
+      |      ((10 * h.tf * s.l_total + 3 * s.l_total +
+      |        9 * h.dl * s.n_docs) * (2 * f.df + 1)))
+      |      AS BIGINT) AS term_fp
+      |  FROM hit h JOIN dfreq f USING (tok) CROSS JOIN stats s),
+      |bm25 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS terms_hit,
+      |    CAST(sum(term_fp) AS BIGINT) AS score_fp
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X1 exact dedup: content-hash groupBy, keep min doc_id per hash.
@@ -811,32 +906,8 @@ object QueriesText {
           graft.pipelines.DedupPipeline.labels(docs))
       },
       Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
         s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id),
-           |edges AS (
-           |  SELECT a_id AS src, b_id AS dst FROM pairs
-           |  UNION
-           |  SELECT b_id, a_id FROM pairs),
-           |verts AS (SELECT DISTINCT src AS v FROM edges),
-           |reach(v, r) AS (
-           |  SELECT v, v FROM verts
-           |  UNION
-           |  SELECT e.dst, reach.r FROM reach JOIN edges e
-           |    ON e.src = reach.v),
-           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+           |$closureSqlCtes,
            |sizes AS (SELECT component, count(*) AS csize
            |          FROM comp GROUP BY component)
            |SELECT CAST(csize AS BIGINT) AS csize,
@@ -861,32 +932,8 @@ object QueriesText {
           graft.pipelines.DedupPipeline.labels(docs))
       },
       Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
         s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id),
-           |edges AS (
-           |  SELECT a_id AS src, b_id AS dst FROM pairs
-           |  UNION
-           |  SELECT b_id, a_id FROM pairs),
-           |verts AS (SELECT DISTINCT src AS v FROM edges),
-           |reach(v, r) AS (
-           |  SELECT v, v FROM verts
-           |  UNION
-           |  SELECT e.dst, reach.r FROM reach JOIN edges e
-           |    ON e.src = reach.v),
-           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+           |$closureSqlCtes,
            |lab AS (
            |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
            |         d.n_chars
@@ -896,6 +943,65 @@ object QueriesText {
            |         row_number() OVER (PARTITION BY cluster
            |           ORDER BY n_chars DESC, doc_id ASC) AS rn
            |  FROM lab) WHERE rn = 1 ORDER BY cluster""".stripMargin
+      }),
+
+    // X46 cluster-size-weighted SOFT dedup sampling — the D4/SemDeDup-family
+    // alternative to hard dedup (q93 keeps ONE survivor per cluster): every
+    // member of an n-doc near-dup cluster is kept with probability 1/n, so
+    // each distinct content contributes ~1 expected doc while intra-cluster
+    // variety (crawl timestamps, mirrors, near-variants) survives
+    // proportionally. Weights are exact ppm fixed point (1e6 DIV csize);
+    // the keep decision is the X11 deterministic content-hash rule, NOT
+    // rand() — reproducible across runs/partitionings, point-answerable
+    // per doc. Output = per-source raw docs, summed weight (the effective
+    // post-sampling corpus size in ppm-docs), and the realized keep count.
+    // Scale shape: one closure (the q92 pipeline, edge-list-sized
+    // shuffles), cluster sizes via a window over the cluster label — 8-byte
+    // keys, O(1) rows per cluster partition — then a partial agg over
+    // sources-many groups; nothing pairwise, nothing collected.
+    Q("q135_soft_dedup_sample",
+      (s, d) => {
+        val docs = documents(s, d)
+        val labels = graft.pipelines.DedupPipeline.labels(docs)
+        val labeled = docs
+          .join(labels, docs("doc_id") === labels("v"), "left")
+          .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        val wc = Window.partitionBy("cluster")
+        labeled
+          .withColumn("csize", count(lit(1)).over(wc))
+          .withColumn("w_ppm", expr("1000000L DIV csize"))
+          .withColumn("kept",
+            pmod(Scalars.tokenHash(
+              concat(lit("soft:"), col("doc_id").cast("string"))),
+              lit(1000000L)) < col("w_ppm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("w_ppm").as("eff_ppm"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+          .orderBy("source")
+      },
+      Some {
+        val keepHash = "(('0x' || substr(md5('soft:' || " +
+          "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)"
+        s"""WITH RECURSIVE
+           |$closureSqlCtes,
+           |lab AS (
+           |  SELECT d.doc_id, d.source,
+           |         coalesce(c.component, d.doc_id) AS cluster
+           |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id),
+           |wgt AS (
+           |  SELECT doc_id, source,
+           |         1000000 // (count(*) OVER (PARTITION BY cluster))
+           |           AS w_ppm
+           |  FROM lab),
+           |k AS (
+           |  SELECT source, w_ppm,
+           |         CASE WHEN $keepHash < w_ppm THEN 1 ELSE 0 END AS kept
+           |  FROM wgt)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(w_ppm) AS BIGINT) AS eff_ppm,
+           |       CAST(sum(kept) AS BIGINT) AS kept_docs
+           |FROM k GROUP BY source ORDER BY source""".stripMargin
       }),
 
     // X27 incremental dedup — the index-maintenance form of q92: the corpus
@@ -1259,59 +1365,141 @@ object QueriesText {
     // 100 TB per-query cost is O(postings of the query terms), the same
     // asymptotics as a Lucene/ES query, with no index build required.
     Q("q123_bm25_relevance",
-      (s, d) => {
-        val terms = Seq("vector", "stream", "query")
-        val base = fanOut(documents(s, d))
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        val stats = base.agg(count(lit(1)).as("n_docs"),
-          sum(size(col("toks")).cast("long")).as("l_total"))
-        val hit = base
-          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-            explode(col("toks")).as("tok"))
-          .filter(col("tok").isin(terms: _*))
-          .groupBy("doc_id", "tok")
-          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-        val dfreq = hit.groupBy("tok").agg(count(lit(1)).as("df"))
-        hit.join(broadcast(dfreq), "tok")
-          .crossJoin(broadcast(stats))
-          .withColumn("numer", lit(22L) * col("tf") * col("l_total") *
-            (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
-          .withColumn("denom",
-            (lit(10L) * col("tf") * col("l_total") +
-              lit(3L) * col("l_total") +
-              lit(9L) * col("dl") * col("n_docs")) *
-              (lit(2L) * col("df") + lit(1L)))
-          .withColumn("term_fp",
-            floor(lit(1e9) * col("numer") / col("denom")).cast("long"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("terms_hit"), sum("term_fp").as("score_fp"))
-          .orderBy(col("score_fp").desc, col("doc_id").asc)
-          .limit(20)
-      },
-      Some("""WITH base AS (SELECT doc_id, str_split(text, ' ') AS toks
-             |             FROM documents),
-             |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-             |            CAST(sum(len(toks)) AS BIGINT) AS l_total
-             |          FROM base),
-             |hit AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
-             |          max(dl) AS dl
-             |        FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-             |                unnest(toks) AS tok FROM base)
-             |        WHERE tok IN ('vector', 'stream', 'query')
-             |        GROUP BY 1, 2),
-             |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-             |          FROM hit GROUP BY 1),
-             |scored AS (SELECT h.doc_id,
-             |    CAST(floor((1e9 * (22 * h.tf * s.l_total *
-             |        (2 * s.n_docs - 2 * f.df + 1))) /
-             |      ((10 * h.tf * s.l_total + 3 * s.l_total +
-             |        9 * h.dl * s.n_docs) * (2 * f.df + 1)))
-             |      AS BIGINT) AS term_fp
-             |  FROM hit h JOIN dfreq f USING (tok) CROSS JOIN stats s)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS terms_hit,
-             |  CAST(sum(term_fp) AS BIGINT) AS score_fp
-             |FROM scored GROUP BY doc_id
+      (s, d) => bm25Scored(s, d)
+        .orderBy(col("score_fp").desc, col("doc_id").asc)
+        .limit(20),
+      Some(s"""WITH $bm25SqlCtes
+             |SELECT doc_id, terms_hit, score_fp
+             |FROM bm25
              |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // X47 hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009)
+    // — the fusion step every modern retrieval/data-mining stack runs over
+    // its lexical and dense legs: BM25 (q123's exact fixed-point scorer,
+    // shared implementation) and embedding cosine (query-by-example,
+    // vec_id 0, self excluded) each produce a top-20 ranking; RRF fuses
+    // them as Σ 1/(60+rank) over the union. Rank contributions are exact
+    // integers (1e9 DIV (60+r)) so fusion involves no IEEE arithmetic —
+    // only the two legs' internal orderings (both already cross-engine
+    // deterministic: BM25 is all-integer; cosine ordering is q41's proven
+    // discipline). Docs absent from a leg contribute 0 (standard RRF).
+    // Scale shape: each leg reduces via TakeOrderedAndProject (distributed
+    // per-partition top-k + driver merge of K rows — never a global sort);
+    // rank assignment and the full-outer fusion run on 2×20 rows. At
+    // 100 TB the cost is the two legs' scans — BM25 touches only
+    // query-term postings, cosine streams codes/vectors once — and the
+    // fusion itself is constant-sized.
+    Q("q134_rrf_hybrid",
+      (s, d) => {
+        val wl = Window.orderBy(col("score_fp").desc, col("doc_id").asc)
+        val lex = bm25Scored(s, d)
+          .orderBy(col("score_fp").desc, col("doc_id").asc).limit(20)
+          .withColumn("r_lex", row_number().over(wl))
+          .select(col("doc_id"), col("r_lex"))
+        val e = withNorm(embeddings(s, d))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val wd = Window.orderBy(col("cos").desc, col("doc_id").asc)
+        val dense = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .withColumn("cos",
+            dot(col("embedding"), col("q_emb")) /
+              (col("nrm") * col("q_nrm")))
+          .select(col("vec_id").as("doc_id"), col("cos"))
+          .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+          .withColumn("r_dense", row_number().over(wd))
+          .select(col("doc_id"), col("r_dense"))
+        lex.join(dense, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_fp",
+            coalesce(expr("1000000000L DIV (60 + CAST(r_lex AS BIGINT))"),
+              lit(0L)) +
+            coalesce(expr("1000000000L DIV (60 + CAST(r_dense AS BIGINT))"),
+              lit(0L)))
+          .orderBy(col("rrf_fp").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some(s"""WITH $bm25SqlCtes,
+              |lex AS (SELECT doc_id, r_lex FROM (
+              |  SELECT doc_id, CAST(row_number() OVER (
+              |    ORDER BY score_fp DESC, doc_id ASC) AS INT) AS r_lex
+              |  FROM bm25) WHERE r_lex <= 20),
+              |qv AS (SELECT embedding AS q_emb FROM embeddings
+              |       WHERE vec_id = 0),
+              |denseall AS (
+              |  SELECT vec_id AS doc_id,
+              |    ${cosSql("embedding", "q_emb")} AS cos
+              |  FROM embeddings, qv WHERE vec_id <> 0),
+              |dense AS (SELECT doc_id, r_dense FROM (
+              |  SELECT doc_id, CAST(row_number() OVER (
+              |    ORDER BY cos DESC, doc_id ASC) AS INT) AS r_dense
+              |  FROM denseall) WHERE r_dense <= 20),
+              |fused AS (
+              |  SELECT coalesce(l.doc_id, de.doc_id) AS doc_id,
+              |         l.r_lex, de.r_dense,
+              |         CAST(coalesce(1000000000 // (60 + l.r_lex), 0) +
+              |              coalesce(1000000000 // (60 + de.r_dense), 0)
+              |           AS BIGINT) AS rrf_fp
+              |  FROM lex l FULL OUTER JOIN dense de
+              |    ON l.doc_id = de.doc_id)
+              |SELECT doc_id, r_lex, r_dense, rrf_fp
+              |FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10"""
+        .stripMargin)),
+
+    // X48 tokenizer vocabulary coverage / OOV rate — the tokenizer-fit
+    // audit run before training: fix a vocabulary (here the corpus's own
+    // top-64 tokens by (freq DESC, token ASC) — the deterministic stand-in
+    // for a shipped tokenizer's vocab file) and report, per source, the
+    // fraction of token occurrences falling outside it, as exact ppm fixed
+    // point. High OOV in a source means the tokenizer fragments its text
+    // into bytes/unknowns — the signal used to re-weight or re-train.
+    // Scale shape (q103's read-once discipline): the token stream is
+    // exploded and aggregated ONCE into (source, tok) counts — partial
+    // map-side combine, vocab×sources-bounded output; the vocab is its
+    // tok-marginal (one more partial agg) reduced via TakeOrdered (never a
+    // global sort) and re-joined BROADCAST (64 rows) onto the same
+    // aggregate, which Spark reuses (ReusedExchange, plan-gated) — the
+    // corpus is scanned and shuffled exactly once.
+    Q("q136_vocab_coverage",
+      (s, d) => {
+        // (source, tok) counts materialized ONCE (localCheckpoint stands in
+        // for the production parquet write of the aggregate, as in
+        // DedupPipeline.run): both the vocab fit and the coverage probe
+        // read the vocab×sources-sized table — the corpus token stream is
+        // exploded and aggregated exactly once (plan-gated: the declared
+        // plan contains no second corpus explode).
+        val st = documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val vocab = st.groupBy("tok").agg(sum("n").as("freq"))
+          .orderBy(col("freq").desc, col("tok").asc).limit(64)
+          .select(col("tok"), lit(1).as("iv"))
+        st.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("source")
+          .agg(sum("n").as("n_tok"),
+            sum(when(col("iv").isNull, col("n")).otherwise(0L))
+              .as("oov_tok"))
+          .withColumn("oov_ppm", expr("(1000000L * oov_tok) DIV n_tok"))
+          .orderBy("source")
+      },
+      Some("""WITH st AS (
+             |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT source, unnest(str_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY 1, 2),
+             |vocab AS (SELECT tok FROM (
+             |  SELECT tok, CAST(row_number() OVER (
+             |    ORDER BY sum(n) DESC, tok ASC) AS INT) AS rk
+             |  FROM st GROUP BY tok) WHERE rk <= 64),
+             |cov AS (
+             |  SELECT st.source, st.n,
+             |         CASE WHEN v.tok IS NULL THEN st.n ELSE 0 END AS oov
+             |  FROM st LEFT JOIN vocab v ON v.tok = st.tok)
+             |SELECT source, CAST(sum(n) AS BIGINT) AS n_tok,
+             |       CAST(sum(oov) AS BIGINT) AS oov_tok,
+             |       CAST((1000000 * sum(oov)) // sum(n) AS BIGINT)
+             |         AS oov_ppm
+             |FROM cov GROUP BY source ORDER BY source""".stripMargin)),
 
     // X36 BPE merge-pair mining — the statistic the byte-pair-encoding
     // tokenizer-training loop maximizes each iteration (Sennrich et al.

@@ -257,12 +257,28 @@ class PlanSpec extends SparkSpec {
     // #1). Gate every registered query's physical plan. Pre-AQE sparkPlan
     // is a plain tree, so generic traversal sees every WindowExec.
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec,
+      GlobalLimitExec}
+    // An un-partitioned window is legal ONLY when its input is
+    // structurally bounded — proven in the plan itself: a limit operator
+    // (TakeOrderedAndProject / GlobalLimit) below the window caps the rows
+    // the single task sees (q134's rank-the-top-20 windows), or the window
+    // reads a materialized checkpoint (Scan ExistingRDD) of a by-nature
+    // tiny table (q137's remainder ranking over the sources-cardinality
+    // mixing table — human-curated cardinality, never corpus-sized).
+    def boundedInput(w: WindowExec): Boolean =
+      w.child.collectFirst {
+        case l: TakeOrderedAndProjectExec => l: Any
+        case l: GlobalLimitExec => l: Any
+        case r if r.getClass.getSimpleName == "RDDScanExec" => r: Any
+      }.nonEmpty
     Queries.all.foreach { q =>
       val p = q.build(spark, sf).queryExecution.sparkPlan
       p.foreach {
         case w: WindowExec =>
-          assert(w.partitionSpec.nonEmpty,
-            s"${q.name}: un-partitioned Window (single-partition execution)")
+          assert(w.partitionSpec.nonEmpty || boundedInput(w),
+            s"${q.name}: un-partitioned Window over unbounded input " +
+              "(single-partition execution)")
         case w: WindowGroupLimitExec =>
           assert(w.partitionSpec.nonEmpty,
             s"${q.name}: un-partitioned WindowGroupLimit")
@@ -637,5 +653,59 @@ class PlanSpec extends SparkSpec {
     // sketching needs (event_type, event_id, value) only
     assert(!p.contains("props") && !p.contains("user_id"),
       s"events scan reads unprojected columns:\n$p")
+  }
+
+  test("q134 RRF legs reduce via distributed top-k (TakeOrderedAndProject" +
+      "), never a global sort; fusion joins only the two 20-row lists") {
+    val p = plan("q134_rrf_hybrid")
+    assert(p.sliding("TakeOrderedAndProject".length)
+      .count(_ == "TakeOrderedAndProject") >= 2,
+      s"a retrieval leg fell back to a global sort:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"product in the fusion plan:\n${p.take(800)}")
+    // the only nested-loop joins are the two 1-row broadcasts (BM25's
+    // corpus stats, the dense leg's query vector)
+    assert(p.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 2,
+      s"unexpected nested-loop join beyond the scalar broadcasts:\n$p")
+  }
+
+  test("q135 soft-dedup weights ride the cluster-partitioned window — " +
+      "nothing pairwise beyond the banded candidate join") {
+    val p = plan("q135_soft_dedup_sample")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"soft dedup degenerated to a pairwise comparison:\n${p.take(800)}")
+    assert(p.contains("windowspecdefinition(cluster"),
+      s"cluster-size count is not the cluster-partitioned window:\n$p")
+    // the per-source rollup aggregates partially (map-side combine)
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no partial aggregation in the source rollup:\n$p")
+  }
+
+  test("q136 vocab coverage explodes the corpus ONCE — vocab fit and " +
+      "probe both read the materialized (source, tok) aggregate") {
+    val df = Queries.byName("q136_vocab_coverage").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the checkpoint truncates lineage: the declared plan must contain NO
+    // corpus explode (it ran once, at materialization time)
+    assert(!p.contains("Generate explode"),
+      s"probe or vocab fit re-explodes the corpus:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"64-row vocab not broadcast into the probe:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab fit fell back to a global sort:\n${p.take(800)}")
+  }
+
+  test("q137 mix allocation scans the corpus once — weight arithmetic " +
+      "runs over the materialized sources-sized table") {
+    val df = Queries.byName("q137_mix_allocation").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // counts are checkpointed: no FileScan of documents may remain in the
+    // declared plan (the one corpus scan ran at materialization time)
+    assert(!p.contains("documents.parquet"),
+      s"allocation arithmetic re-scans the corpus:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"product in the allocation plan:\n${p.take(800)}")
   }
 }
