@@ -955,14 +955,17 @@ object QueriesText {
     // rand() — reproducible across runs/partitionings, point-answerable
     // per doc. Output = per-source raw docs, summed weight (the effective
     // post-sampling corpus size in ppm-docs), and the realized keep count.
-    // Scale shape: one closure (the q92 pipeline, edge-list-sized
-    // shuffles), cluster sizes via a window over the cluster label — 8-byte
-    // keys, O(1) rows per cluster partition — then a partial agg over
-    // sources-many groups; nothing pairwise, nothing collected.
+    // Scale shape: labels come from the PERSISTED dedup index
+    // (DedupPipeline.cachedFold — the q115/q128 maintained-artifact
+    // contract; fold-vs-scratch bit-identity is spec-pinned), so the
+    // weighting pays one labels join, never a closure rebuild; cluster
+    // sizes via a window over the cluster label — 8-byte keys, O(1) rows
+    // per cluster partition — then a partial agg over sources-many
+    // groups; nothing pairwise, nothing collected.
     Q("q135_soft_dedup_sample",
       (s, d) => {
         val docs = documents(s, d)
-        val labels = graft.pipelines.DedupPipeline.labels(docs)
+        val labels = graft.pipelines.DedupPipeline.cachedFold(s, d).labels
         val labeled = docs
           .join(labels, docs("doc_id") === labels("v"), "left")
           .withColumn("cluster", coalesce(col("component"), col("doc_id")))
@@ -1444,6 +1447,76 @@ object QueriesText {
               |SELECT doc_id, r_lex, r_dense, rrf_fp
               |FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10"""
         .stripMargin)),
+
+    // X50 per-source dataset card — the datasheet every released corpus
+    // ships (Gebru et al. 2021 "Datasheets for Datasets"; the FineWeb/
+    // Dolma model cards): one panel per source with volume (docs, ws
+    // tokens), quality (mean of q44's score as exact ppm fixed point —
+    // floor(1e6·q) per doc, integer sum, integer mean: no accumulation-
+    // order-dependent double mean), exact-duplicate density (docs whose
+    // full text recurs corpus-wide, ppm), and near-dup cluster membership
+    // density (docs paired in the maintained dedup index, ppm). The
+    // card is the downstream consumer every curation stage feeds.
+    // Scale shape: ONE corpus scan computes all per-doc measures
+    // map-side; the recurrence flag is a window over the 32-byte sha2
+    // (never raw text through the exchange — q40's lesson); membership
+    // is one left join against the PERSISTED index labels
+    // (cachedFold — no closure rebuild, plan-gated); the rollup is a
+    // partial agg over sources-many groups.
+    Q("q138_dataset_card",
+      (s, d) => {
+        val qd = documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          floor(lit(1e6) *
+            (least(size(split(col("text"), " ")).cast("double") / 100.0,
+              lit(1.0)) * 0.5 +
+             length(regexp_replace(col("text"), "[^a-z]", ""))
+               .cast("double") / length(col("text")) * 0.5)).as("q_fp"),
+          sha2(col("text"), 256).as("t_h"))
+        val wd = Window.partitionBy("t_h")
+        val labels = graft.pipelines.DedupPipeline.cachedFold(s, d).labels
+          .select(col("v").as("doc_id"), lit(1).as("cl"))
+        qd.withColumn("n_copy", count(lit(1)).over(wd))
+          .join(labels, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            sum("q_fp").as("q_sum"),
+            sum(when(col("n_copy") >= 2, 1L).otherwise(0L)).as("dup_docs"),
+            sum(when(col("cl").isNotNull, 1L).otherwise(0L))
+              .as("clustered_docs"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("q_sum DIV n_docs").as("mean_q_ppm"),
+            expr("(1000000L * dup_docs) DIV n_docs").as("dup_ppm"),
+            expr("(1000000L * clustered_docs) DIV n_docs")
+              .as("clustered_ppm"))
+          .orderBy("source")
+      },
+      Some {
+        val qFp = "CAST(floor(1e6 * (" +
+          "least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)" +
+          " * 0.5 + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))" +
+          " AS DOUBLE) / length(text)) * 0.5)) AS BIGINT)"
+        s"""WITH RECURSIVE
+           |$closureSqlCtes,
+           |qd AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+           |    $qFp AS q_fp,
+           |    count(*) OVER (PARTITION BY text) AS n_copy
+           |  FROM documents),
+           |m AS (
+           |  SELECT qd.*, CASE WHEN c.v IS NULL THEN 0 ELSE 1 END AS cl
+           |  FROM qd LEFT JOIN comp c ON c.v = qd.doc_id)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(sum(q_fp) // count(*) AS BIGINT) AS mean_q_ppm,
+           |  CAST((1000000 * sum(CASE WHEN n_copy >= 2 THEN 1 ELSE 0 END))
+           |    // count(*) AS BIGINT) AS dup_ppm,
+           |  CAST((1000000 * sum(cl)) // count(*) AS BIGINT)
+           |    AS clustered_ppm
+           |FROM m GROUP BY source ORDER BY source""".stripMargin
+      }),
 
     // X48 tokenizer vocabulary coverage / OOV rate — the tokenizer-fit
     // audit run before training: fix a vocabulary (here the corpus's own

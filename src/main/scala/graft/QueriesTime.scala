@@ -445,8 +445,15 @@ object QueriesTime {
         val ev = events(s, d)
           .select(Scalars.longDiv("ts", NsPerDay).as("day"),
             col("user_id"))
+        // lgConfigK = 14 (2^14 buckets, ~8 KB HLL_4 image): RSE ≈
+        // 1.04/√2^14 ≈ 0.8%, so the declared ≤2% audit band is ≥2.5σ at
+        // ANY cardinality — the default lgK=12 (1.6% RSE) holds 2% only
+        // while the sketch is in its small-cardinality exact-coupon
+        // regime, and breached it at sf1's ~13k uniques/day. Sketch size
+        // is the knob that buys the accuracy contract; 8 KB per (day)
+        // group is still nothing at a 100 TB daily cube.
         val daily = ev.groupBy("day")
-          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          .agg(hll_sketch_agg(col("user_id"), 14).as("sk"),
             countDistinct(col("user_id")).as("uniq_exact"))
         val perDay = daily.select(col("day"),
           hll_sketch_estimate(col("sk")).as("uniq_est"),

@@ -671,8 +671,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q135 soft-dedup weights ride the cluster-partitioned window — " +
-      "nothing pairwise beyond the banded candidate join") {
-    val p = plan("q135_soft_dedup_sample")
+      "labels from the persisted index, nothing pairwise, no closure " +
+      "rebuild") {
+    val df = Queries.byName("q135_soft_dedup_sample").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"soft dedup degenerated to a pairwise comparison:\n${p.take(800)}")
@@ -681,6 +683,13 @@ class PlanSpec extends SparkSpec {
     // the per-source rollup aggregates partially (map-side combine)
     assert(p.contains("partial_count") || p.contains("partial"),
       s"no partial aggregation in the source rollup:\n$p")
+    // labels read from the maintained artifact — the signature pipeline
+    // (shingle lead() window, band-key concat) must be absent
+    assert(df.inputFiles.exists(_.contains("dedup112_index")),
+      s"labels do not come from the persisted index: " +
+        df.inputFiles.take(3).mkString(", "))
+    assert(!p.contains("lead(") && !p.contains("concat_ws(-, b0"),
+      s"soft dedup re-runs the signature pipeline:\n${p.take(800)}")
   }
 
   test("q136 vocab coverage explodes the corpus ONCE — vocab fit and " +
@@ -695,6 +704,25 @@ class PlanSpec extends SparkSpec {
       s"64-row vocab not broadcast into the probe:\n${p.take(800)}")
     assert(p.contains("TakeOrderedAndProject"),
       s"vocab fit fell back to a global sort:\n${p.take(800)}")
+  }
+
+  test("q138 dataset card: one corpus scan, recurrence via the sha2 " +
+      "window (raw text never shuffles), membership from the persisted " +
+      "index — no closure rebuild, nothing pairwise") {
+    val df = Queries.byName("q138_dataset_card").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"card rollup planned a pairwise join:\n${p.take(800)}")
+    assert(p.contains("windowspecdefinition(t_h"),
+      s"recurrence count not a window over the 32-byte hash:\n$p")
+    assert(df.inputFiles.exists(_.contains("dedup112_index")),
+      s"membership does not read the persisted index: " +
+        df.inputFiles.take(3).mkString(", "))
+    assert(!p.contains("lead(") && !p.contains("concat_ws(-, b0"),
+      s"card re-runs the signature pipeline:\n${p.take(800)}")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side combine in the source rollup:\n$p")
   }
 
   test("q137 mix allocation scans the corpus once — weight arithmetic " +
