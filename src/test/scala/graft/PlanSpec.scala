@@ -736,4 +736,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"product in the allocation plan:\n${p.take(800)}")
   }
+
+  test("q139 edit-distance verification runs on the PERSISTED candidate " +
+      "set — broadcast probes, no corpus re-shingle, nothing pairwise") {
+    val df = Queries.byName("q139_editdist_verify").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"verification degenerated to a pairwise join:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate pairs not broadcast into the text probes:\n${p.take(800)}")
+    assert(df.inputFiles.exists(_.contains("dedup112_index")),
+      s"candidates do not probe the persisted index: " +
+        df.inputFiles.take(3).mkString(", "))
+    // the signature pipeline must be absent — candidates come from the
+    // index scan (q128's incremental contract)
+    assert(!p.contains("lead(") && !p.contains("concat_ws(-, b0"),
+      s"verification re-shingles the corpus:\n${p.take(800)}")
+  }
+
+  test("q140 DSIR score explodes the corpus ONCE — both distribution " +
+      "marginals and the doc scores read the materialized (doc, bucket) " +
+      "counts; ratio table broadcast; top-k via TakeOrdered") {
+    val df = Queries.byName("q140_dsir_score").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the checkpoint truncates lineage: the declared plan must contain NO
+    // corpus explode (it ran once, at materialization time)
+    assert(!p.contains("Generate explode"),
+      s"score or marginal re-explodes the corpus:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"4096-row ratio table not broadcast onto the counts:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection fell back to a global sort:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the per-doc score agg:\n$p")
+  }
 }
