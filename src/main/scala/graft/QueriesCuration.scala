@@ -378,6 +378,173 @@ object QueriesCuration {
              |GROUP BY db.doc_id
              |ORDER BY score_fp DESC, doc_id ASC LIMIT 32""".stripMargin)),
 
+    // X53 length-bucketed padding efficiency — the batching audit run
+    // before fixing a training batch shape: docs are padded up to their
+    // length bucket's capacity (power-of-two caps 32..512, then 1024-
+    // multiples), and the report is per-bucket doc/token volume plus the
+    // padding waste as exact ppm fixed point. High waste in a bucket =
+    // re-cut the bucket edges or pack multiple docs per sequence (q86);
+    // this is the measurement that decision consults.
+    // Scale shape: the cap is a map-side CASE over the token count; one
+    // partial+final agg over ≤ a dozen buckets — a single corpus scan
+    // pruned to `text`, one bucket-sized exchange, nothing else.
+    Q("q141_padding_efficiency",
+      (s, d) => documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cap", expr(
+          "CASE WHEN n_tok <= 32 THEN 32L WHEN n_tok <= 64 THEN 64L " +
+            "WHEN n_tok <= 128 THEN 128L WHEN n_tok <= 256 THEN 256L " +
+            "WHEN n_tok <= 512 THEN 512L " +
+            "ELSE ((n_tok + 1023L) DIV 1024L) * 1024L END"))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"))
+        .withColumn("padded_tok", col("cap") * col("n_docs"))
+        .withColumn("waste_ppm",
+          expr("(1000000L * (padded_tok - sum_tok)) DIV padded_tok"))
+        .orderBy("cap"),
+      Some("""WITH t AS (
+             |  SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |c AS (
+             |  SELECT n_tok,
+             |    CAST(CASE WHEN n_tok <= 32 THEN 32
+             |      WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+             |      WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+             |      ELSE ((n_tok + 1023) // 1024) * 1024 END AS BIGINT)
+             |      AS cap
+             |  FROM t),
+             |g AS (
+             |  SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(n_tok) AS BIGINT) AS sum_tok
+             |  FROM c GROUP BY cap)
+             |SELECT cap, n_docs, sum_tok,
+             |  CAST(cap * n_docs AS BIGINT) AS padded_tok,
+             |  CAST((1000000 * (cap * n_docs - sum_tok)) // (cap * n_docs)
+             |    AS BIGINT) AS waste_ppm
+             |FROM g ORDER BY cap""".stripMargin)),
+
+    // X54 quality-filter yield curve — the threshold sweep a curation run
+    // consults before fixing a quality cutoff: bucket every doc by its
+    // fixed-point quality score (q138's exact formula, 0.1-wide bins) and
+    // report, per candidate threshold (bin lower bound), the docs and
+    // tokens that SURVIVE a filter at that threshold (cumulative from the
+    // top bin down) plus the surviving token fraction as exact ppm. The
+    // trade-off curve — "cut at 0.5 keeps 62% of tokens" — read directly
+    // off the result.
+    // Scale shape: score + bin are map-side; one partial+final agg to ~10
+    // bins; the bin table is MATERIALIZED (localCheckpoint = the
+    // production write of the sweep table, q137's precedent) so the
+    // cumulative windows provably run over the constant-size aggregate,
+    // never over docs.
+    Q("q142_quality_yield",
+      (s, d) => {
+        val qd = documents(s, d).select(
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          floor(lit(1e6) *
+            (least(size(split(col("text"), " ")).cast("double") / 100.0,
+              lit(1.0)) * 0.5 +
+             length(regexp_replace(col("text"), "[^a-z]", ""))
+               .cast("double") / length(col("text")) * 0.5)).as("q_fp"))
+          .withColumn("bin", expr("q_fp DIV 100000L"))
+        val wCum = Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        qd.groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("bin_tok"))
+          .localCheckpoint(true)
+          .withColumn("thr_ppm", (col("bin") * 100000L).cast("long"))
+          .withColumn("cum_docs", sum("n_docs").over(wCum))
+          .withColumn("cum_tok", sum("bin_tok").over(wCum))
+          .withColumn("total_tok", sum("bin_tok").over(wAll))
+          .withColumn("kept_tok_ppm",
+            expr("(1000000L * cum_tok) DIV total_tok"))
+          .select("thr_ppm", "n_docs", "bin_tok", "cum_docs", "cum_tok",
+            "kept_tok_ppm")
+          .orderBy("thr_ppm")
+      },
+      Some {
+        val qFp = "CAST(floor(1e6 * (" +
+          "least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)" +
+          " * 0.5 + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))" +
+          " AS DOUBLE) / length(text)) * 0.5)) AS BIGINT)"
+        s"""WITH qd AS (
+           |  SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+           |         $qFp AS q_fp
+           |  FROM documents),
+           |g AS (
+           |  SELECT q_fp // 100000 AS bin,
+           |         CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(n_tok) AS BIGINT) AS bin_tok
+           |  FROM qd GROUP BY 1),
+           |c AS (
+           |  SELECT bin, n_docs, bin_tok,
+           |    CAST(sum(n_docs) OVER (ORDER BY bin DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_docs,
+           |    CAST(sum(bin_tok) OVER (ORDER BY bin DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_tok,
+           |    CAST(sum(bin_tok) OVER () AS BIGINT) AS total_tok
+           |  FROM g)
+           |SELECT CAST(bin * 100000 AS BIGINT) AS thr_ppm, n_docs,
+           |  bin_tok, cum_docs, cum_tok,
+           |  CAST((1000000 * cum_tok) // total_tok AS BIGINT)
+           |    AS kept_tok_ppm
+           |FROM c ORDER BY thr_ppm""".stripMargin
+      }),
+
+    // X55 leakage-safe cluster-aware split — the FIX for what q128's
+    // audit detects: split assignment at near-dup CLUSTER granularity
+    // (every member of a cluster hashes to the same split, so near-
+    // duplicate pairs can never straddle train/val/test; the remedy
+    // Dodge et al. 2021 imply). The split rule is X11's deterministic
+    // content-hash bucket applied to the CLUSTER label — reproducible,
+    // point-answerable per doc given its label.
+    // Scale shape: labels come from the PERSISTED index
+    // (DedupPipeline.cachedFold — no closure rebuild, plan-gated); one
+    // narrow labels join + a pure-function split column; the rollup is a
+    // partial agg over 3 groups with a two-phase distinct-cluster count.
+    // `CurationInvariantSpec` proves the guarantee: the q128 audit run
+    // against THIS split finds zero straddling pairs.
+    Q("q143_cluster_safe_split",
+      (s, d) => {
+        val docs = documents(s, d)
+        val labels =
+          graft.pipelines.DedupPipeline.cachedFold(s, d).labels
+        val b = pmod(Scalars.tokenHash(
+          concat(lit("csplit:"), col("cluster").cast("string"))), lit(100L))
+        docs.join(labels, docs("doc_id") === labels("v"), "left")
+          .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+          .withColumn("split",
+            when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+            countDistinct("cluster").as("n_clusters"))
+          .orderBy("split")
+      },
+      Some {
+        val bucket = "(('0x' || substr(md5('csplit:' || " +
+          "CAST(cluster AS VARCHAR)), 1, 15))::BIGINT % 100)"
+        s"""WITH RECURSIVE
+           |${QueriesText.closureSqlCtes},
+           |lab AS (
+           |  SELECT d.doc_id, d.text,
+           |         coalesce(c.component, d.doc_id) AS cluster
+           |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id),
+           |sp AS (
+           |  SELECT text, cluster,
+           |    CASE WHEN $bucket < 80 THEN 'train'
+           |         WHEN $bucket < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM lab)
+           |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+           |FROM sp GROUP BY split ORDER BY split""".stripMargin
+      }),
+
     // X17 incremental corpus upsert — latest-version-wins per doc_id (the
     // relational form of ClickHouse ReplacingMergeTree / SCD-1: a re-crawl
     // batch replaces prior versions of the same document). Stand-in update

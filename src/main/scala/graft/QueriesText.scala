@@ -224,7 +224,7 @@ object QueriesText {
     * twin of DedupPipeline.labels). Callers prepend `WITH RECURSIVE` and
     * append their consumer CTEs / final SELECT.
     */
-  private lazy val closureSqlCtes: String = {
+  private[graft] lazy val closureSqlCtes: String = {
     def h(i: Int): String = minhashSqlExpr(MinhashAB(i)._1, MinhashAB(i)._2)
     s"""t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
        |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),

@@ -110,4 +110,39 @@ class CurationInvariantSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy { case (s2, id) => (-s2, id) }),
       s"fusion output not rank-ordered: ${scores.mkString(", ")}")
   }
+
+  test("q143 cluster-aware split is leakage-free by construction: the " +
+      "q128 audit run against THIS split finds zero straddling pairs " +
+      "(and the doc-hash split it replaces does leak on the same corpus)") {
+    val fold = pipelines.DedupPipeline.cachedFold(spark, sf)
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val clusterSplit = docs
+      .join(fold.labels, docs("doc_id") === fold.labels("v"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("b", pmod(ops.Scalars.tokenHash(
+        concat(lit("csplit:"), col("cluster").cast("string"))), lit(100L)))
+      .select(col("doc_id"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+    val pairs = QueriesText.bandPairsFrom(fold.bands)
+    def straddling(splits: org.apache.spark.sql.DataFrame): Long = pairs
+      .join(splits.select(col("doc_id").as("a_id"),
+        col("split").as("a_split")), Seq("a_id"))
+      .join(splits.select(col("doc_id").as("b_id"),
+        col("split").as("b_split")), Seq("b_id"))
+      .filter(col("a_split") =!= col("b_split")).count()
+    assert(straddling(clusterSplit) == 0L,
+      "cluster-keyed split leaked a near-dup pair across splits")
+    // the guarantee is not vacuous: the plain per-doc hash split (X11)
+    // DOES straddle pairs on this corpus (q128's finding)
+    val docSplit = Tables.documents(spark, sf)
+      .withColumn("b", pmod(ops.Scalars.tokenHash(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(100L)))
+      .select(col("doc_id"),
+        when(col("b") < 80, "train").when(col("b") < 90, "val")
+          .otherwise("test").as("split"))
+    assert(straddling(docSplit) > 0L,
+      "corpus has no straddling pairs under the doc split — " +
+        "the leakage-free claim would be vacuous")
+  }
 }

@@ -771,4 +771,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"),
       s"no map-side combine in the per-doc score agg:\n$p")
   }
+
+  test("q141 padding audit is one pruned scan + one bucket-sized " +
+      "partial agg — no join, no window over docs") {
+    val p = plan("q141_padding_efficiency")
+    assert(!p.contains("Join"), s"join in a single-table audit:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side combine before the bucket exchange:\n$p")
+    // cap is a pure function of the token count: only text is read
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"padding audit reads unprojected columns:\n${p.take(600)}")
+  }
+
+  test("q142 yield curve: cumulative windows run over the MATERIALIZED " +
+      "bin table, never over docs — corpus scanned once, no join") {
+    val df = Queries.byName("q142_quality_yield").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"join in a single-table sweep:\n$p")
+    // bins are checkpointed (q137 precedent): no FileScan of documents may
+    // remain in the declared plan — the windows read the bin-sized RDD
+    // scan, so their single-task execution is over ~10 rows by proof
+    assert(!p.contains("documents.parquet"),
+      s"cumulative windows re-scan the corpus:\n${p.take(800)}")
+    assert(p.contains("Window"), s"no cumulative window in:\n$p")
+  }
+
+  test("q143 cluster-safe split reads the PERSISTED labels — no closure " +
+      "rebuild, no re-shingle, nothing pairwise") {
+    val df = Queries.byName("q143_cluster_safe_split").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"split rollup planned a pairwise join:\n${p.take(800)}")
+    assert(df.inputFiles.exists(_.contains("dedup112_index")),
+      s"labels do not come from the persisted index: " +
+        df.inputFiles.take(3).mkString(", "))
+    assert(!p.contains("lead(") && !p.contains("concat_ws(-, b0"),
+      s"split assignment re-runs the signature pipeline:\n${p.take(800)}")
+  }
 }
