@@ -313,6 +313,87 @@ object QueriesText {
       |    CAST(sum(term_fp) AS BIGINT) AS score_fp
       |  FROM scored GROUP BY doc_id)""".stripMargin
 
+  /** q125's per-doc bigram-LM fluency scores, factored so the CCNet-style
+    * bucketing tier (q144) reuses the identical exact arithmetic:
+    * (doc_id, n_bigrams, score_fp) with score_fp = Σ tf·p_fp where
+    * p_fp = (1e9·c12) DIV c1 — see q125's scaladoc for the scale shape
+    * (three aggs, one vocab²-bounded equi-join, one corpus explode).
+    */
+  private[graft] def bigramDocScores(s: SparkSession, d: String): DataFrame = {
+    val bg = fanOut(documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(0, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i], toks[i + 1]))")).as("pair"))
+      .groupBy("doc_id", "pair").agg(count(lit(1)).as("tf"))
+      .withColumn("l", expr("split_part(pair, ' ', 1)"))
+    val c12 = bg.groupBy("l", "pair").agg(sum("tf").as("c12"))
+    val c1 = c12.groupBy("l").agg(sum("c12").as("c1"))
+    val model = c12.join(c1, "l")
+      .select(col("pair"),
+        expr("CAST(1000000000 * c12 AS BIGINT) DIV c1").as("p_fp"))
+    bg.join(model, "pair")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("p_fp")).as("score_fp"))
+  }
+
+  /** q139/q145's shared verification stage: every persisted-index band
+    * candidate pair with its exact character-level edit similarity in ppm
+    * fixed point. Candidates BROADCAST into two narrow (doc_id, text)
+    * probes (q128's shape — the corpus is scanned once per side, never
+    * shuffled); fanOut because levenshtein is the rare op whose per-ROW
+    * cost is O(len²) and the local single-row-group scan would run it
+    * one-task; exact duplicates (levenshtein 0 by definition)
+    * short-circuit on an O(len) equality, so the quadratic work tracks
+    * NEAR-dup density, not the (much larger at sf1) exact-dup density.
+    */
+  private[graft] def editSims(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val pairs = bandPairsFrom(
+      graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
+    val withA = docs
+      .select(col("doc_id").as("a_id"), col("text").as("a_text"))
+      .join(broadcast(pairs), Seq("a_id"))
+    Tables.fanOut(docs
+      .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      .join(broadcast(withA), Seq("b_id")))
+      .select(col("a_id"), col("b_id"),
+        when(col("a_text") === col("b_text"), lit(0L))
+          .otherwise(levenshtein(col("a_text"), col("b_text"))
+            .cast("long")).as("edit_dist"),
+        greatest(length(col("a_text")), length(col("b_text")))
+          .cast("long").as("max_len"))
+      .withColumn("sim_ppm",
+        expr("(1000000L * (max_len - edit_dist)) DIV max_len"))
+  }
+
+  /** DuckDB CTE chain replaying [[bigramDocScores]] exactly; terminal CTE
+    * is `lmsc(doc_id, n_bigrams, score_fp)`. */
+  private[graft] val bigramScoreSqlCtes: String =
+    """base AS (SELECT doc_id, str_split(text, ' ') AS toks
+      |         FROM documents),
+      |bg AS (
+      |  SELECT doc_id, split_part(pair, ' ', 1) AS l, pair,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(list_transform(
+      |          range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i + 1])) AS pair
+      |        FROM base WHERE len(toks) >= 2)
+      |  GROUP BY 1, 2, 3),
+      |c12 AS (SELECT l, pair, CAST(sum(tf) AS BIGINT) AS c12
+      |        FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT l, CAST(sum(c12) AS BIGINT) AS c1
+      |       FROM c12 GROUP BY 1),
+      |model AS (SELECT pair,
+      |    CAST((1000000000 * c12) // c1 AS BIGINT) AS p_fp
+      |  FROM c12 JOIN c1 USING (l)),
+      |lmsc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(tf * p_fp) AS BIGINT) AS score_fp
+      |  FROM bg JOIN model USING (pair)
+      |  GROUP BY doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X1 exact dedup: content-hash groupBy, keep min doc_id per hash.
@@ -1643,47 +1724,97 @@ object QueriesText {
     // scale, never a nested loop; the model is NOT collected or
     // broadcast-by-hand because at 100 TB it outgrows the driver.
     Q("q125_lm_score",
+      (s, d) => bigramDocScores(s, d).orderBy("doc_id"),
+      Some(s"""WITH $bigramScoreSqlCtes
+             |SELECT doc_id, n_bigrams, score_fp
+             |FROM lmsc ORDER BY doc_id""".stripMargin)),
+
+    // X56 CCNet-style per-language fluency bucketing (Wenzek et al. 2020):
+    // docs split into head/middle/tail TERTILES of the LM score WITHIN
+    // their language — the standard curation move that keeps perplexity
+    // comparable across languages instead of letting high-resource
+    // languages crowd out the head. Score = q144's length-normalized mean
+    // bigram probability (score_fp DIV n_bigrams — exact BIGINT, q125's
+    // fixed point). Bucketing is BY VALUE: every doc with the same
+    // (lang, avg_fp) lands in the same bucket (ties never straddle a
+    // boundary, so the result is independent of any tie order), with the
+    // boundary rule 3·n_before < n / < 2n over docs strictly better.
+    // Scale shape — NO corpus-sized window anywhere: (1) per-doc scores
+    // (q125's three aggs + one equi-join); (2) aggregate to the DISTINCT
+    // (lang, avg_fp) value table; (3) cumulative doc counts over that
+    // table via ops/GlobalRank.prefixSum on the composite key
+    // lidx·2^32 + (2^32−1−avg_fp) — range-partitioned, every stage
+    // parallel (the q86 primitive); (4) per-lang offsets from the
+    // languages-cardinality totals table via a tiny non-equi self-join
+    // (no window, no index collect); (5) rollup to (lang, bucket).
+    Q("q144_ccnet_buckets",
       (s, d) => {
-        val bg = fanOut(documents(s, d))
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .filter(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(
-            expr("transform(sequence(0, size(toks) - 2), " +
-              "i -> concat_ws(' ', toks[i], toks[i + 1]))")).as("pair"))
-          .groupBy("doc_id", "pair").agg(count(lit(1)).as("tf"))
-          .withColumn("l", expr("split_part(pair, ' ', 1)"))
-        val c12 = bg.groupBy("l", "pair").agg(sum("tf").as("c12"))
-        val c1 = c12.groupBy("l").agg(sum("c12").as("c1"))
-        val model = c12.join(c1, "l")
-          .select(col("pair"),
-            expr("CAST(1000000000 * c12 AS BIGINT) DIV c1").as("p_fp"))
-        bg.join(model, "pair")
-          .groupBy("doc_id")
-          .agg(sum("tf").as("n_bigrams"),
-            sum(col("tf") * col("p_fp")).as("score_fp"))
-          .orderBy("doc_id")
+        import graft.ops.GlobalRank
+        val scored = bigramDocScores(s, d)
+          .withColumn("avg_fp", expr("score_fp DIV n_bigrams"))
+          .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+        // materialized ONCE (localCheckpoint = the production write of the
+        // per-language score-distribution table): the prefix sum (an RDD
+        // subtree that cannot share exchanges), the per-lang totals, and
+        // the final bucket join all read this value table — the corpus is
+        // scored exactly once. Cardinality is value-space-bounded
+        // (≤ distinct avg_fp values), never corpus-sized.
+        val byVal = scored.groupBy("lang", "avg_fp")
+          .agg(count(lit(1)).as("n_v"), sum("n_bigrams").as("vol"))
+          .localCheckpoint(true)
+        val langs = byVal.select("lang").distinct()
+        val langIdx = langs.as("a")
+          .join(langs.as("b"), col("b.lang") < col("a.lang"), "left")
+          .groupBy(col("a.lang").as("lang"))
+          .agg(count(col("b.lang")).as("lidx"))
+        val keyed = byVal.join(broadcast(langIdx), "lang")
+          .withColumn("key",
+            expr("lidx * 4294967296L + (4294967295L - avg_fp)"))
+        val ps = GlobalRank.prefixSum(keyed, col("key"), col("n_v"))
+          .select(col("k"), col("cum_before"))
+        val totals = keyed.groupBy("lang", "lidx")
+          .agg(sum("n_v").as("n"))
+        val offsets = totals.as("a")
+          .join(totals.as("b"), col("b.lidx") < col("a.lidx"), "left")
+          .groupBy(col("a.lang").as("lang"), col("a.n").as("n"))
+          .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
+        keyed.join(ps, col("key") === col("k"))
+          .join(broadcast(offsets), "lang")
+          .withColumn("n_before", col("cum_before") - col("off"))
+          .withColumn("bucket",
+            when(col("n_before") * 3 < col("n"), "head")
+              .when(col("n_before") * 3 < col("n") * 2, "middle")
+              .otherwise("tail"))
+          .groupBy("lang", "bucket")
+          .agg(sum("n_v").as("n_docs"), sum("vol").as("n_bigrams"),
+            min("avg_fp").as("min_fp"), max("avg_fp").as("max_fp"))
+          .orderBy("lang", "bucket")
       },
-      Some("""WITH base AS (SELECT doc_id, str_split(text, ' ') AS toks
-             |             FROM documents),
-             |bg AS (
-             |  SELECT doc_id, split_part(pair, ' ', 1) AS l, pair,
-             |    CAST(count(*) AS BIGINT) AS tf
-             |  FROM (SELECT doc_id, unnest(list_transform(
-             |          range(1, len(toks)),
-             |          i -> toks[i] || ' ' || toks[i + 1])) AS pair
-             |        FROM base WHERE len(toks) >= 2)
-             |  GROUP BY 1, 2, 3),
-             |c12 AS (SELECT l, pair, CAST(sum(tf) AS BIGINT) AS c12
-             |        FROM bg GROUP BY 1, 2),
-             |c1 AS (SELECT l, CAST(sum(c12) AS BIGINT) AS c1
-             |       FROM c12 GROUP BY 1),
-             |model AS (SELECT pair,
-             |    CAST((1000000000 * c12) // c1 AS BIGINT) AS p_fp
-             |  FROM c12 JOIN c1 USING (l))
-             |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-             |  CAST(sum(tf * p_fp) AS BIGINT) AS score_fp
-             |FROM bg JOIN model USING (pair)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $bigramScoreSqlCtes,
+             |sc AS (
+             |  SELECT l2.doc_id, dd.lang, l2.n_bigrams,
+             |         l2.score_fp // l2.n_bigrams AS avg_fp
+             |  FROM lmsc l2 JOIN documents dd USING (doc_id)),
+             |v AS (
+             |  SELECT lang, avg_fp, CAST(count(*) AS BIGINT) AS n_v,
+             |         CAST(sum(n_bigrams) AS BIGINT) AS vol
+             |  FROM sc GROUP BY 1, 2),
+             |w AS (
+             |  SELECT lang, avg_fp, n_v, vol,
+             |    CAST(sum(n_v) OVER (PARTITION BY lang) AS BIGINT) AS n,
+             |    CAST(coalesce(sum(n_v) OVER (PARTITION BY lang
+             |      ORDER BY avg_fp DESC ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND 1 PRECEDING), 0) AS BIGINT) AS n_before
+             |  FROM v)
+             |SELECT lang,
+             |  CASE WHEN 3 * n_before < n THEN 'head'
+             |       WHEN 3 * n_before < 2 * n THEN 'middle'
+             |       ELSE 'tail' END AS bucket,
+             |  CAST(sum(n_v) AS BIGINT) AS n_docs,
+             |  CAST(sum(vol) AS BIGINT) AS n_bigrams,
+             |  CAST(min(avg_fp) AS BIGINT) AS min_fp,
+             |  CAST(max(avg_fp) AS BIGINT) AS max_fp
+             |FROM w GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
 
     // X40 split-leakage audit — the check every train/val/test split needs
     // AFTER near-dup detection: a pair of near-duplicate documents whose
@@ -1766,25 +1897,9 @@ object QueriesText {
     // never shuffled. At 100 TB the verification stage tracks duplicate
     // density, not corpus size — exactly the production cost model.
     Q("q139_editdist_verify",
-      (s, d) => {
-        val docs = documents(s, d).select(col("doc_id"), col("text"))
-        val pairs = bandPairsFrom(
-          graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
-        val withA = docs
-          .select(col("doc_id").as("a_id"), col("text").as("a_text"))
-          .join(broadcast(pairs), Seq("a_id"))
-        docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
-          .join(broadcast(withA), Seq("b_id"))
-          .select(col("a_id"), col("b_id"),
-            levenshtein(col("a_text"), col("b_text")).cast("long")
-              .as("edit_dist"),
-            greatest(length(col("a_text")), length(col("b_text")))
-              .cast("long").as("max_len"))
-          .withColumn("sim_ppm",
-            expr("(1000000L * (max_len - edit_dist)) DIV max_len"))
-          .filter(col("sim_ppm") >= 900000L)
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => editSims(s, d)
+        .filter(col("sim_ppm") >= 900000L)
+        .orderBy("a_id", "b_id"),
       Some {
         def h(i: Int): String = minhashSqlExpr(
           MinhashAB(i)._1, MinhashAB(i)._2)
@@ -1814,6 +1929,175 @@ object QueriesText {
            |FROM v
            |WHERE (1000000 * (max_len - edit_dist)) // max_len >= 900000
            |ORDER BY a_id, b_id""".stripMargin
-      })
+      }),
+
+    // X57 dedup-threshold Pareto sweep — the curve a dedup run consults
+    // BEFORE fixing the similarity cutoff (the q139 verification stage's
+    // 0.9 is a choice, not a law): per 0.05-wide similarity bin, candidate
+    // pairs in the bin, plus — keyed on each LOSER doc's best similarity
+    // (keep-first rule: the larger doc_id of a pair is the one a dedup at
+    // that threshold drops) — docs removed, cumulative from the strictest
+    // bin down, and the corpus fraction that removal represents in exact
+    // ppm. "Cut at 0.90 removes 4.6% of docs" read directly off the
+    // result. Similarity is q139's exact character-level fixed point.
+    // Scale shape: candidates come from the PERSISTED band index
+    // (cachedFold — no corpus re-shingle) and BROADCAST into two narrow
+    // text probes (q139's shape); verification cost tracks DUPLICATE
+    // DENSITY; the ~20-row bin table is MATERIALIZED (q142's precedent)
+    // so the cumulative windows provably never see doc-sized input.
+    Q("q145_dedup_threshold_sweep",
+      (s, d) => {
+        val sims = editSims(s, d)
+          .withColumn("bin", expr("sim_ppm DIV 50000L"))
+        val pairBins = sims.groupBy("bin")
+          .agg(count(lit(1)).as("n_pairs"))
+        val loserBins = sims.groupBy("b_id")
+          .agg(max("sim_ppm").as("best"))
+          .withColumn("bin", expr("best DIV 50000L"))
+          .groupBy("bin").agg(count(lit(1)).as("n_docs"))
+        val nTot = documents(s, d).agg(count(lit(1)).as("n_corpus"))
+        val bins = pairBins.join(loserBins, Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .localCheckpoint(true)
+        val wCum = Window.orderBy(col("bin").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bins
+          .withColumn("thr_ppm", (col("bin") * 50000L).cast("long"))
+          .withColumn("cum_pairs", sum("n_pairs").over(wCum))
+          .withColumn("cum_docs_removed", sum("n_docs").over(wCum))
+          .crossJoin(broadcast(nTot))
+          .withColumn("removed_ppm",
+            expr("(1000000L * cum_docs_removed) DIV n_corpus"))
+          .select("thr_ppm", "n_pairs", "n_docs", "cum_pairs",
+            "cum_docs_removed", "removed_ppm")
+          .orderBy("thr_ppm")
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id),
+           |sv AS (
+           |  SELECT p.a_id, p.b_id,
+           |    (1000000 * (greatest(len(da.text), len(db.text)) -
+           |       levenshtein(da.text, db.text))) //
+           |      greatest(len(da.text), len(db.text)) AS sim_ppm
+           |  FROM pairs p
+           |  JOIN documents da ON da.doc_id = p.a_id
+           |  JOIN documents db ON db.doc_id = p.b_id),
+           |pb AS (SELECT sim_ppm // 50000 AS bin,
+           |         CAST(count(*) AS BIGINT) AS n_pairs
+           |       FROM sv GROUP BY 1),
+           |lb AS (SELECT best // 50000 AS bin,
+           |         CAST(count(*) AS BIGINT) AS n_docs
+           |       FROM (SELECT b_id, max(sim_ppm) AS best
+           |             FROM sv GROUP BY 1) GROUP BY 1),
+           |nb AS (SELECT coalesce(pb.bin, lb.bin) AS bin,
+           |         CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+           |         CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+           |       FROM pb FULL JOIN lb ON pb.bin = lb.bin),
+           |c AS (SELECT bin, n_pairs, n_docs,
+           |    CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_pairs,
+           |    CAST(sum(n_docs) OVER (ORDER BY bin DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_docs
+           |  FROM nb),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus
+           |      FROM documents)
+           |SELECT CAST(bin * 50000 AS BIGINT) AS thr_ppm, n_pairs, n_docs,
+           |  cum_pairs, cum_docs AS cum_docs_removed,
+           |  CAST((1000000 * cum_docs) // n_corpus AS BIGINT)
+           |    AS removed_ppm
+           |FROM c CROSS JOIN n ORDER BY thr_ppm""".stripMargin
+      }),
+
+    // X58 cross-source shingle-overlap matrix — the contamination /
+    // redundancy audit BETWEEN corpus sources (which crawls duplicate
+    // which, which curated set is already inside the web dump): for every
+    // source pair, the EXACT count of shared distinct 3-word shingles and
+    // the exact Jaccard in ppm fixed point. The pairwise-sources member of
+    // the dedup family: q122 sketches audience overlap (KMV, approximate,
+    // events); this is exact, content-granular, and the deliverable is the
+    // sources×sources matrix a mixing decision (q137) consults.
+    // Scale shape — nothing doc-pairwise, nothing source-pairwise over
+    // docs: one corpus shingle pass (q47's posexplode+lead window, per-doc
+    // partitions), ONE corpus-sized exchange to distinct (source, hash),
+    // then per-shingle source sets via collect_set BOUNDED by the source
+    // catalog (20 here; dataset catalogs are human-curated cardinality),
+    // pair expansion as a map-side double explode of those bounded arrays
+    // (≤ C(|sources|,2) rows per shingle), and a sources²-sized rollup.
+    // Sizes broadcast back. At 100 TB the only heavy stages are the scan
+    // and the (source, hash) distinct — both embarrassingly parallel.
+    Q("q146_source_overlap",
+      (s, d) => {
+        // ONE corpus pipeline feeds everything: the pair expansion keeps
+        // the DIAGONAL (src_a = src_b), whose count per source is exactly
+        // that source's distinct-shingle total — so intersection counts
+        // AND set sizes come out of a single sources²-bounded aggregate,
+        // materialized once (localCheckpoint = the production write of
+        // the overlap matrix, q137's precedent); the corpus is provably
+        // scanned once (the declared plan carries no file scan at all).
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val mat = fanOut(documents(s, d))
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead("w", 1).over(w))
+          .withColumn("w2", lead("w", 2).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("source"),
+            (Scalars.tokenHash(
+              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
+          .distinct()
+          .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
+          .select(explode(col("ss")).as("src_a"), col("ss"))
+          .select(col("src_a"), explode(col("ss")).as("src_b"))
+          .filter(col("src_a") <= col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val sz = mat.filter(col("src_a") === col("src_b"))
+        mat.filter(col("src_a") < col("src_b"))
+          .withColumnRenamed("cnt", "inter")
+          .join(broadcast(sz.select(col("src_a"),
+            col("cnt").as("sz_a"))), Seq("src_a"))
+          .join(broadcast(sz.select(col("src_b"),
+            col("cnt").as("sz_b"))), Seq("src_b"))
+          .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+          .withColumn("jac_ppm", expr("(1000000L * inter) DIV uni"))
+          .select("src_a", "src_b", "inter", "uni", "jac_ppm")
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH t AS (SELECT source, $shinglesSql AS ws
+             |           FROM documents),
+             |th AS (SELECT source, unnest($tokenHashesSql) AS h FROM t),
+             |sh AS (SELECT DISTINCT source, h FROM th),
+             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |       FROM sh GROUP BY 1),
+             |i AS (SELECT a.source AS src_a, b.source AS src_b,
+             |        CAST(count(*) AS BIGINT) AS inter
+             |      FROM sh a JOIN sh b
+             |        ON a.h = b.h AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT src_a, src_b, inter,
+             |  CAST(za.n + zb.n - inter AS BIGINT) AS uni,
+             |  CAST((1000000 * inter) // (za.n + zb.n - inter) AS BIGINT)
+             |    AS jac_ppm
+             |FROM i
+             |JOIN sz za ON za.source = i.src_a
+             |JOIN sz zb ON zb.source = i.src_b
+             |ORDER BY src_a, src_b""".stripMargin))
   )
 }

@@ -809,4 +809,80 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("lead(") && !p.contains("concat_ws(-, b0"),
       s"split assignment re-runs the signature pipeline:\n${p.take(800)}")
   }
+
+  test("q144 CCNet buckets carry NO doc-sized window — cumulative counts " +
+      "come from the range-partitioned prefix sum; lang probes broadcast") {
+    val df = Queries.byName("q144_ccnet_buckets").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the whole point of the prefixSum form: tertile boundaries without
+    // a per-lang window over docs (single-task-per-language at 100 TB)
+    assert(!p.contains("Window"),
+      s"bucketing regressed to a window over docs:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the bucket rollup:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the score/value aggs:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"lang index/offsets not broadcast:\n${p.take(800)}")
+  }
+
+  test("q139/q145's shared verification stage probes the PERSISTED " +
+      "index — broadcast text probes, no corpus re-shingle, fanned out") {
+    val df = QueriesText.editSims(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"verification degenerated to a pairwise join:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate pairs not broadcast into the text probes:\n${p.take(800)}")
+    assert(df.inputFiles.exists(_.contains("dedup112_index")),
+      s"candidates do not probe the persisted index: " +
+        df.inputFiles.take(3).mkString(", "))
+    assert(!p.contains("lead(") && !p.contains("concat_ws(-, b0"),
+      s"verification re-shingles the corpus:\n${p.take(800)}")
+    // the O(len²) stage must not run single-task on the local
+    // 1-row-group scan: a round-robin exchange precedes it
+    assert(p.contains("RoundRobinPartitioning"),
+      s"levenshtein stage not fanned out:\n${p.take(800)}")
+  }
+
+  test("q145 threshold sweep: cumulative windows only over the " +
+      "materialized bin table, corpus touched only for the total") {
+    val df = Queries.byName("q145_dedup_threshold_sweep").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"sweep planned a pairwise join:\n${p.take(800)}")
+    // the verification pipeline ran at bin-materialization time; the
+    // declared plan's only file scan is the 1-column corpus count
+    assert(!p.contains("levenshtein"),
+      s"verification re-runs above the materialized bins:\n${p.take(800)}")
+    // every cumulative window reads the checkpointed ~20-row bin table
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.queryExecution.sparkPlan.foreach {
+      case w: WindowExec =>
+        assert(w.child.collectFirst {
+          case r if r.getClass.getSimpleName == "RDDScanExec" => r
+        }.nonEmpty, s"cumulative window not over the materialized bins:\n$w")
+      case _ =>
+    }
+  }
+
+  test("q146 source-overlap matrix arithmetic runs over the MATERIALIZED " +
+      "sources²-bounded table — no file scan, no pairwise join, sizes " +
+      "broadcast") {
+    val df = Queries.byName("q146_source_overlap").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the one corpus shingle pass ran at matrix-materialization time:
+    // the declared plan reads only the checkpointed matrix
+    assert(!p.contains("FileScan"),
+      s"matrix arithmetic re-scans the corpus:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"matrix degenerated to a pairwise join:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source sizes not broadcast onto the matrix:\n${p.take(800)}")
+    assert(!p.contains("Generate"),
+      s"pair expansion re-runs above the materialized matrix:\n" +
+        p.take(800))
+  }
 }
