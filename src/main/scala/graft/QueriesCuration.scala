@@ -545,6 +545,72 @@ object QueriesCuration {
            |FROM sp GROUP BY split ORDER BY split""".stripMargin
       }),
 
+    // X59 source-vs-corpus distribution drift audit — the monitoring pass
+    // a continuously-ingested corpus runs per snapshot/source: how far does
+    // each source's document-length distribution sit from the corpus-wide
+    // one? Distance is TOTAL VARIATION — unlike KL/PSI it needs no log()
+    // (IEEE transcendental ⇒ last-ulp cross-engine divergence), so the
+    // whole audit is EXACT integer arithmetic: docs bucket by token count
+    // (8-token bins capped at 24 — bounded bucket catalog), and per source
+    //   tvd_ppm = 1e6 · Σ_b |n_sb·n − n_b·n_s| DIV (2·n_s·n)
+    // over the FULL bucket catalog (a source missing a bucket contributes
+    // its full corpus mass — the cross join below makes absent cells
+    // explicit; magnitudes stay < 2^63 at any corpus: counts are ≤ n and
+    // the products are n_sb·n ≤ n², fine to ~3·10^9 docs/source — chunk
+    // the audit per shard family beyond that).
+    // Scale shape: ONE corpus scan, map-side bucket, one partial+final agg
+    // to the (source × bucket)-bounded cell table, MATERIALIZED (q137's
+    // localCheckpoint precedent = the production write of the drift table);
+    // every marginal and the TVD arithmetic run over that constant-size
+    // table — sources×buckets rows — never over docs.
+    Q("q148_drift_audit",
+      (s, d) => {
+        val cells = documents(s, d)
+          .select(col("source"), expr(
+            "least(CAST(size(split(text, ' ')) AS BIGINT) DIV 8, 24L)")
+            .as("bucket"))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_sb"))
+          .localCheckpoint(true)
+        val nS = cells.groupBy("source").agg(sum("n_sb").as("n_s"))
+        val nB = cells.groupBy("bucket").agg(sum("n_sb").as("n_b"))
+        val n = cells.agg(sum("n_sb").as("n"))
+        nS.crossJoin(broadcast(nB))
+          .join(cells, Seq("source", "bucket"), "left")
+          .withColumn("n_sb", coalesce(col("n_sb"), lit(0L)))
+          .crossJoin(broadcast(n))
+          .groupBy("source")
+          .agg(max("n_s").as("n_docs"),
+            sum(abs(col("n_sb") * col("n") - col("n_b") * col("n_s")))
+              .as("num"),
+            max(col("n_s") * col("n")).as("den"))
+          .withColumn("tvd_ppm", expr("(1000000L * num) DIV (2L * den)"))
+          .select("source", "n_docs", "tvd_ppm")
+          .orderBy("source")
+      },
+      Some("""WITH cells AS (
+             |  SELECT source,
+             |    least(CAST(len(str_split(text, ' ')) AS BIGINT) // 8, 24)
+             |      AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_sb
+             |  FROM documents GROUP BY 1, 2),
+             |ns AS (SELECT source, CAST(sum(n_sb) AS BIGINT) AS n_s
+             |       FROM cells GROUP BY 1),
+             |nb AS (SELECT bucket, CAST(sum(n_sb) AS BIGINT) AS n_b
+             |       FROM cells GROUP BY 1),
+             |n AS (SELECT CAST(sum(n_sb) AS BIGINT) AS n FROM cells),
+             |grid AS (
+             |  SELECT ns.source, nb.bucket, ns.n_s, nb.n_b,
+             |    CAST(coalesce(c.n_sb, 0) AS BIGINT) AS n_sb
+             |  FROM ns CROSS JOIN nb
+             |  LEFT JOIN cells c
+             |    ON c.source = ns.source AND c.bucket = nb.bucket)
+             |SELECT g.source, CAST(max(g.n_s) AS BIGINT) AS n_docs,
+             |  CAST((1000000 * sum(abs(g.n_sb * n.n - g.n_b * g.n_s)))
+             |    // (2 * max(g.n_s) * max(n.n)) AS BIGINT) AS tvd_ppm
+             |FROM grid g CROSS JOIN n
+             |GROUP BY g.source ORDER BY g.source""".stripMargin)),
+
     // X17 incremental corpus upsert — latest-version-wins per doc_id (the
     // relational form of ClickHouse ReplacingMergeTree / SCD-1: a re-crawl
     // batch replaces prior versions of the same document). Stand-in update

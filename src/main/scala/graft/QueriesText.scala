@@ -2098,6 +2098,194 @@ object QueriesText {
              |FROM i
              |JOIN sz za ON za.source = i.src_a
              |JOIN sz zb ON zb.source = i.src_b
-             |ORDER BY src_a, src_b""".stripMargin))
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // X60 containment verification — the ASYMMETRIC member of the
+    // two-stage fuzzy-dedup family (Broder 1997 distinguishes resemblance
+    // from CONTAINMENT): Jaccard and edit-similarity (q139) both miss the
+    // doc-inside-doc case (a page quoting another wholesale, a chunk
+    // re-crawled inside a larger aggregation — union dominates the ratio),
+    // so each band candidate pair is verified by exact shingle containment
+    // of the SMALLER set: cont_ppm = 1e6·|S(A)∩S(B)| DIV min(|S(A)|,|S(B)|)
+    // — 1e6 exactly when one doc's shingles all occur in the other,
+    // regardless of how much bigger the other is. Exact integer fixed
+    // point; a verdict column applies the 0.9 cutoff without dropping the
+    // audit rows.
+    // Scale shape: candidates come from the PERSISTED band index
+    // (DedupPipeline.cachedFold — no corpus re-shingle for the pair list)
+    // and are BROADCAST; shingle sets are built ONLY for docs appearing in
+    // a candidate pair (broadcast semi-join prunes the corpus scan to
+    // duplicate-density rows before the explode), so the intersection
+    // equi-join on (doc, hash) carries candidate-doc shingles, never
+    // corpus shingles. At 100 TB every post-scan stage tracks duplicate
+    // density — the production verification cost model (q139's, with the
+    // shingle pass replacing the O(len²) edit distance).
+    Q("q147_containment_verify",
+      (s, d) => {
+        val pairs = bandPairsFrom(
+          graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
+        val ids = pairs.select(col("a_id").as("doc_id"))
+          .union(pairs.select(col("b_id"))).distinct()
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val sh = fanOut(
+          documents(s, d).join(broadcast(ids), Seq("doc_id")))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead("w", 1).over(w))
+          .withColumn("w2", lead("w", 2).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"),
+            (Scalars.tokenHash(
+              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
+          .distinct()
+          .localCheckpoint(true)
+        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = sh.select(col("doc_id").as("a_id"), col("h"))
+          .join(broadcast(pairs), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("h")),
+            Seq("b_id", "h"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        pairs
+          .join(inter, Seq("a_id", "b_id"), "left")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+          .join(broadcast(sz.select(col("doc_id").as("a_id"),
+            col("n").as("sz_a"))), Seq("a_id"))
+          .join(broadcast(sz.select(col("doc_id").as("b_id"),
+            col("n").as("sz_b"))), Seq("b_id"))
+          .withColumn("cont_ppm",
+            expr("(1000000L * inter) DIV least(sz_a, sz_b)"))
+          .withColumn("is_dup", (col("cont_ppm") >= 900000L).cast("int"))
+          .select("a_id", "b_id", "inter", "sz_a", "sz_b", "cont_ppm",
+            "is_dup")
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id),
+           |shu AS (SELECT doc_id, unnest(hs) AS h FROM th),
+           |shd AS (SELECT DISTINCT doc_id, h FROM shu),
+           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+           |       FROM shd GROUP BY 1),
+           |i AS (
+           |  SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS inter
+           |  FROM pairs p
+           |  JOIN shd a ON a.doc_id = p.a_id
+           |  JOIN shd b ON b.doc_id = p.b_id AND b.h = a.h
+           |  GROUP BY 1, 2)
+           |SELECT p.a_id, p.b_id,
+           |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+           |  za.n AS sz_a, zb.n AS sz_b,
+           |  CAST((1000000 * coalesce(i.inter, 0)) // least(za.n, zb.n)
+           |    AS BIGINT) AS cont_ppm,
+           |  CAST(CASE WHEN (1000000 * coalesce(i.inter, 0))
+           |    // least(za.n, zb.n) >= 900000 THEN 1 ELSE 0 END AS INT)
+           |    AS is_dup
+           |FROM pairs p
+           |LEFT JOIN i ON i.a_id = p.a_id AND i.b_id = p.b_id
+           |JOIN sz za ON za.doc_id = p.a_id
+           |JOIN sz zb ON zb.doc_id = p.b_id
+           |ORDER BY p.a_id, p.b_id""".stripMargin
+      }),
+
+    // X61 winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm) — the GUARANTEE-bearing local fingerprinting scheme the
+    // coarse family (q46 global min-hash fingerprints, q97 fixed 16-token
+    // spans, q127/q129 chunk fingerprints) lacks: from each window of
+    // w=4 consecutive 3-gram rolling hashes keep the minimum (rightmost
+    // on ties — the paper's density rule), which PROVABLY fingerprints
+    // every shared substring of ≥ w+k−1 = 6 tokens while storing ~2/(w+1)
+    // of positions. Docs sharing ≥2 selected fingerprints are local-
+    // overlap candidates. The rightmost-min selection is made relational
+    // (and cross-engine exact) by packing (hash, position) into ONE
+    // BIGINT: key = h·2^20 + (2^20−1−pos) — min(key) over the w-row frame
+    // is min hash THEN max position, and the selected hash is key DIV
+    // 2^20. (pos < 2^20: a 100 TB corpus chunks docs long before 1M
+    // tokens — q127.)
+    // Scale shape: one corpus scan; per-doc windows (frame of 4, doc-
+    // partitioned — never corpus-wide); fingerprints are 8-byte longs, so
+    // the only corpus-sized exchange carries (doc_id, fp). The pair stage
+    // applies MOSS's own boilerplate rule BEFORE joining: a window count
+    // over fp keeps only fingerprints shared by 2..8 docs (df=1 can't
+    // pair; df>8 is boilerplate someone should read, not O(df²) pairs to
+    // emit), so the self-join input is duplicate-density-sized, never
+    // corpus-sized.
+    Q("q149_winnow_fingerprints",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val wf = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.currentRow, 3)
+        val wd = Window.partitionBy("doc_id")
+        val wfp = Window.partitionBy("fp")
+        val fps = fanOut(documents(s, d))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead("w", 1).over(w))
+          .withColumn("w2", lead("w", 2).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("pos"),
+            (Scalars.tokenHash(
+              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
+          .withColumn("max_pos", max("pos").over(wd))
+          .withColumn("min_key",
+            min(col("h") * 1048576L + (lit(1048575L) - col("pos")))
+              .over(wf))
+          .filter(col("pos") <= col("max_pos") - 3)
+          .select(col("doc_id"), expr("min_key DIV 1048576L").as("fp"))
+          .distinct()
+        val shared = fps
+          .withColumn("df", count(lit(1)).over(wfp))
+          .filter(col("df") >= 2 && col("df") <= 8)
+          .select("doc_id", "fp")
+        shared.select(col("doc_id").as("a_id"), col("fp"))
+          .join(shared.select(col("doc_id").as("b_id"), col("fp")),
+            Seq("fp"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared_fps"))
+          .filter(col("shared_fps") >= 2)
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, str_split(text, ' ') AS toks
+             |  FROM documents),
+             |kg AS (
+             |  SELECT doc_id, i - 1 AS pos,
+             |    (('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+             |       || toks[i+2]), 1, 15))::BIGINT % $P) AS h
+             |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+             |  WHERE len(toks) >= 3),
+             |keyed AS (
+             |  SELECT doc_id, pos,
+             |    max(pos) OVER (PARTITION BY doc_id) AS max_pos,
+             |    min(h * 1048576 + (1048575 - pos)) OVER (
+             |      PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS min_key
+             |  FROM kg),
+             |fps AS (
+             |  SELECT DISTINCT doc_id, min_key // 1048576 AS fp
+             |  FROM keyed WHERE pos <= max_pos - 3),
+             |keep AS (
+             |  SELECT fp FROM fps GROUP BY fp
+             |  HAVING count(*) BETWEEN 2 AND 8),
+             |p AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(count(*) AS BIGINT) AS shared_fps
+             |  FROM fps a
+             |  JOIN keep k ON k.fp = a.fp
+             |  JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a_id, b_id, shared_fps FROM p
+             |WHERE shared_fps >= 2 ORDER BY a_id, b_id""".stripMargin))
   )
 }

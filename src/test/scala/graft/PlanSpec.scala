@@ -885,4 +885,62 @@ class PlanSpec extends SparkSpec {
       s"pair expansion re-runs above the materialized matrix:\n" +
         p.take(800))
   }
+
+  test("q147 containment verification probes the PERSISTED index and the " +
+      "MATERIALIZED candidate-doc shingle sets — no corpus re-shingle, " +
+      "no pairwise join") {
+    val df = Queries.byName("q147_containment_verify").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"verification degenerated to a pairwise join:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate pairs / sizes not broadcast:\n${p.take(800)}")
+    assert(df.inputFiles.exists(_.contains("dedup112_index")),
+      s"candidates do not probe the persisted index: " +
+        df.inputFiles.take(3).mkString(", "))
+    // the candidate-doc shingle pass ran once, at set materialization:
+    // the declared plan carries no per-doc window and no signature keys
+    assert(!p.contains("lead(") && !p.contains("concat_ws(-, b0"),
+      s"intersection re-shingles above the materialized sets:\n" +
+        p.take(800))
+  }
+
+  test("q148 drift audit: TVD arithmetic runs over the MATERIALIZED " +
+      "(source × bucket) cell table — corpus scanned once, bounded " +
+      "cross expansions only") {
+    val df = Queries.byName("q148_drift_audit").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the one corpus scan ran at cell-materialization time
+    assert(!p.contains("FileScan"),
+      s"marginal arithmetic re-scans the corpus:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the marginal aggs:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"unbroadcast cartesian in the grid expansion:\n${p.take(800)}")
+    // the two deliberate cross expansions (bucket catalog, 1-row total)
+    // must both be broadcast — over the checkpointed bounded table
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"unexpected extra nested-loop joins ($bnlj):\n" +
+      p.take(800))
+  }
+
+  test("q149 winnowing: every window is doc- or fp-partitioned (no " +
+      "corpus-wide window), nothing pairwise, map-side combine present") {
+    val df = Queries.byName("q149_winnow_fingerprints").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fingerprint pairing degenerated to a pairwise join:\n" +
+        p.take(800))
+    assert(p.contains("partial"),
+      s"no map-side combine in the pair agg:\n${p.take(800)}")
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.queryExecution.sparkPlan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"corpus-wide (unpartitioned) window in winnowing:\n$w")
+      case _ =>
+    }
+  }
 }
