@@ -349,22 +349,62 @@ object QueriesText {
     * short-circuit on an O(len) equality, so the quadratic work tracks
     * NEAR-dup density, not the (much larger at sf1) exact-dup density.
     */
+  /** Per-candidate-pair exact edit-distance verification over the
+    * persisted band index, computed ONCE PER DISTINCT CONTENT PAIR —
+    * the q119 exact-dedup-first lesson applied to the verification
+    * stage. Under exact-copy replication every copy of A band-collides
+    * with every copy of B, so the ID-pair count grows with copy
+    * multiplicity SQUARED while the distinct-content pair count doesn't
+    * grow at all (measured at sf1: ~250k ID pairs, ~270 unequal content
+    * pairs — a 900× reduction in levenshtein invocations). Structure:
+    * candidate ID pairs are content-tagged (two broadcast probes over
+    * the narrow (doc_id, sha2) projection), equal-content pairs
+    * short-circuit to edit_dist = 0, the O(len²) levenshtein runs once
+    * per distinct UNEQUAL content pair on one representative text each,
+    * and the verdict fans back out through the content tags. Every
+    * broadcast side (pairs, content-pair verdicts, per-content lengths)
+    * is duplicate-density-sized; the corpus is only ever scanned for
+    * the narrow hash projection (~3× via reused broadcast subtrees —
+    * a production run would persist the content tags; the exchanges are
+    * reused within each executed plan).
+    */
   private[graft] def editSims(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val hashed = documents(s, d)
+      .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("ch"))
     val pairs = bandPairsFrom(
       graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
-    val withA = docs
-      .select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val withA = hashed.select(col("doc_id").as("a_id"), col("ch").as("ca"))
       .join(broadcast(pairs), Seq("a_id"))
-    Tables.fanOut(docs
-      .select(col("doc_id").as("b_id"), col("text").as("b_text"))
-      .join(broadcast(withA), Seq("b_id")))
+    val ab = hashed.select(col("doc_id").as("b_id"), col("ch").as("cb"))
+      .join(broadcast(withA), Seq("b_id"))
+    // one representative text (min doc_id) per content in any pair
+    val pcs = ab.select(col("ca").as("ch"))
+      .union(ab.select(col("cb"))).distinct()
+    val wch = Window.partitionBy("ch").orderBy("doc_id")
+    val reps = hashed.join(broadcast(pcs), Seq("ch"))
+      .withColumn("rn", row_number().over(wch)).filter(col("rn") === 1)
+      .select(col("ch"), col("text"))
+    val lens = reps
+      .select(col("ch"), length(col("text")).cast("long").as("ln"))
+    // levenshtein once per distinct unequal content pair
+    val cp = ab.filter(col("ca") =!= col("cb"))
+      .select("ca", "cb").distinct()
+    val ver = Tables.fanOut(
+      reps.select(col("ch").as("cb"), col("text").as("b_text"))
+        .join(broadcast(
+          reps.select(col("ch").as("ca"), col("text").as("a_text"))
+            .join(broadcast(cp), Seq("ca"))), Seq("cb")))
+      .select(col("ca"), col("cb"),
+        levenshtein(col("a_text"), col("b_text")).cast("long").as("ed"))
+    ab
+      .join(broadcast(lens.select(col("ch").as("ca"),
+        col("ln").as("la"))), Seq("ca"))
+      .join(broadcast(lens.select(col("ch").as("cb"),
+        col("ln").as("lb"))), Seq("cb"))
+      .join(broadcast(ver), Seq("ca", "cb"), "left")
       .select(col("a_id"), col("b_id"),
-        when(col("a_text") === col("b_text"), lit(0L))
-          .otherwise(levenshtein(col("a_text"), col("b_text"))
-            .cast("long")).as("edit_dist"),
-        greatest(length(col("a_text")), length(col("b_text")))
-          .cast("long").as("max_len"))
+        coalesce(col("ed"), lit(0L)).as("edit_dist"),
+        greatest(col("la"), col("lb")).as("max_len"))
       .withColumn("sim_ppm",
         expr("(1000000L * (max_len - edit_dist)) DIV max_len"))
   }
@@ -1890,12 +1930,13 @@ object QueriesText {
     // division in a declared result). Pairs at ≥0.9 are verified dups;
     // at sf0.01 this keeps 25 of 27 candidates and rejects exactly the 2
     // band false-positives (sim ≈ 0.3) — the filter earning its place.
-    // Scale shape: cost = O(candidate pairs) · O(len²) per pair — NEVER
-    // corpus-pairwise; the candidate set is duplicate-density-sized and
-    // broadcasts (two BHJs, q128's probe shape), so the corpus is
-    // scanned once per side for a narrow (doc_id, text) projection and
-    // never shuffled. At 100 TB the verification stage tracks duplicate
-    // density, not corpus size — exactly the production cost model.
+    // Scale shape: cost = O(distinct unequal CONTENT pairs) · O(len²) —
+    // never corpus-pairwise, and invariant to exact-copy multiplicity
+    // (editSims computes each distinct content pair once and fans the
+    // verdict back out through the (doc → sha2) tags; measured at sf1
+    // this is ~250k ID pairs but ~270 levenshtein calls). At 100 TB the
+    // verification stage tracks near-duplicate content density, not
+    // corpus size and not copy counts — the production cost model.
     Q("q139_editdist_verify",
       (s, d) => editSims(s, d)
         .filter(col("sim_ppm") >= 900000L)
@@ -2122,36 +2163,56 @@ object QueriesText {
     // shingle pass replacing the O(len²) edit distance).
     Q("q147_containment_verify",
       (s, d) => {
+        // Verification per DISTINCT CONTENT, not per doc (editSims'
+        // copy-invariance discipline): shingle sets are built for one
+        // representative per content appearing in a candidate pair, the
+        // set intersection runs once per distinct UNEQUAL content pair,
+        // equal-content pairs short-circuit to full containment, and
+        // the verdict fans back out through the (doc → content) tags.
+        val hashed = documents(s, d).select(col("doc_id"), col("text"),
+          sha2(col("text"), 256).as("ch"))
         val pairs = bandPairsFrom(
           graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
-        val ids = pairs.select(col("a_id").as("doc_id"))
-          .union(pairs.select(col("b_id"))).distinct()
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val sh = fanOut(
-          documents(s, d).join(broadcast(ids), Seq("doc_id")))
-          .select(col("doc_id"),
+        val withA = hashed
+          .select(col("doc_id").as("a_id"), col("ch").as("ca"))
+          .join(broadcast(pairs), Seq("a_id"))
+        val ab = hashed
+          .select(col("doc_id").as("b_id"), col("ch").as("cb"))
+          .join(broadcast(withA), Seq("b_id"))
+        val pcs = ab.select(col("ca").as("ch"))
+          .union(ab.select(col("cb"))).distinct()
+        val wch = Window.partitionBy("ch").orderBy("doc_id")
+        val w = Window.partitionBy("ch").orderBy("pos")
+        val sh = fanOut(hashed.join(broadcast(pcs), Seq("ch"))
+          .withColumn("rn", row_number().over(wch))
+          .filter(col("rn") === 1)
+          .select(col("ch"), col("text")))
+          .select(col("ch"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
           .withColumn("w1", lead("w", 1).over(w))
           .withColumn("w2", lead("w", 2).over(w))
           .filter(col("w2").isNotNull)
-          .select(col("doc_id"),
+          .select(col("ch"),
             (Scalars.tokenHash(
               concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
           .distinct()
           .localCheckpoint(true)
-        val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = sh.select(col("doc_id").as("a_id"), col("h"))
-          .join(broadcast(pairs), Seq("a_id"))
-          .join(sh.select(col("doc_id").as("b_id"), col("h")),
-            Seq("b_id", "h"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-        pairs
-          .join(inter, Seq("a_id", "b_id"), "left")
-          .withColumn("inter", coalesce(col("inter"), lit(0L)))
-          .join(broadcast(sz.select(col("doc_id").as("a_id"),
-            col("n").as("sz_a"))), Seq("a_id"))
-          .join(broadcast(sz.select(col("doc_id").as("b_id"),
-            col("n").as("sz_b"))), Seq("b_id"))
+        val sz = sh.groupBy("ch").agg(count(lit(1)).as("n"))
+        val cp = ab.filter(col("ca") =!= col("cb"))
+          .select("ca", "cb").distinct()
+        val inter = sh.select(col("ch").as("ca"), col("h"))
+          .join(broadcast(cp), Seq("ca"))
+          .join(sh.select(col("ch").as("cb"), col("h")), Seq("cb", "h"))
+          .groupBy("ca", "cb").agg(count(lit(1)).as("i"))
+        ab
+          .join(broadcast(sz.select(col("ch").as("ca"),
+            col("n").as("sz_a"))), Seq("ca"))
+          .join(broadcast(sz.select(col("ch").as("cb"),
+            col("n").as("sz_b"))), Seq("cb"))
+          .join(broadcast(inter), Seq("ca", "cb"), "left")
+          .withColumn("inter",
+            when(col("ca") === col("cb"), col("sz_a"))
+              .otherwise(coalesce(col("i"), lit(0L))))
           .withColumn("cont_ppm",
             expr("(1000000L * inter) DIV least(sz_a, sz_b)"))
           .withColumn("is_dup", (col("cont_ppm") >= 900000L).cast("int"))
