@@ -370,25 +370,27 @@ object QueriesText {
     */
   private[graft] def editSims(s: SparkSession, d: String): DataFrame = {
     val hashed = documents(s, d)
-      .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("ch"))
+      .select(col("doc_id"), col("text"), sha2(col("text"), 256).as("ch"),
+        length(col("text")).cast("long").as("ln"))
     val pairs = bandPairsFrom(
       graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
-    val withA = hashed.select(col("doc_id").as("a_id"), col("ch").as("ca"))
+    // content tags carry the length, so max_len needs no extra join
+    val withA = hashed.select(col("doc_id").as("a_id"),
+      col("ch").as("ca"), col("ln").as("la"))
       .join(broadcast(pairs), Seq("a_id"))
-    val ab = hashed.select(col("doc_id").as("b_id"), col("ch").as("cb"))
+    val ab = hashed.select(col("doc_id").as("b_id"),
+      col("ch").as("cb"), col("ln").as("lb"))
       .join(broadcast(withA), Seq("b_id"))
-    // one representative text (min doc_id) per content in any pair
-    val pcs = ab.select(col("ca").as("ch"))
-      .union(ab.select(col("cb"))).distinct()
+    // levenshtein once per distinct unequal content pair, on one
+    // representative text per participating content
+    val cp = ab.filter(col("ca") =!= col("cb"))
+      .select("ca", "cb").distinct()
+    val pcs = cp.select(col("ca").as("ch"))
+      .union(cp.select(col("cb"))).distinct()
     val wch = Window.partitionBy("ch").orderBy("doc_id")
     val reps = hashed.join(broadcast(pcs), Seq("ch"))
       .withColumn("rn", row_number().over(wch)).filter(col("rn") === 1)
       .select(col("ch"), col("text"))
-    val lens = reps
-      .select(col("ch"), length(col("text")).cast("long").as("ln"))
-    // levenshtein once per distinct unequal content pair
-    val cp = ab.filter(col("ca") =!= col("cb"))
-      .select("ca", "cb").distinct()
     val ver = Tables.fanOut(
       reps.select(col("ch").as("cb"), col("text").as("b_text"))
         .join(broadcast(
@@ -397,10 +399,6 @@ object QueriesText {
       .select(col("ca"), col("cb"),
         levenshtein(col("a_text"), col("b_text")).cast("long").as("ed"))
     ab
-      .join(broadcast(lens.select(col("ch").as("ca"),
-        col("ln").as("la"))), Seq("ca"))
-      .join(broadcast(lens.select(col("ch").as("cb"),
-        col("ln").as("lb"))), Seq("cb"))
       .join(broadcast(ver), Seq("ca", "cb"), "left")
       .select(col("a_id"), col("b_id"),
         coalesce(col("ed"), lit(0L)).as("edit_dist"),
