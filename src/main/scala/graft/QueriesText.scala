@@ -2345,6 +2345,73 @@ object QueriesText {
              |  JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2)
              |SELECT a_id, b_id, shared_fps FROM p
-             |WHERE shared_fps >= 2 ORDER BY a_id, b_id""".stripMargin))
+             |WHERE shared_fps >= 2 ORDER BY a_id, b_id""".stripMargin)),
+
+    // X62 boilerplate n-gram miner — the REPORT behind every line/span
+    // removal rule (C4 dropped repeated lines, CCNet hashes paragraphs;
+    // both decisions start from "what text recurs across documents?"):
+    // the top-20 5-gram spans by corpus occurrence count among those
+    // appearing in ≥3 DISTINCT docs, with their doc frequency and the
+    // span text — the list a curator reads before writing a removal
+    // pattern (navigation chrome, license headers, templated footers).
+    // Scale shape: one corpus scan + stride-1 5-gram explode (per-doc
+    // lead windows — the q130 machinery); all aggregation keys on the
+    // 8-byte token hash, never the span text (the text rides along as a
+    // min() measure through map-side partial aggs — one string per hash
+    // per partition, not per occurrence); doc frequency is a two-phase
+    // (hash, doc)-distinct count; the report reduces via
+    // TakeOrderedAndProject (per-partition top-k + K-row driver merge,
+    // never a global sort). Hash collisions merge gram groups
+    // identically in both engines (same md5-derived hash), so the
+    // result stays cross-engine exact.
+    Q("q150_boilerplate_ngrams",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val grams = fanOut(documents(s, d))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead("w", 1).over(w))
+          .withColumn("w2", lead("w", 2).over(w))
+          .withColumn("w3", lead("w", 3).over(w))
+          .withColumn("w4", lead("w", 4).over(w))
+          .filter(col("w4").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
+              col("w4")).as("gram"))
+          .withColumn("g", Scalars.tokenHash(col("gram")) % P)
+        val occ = grams.groupBy("g")
+          .agg(count(lit(1)).as("n_occ"), min("gram").as("gram"))
+        val df = grams.select("g", "doc_id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("n_docs"))
+        occ.join(df, Seq("g"))
+          .filter(col("n_docs") >= 3)
+          .select("gram", "n_occ", "n_docs")
+          .orderBy(col("n_occ").desc, col("gram"))
+          .limit(20)
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, str_split(text, ' ') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+             |      || toks[i+3] || ' ' || toks[i+4] AS gram
+             |  FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+             |  WHERE len(toks) >= 5),
+             |h AS (
+             |  SELECT doc_id, gram,
+             |    (('0x' || substr(md5(gram), 1, 15))::BIGINT % $P) AS hh
+             |  FROM g),
+             |occ AS (
+             |  SELECT hh, CAST(count(*) AS BIGINT) AS n_occ,
+             |    min(gram) AS gram
+             |  FROM h GROUP BY 1),
+             |df AS (
+             |  SELECT hh, CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM (SELECT DISTINCT hh, doc_id FROM h) GROUP BY 1)
+             |SELECT occ.gram, occ.n_occ, df.n_docs
+             |FROM occ JOIN df ON df.hh = occ.hh
+             |WHERE df.n_docs >= 3
+             |ORDER BY occ.n_occ DESC, occ.gram LIMIT 20""".stripMargin))
   )
 }

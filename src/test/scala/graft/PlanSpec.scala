@@ -943,4 +943,24 @@ class PlanSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q150 boilerplate miner: hash-keyed aggs with map-side combine, " +
+      "top-k via TakeOrdered, no pairwise join, doc-partitioned windows") {
+    val df = Queries.byName("q150_boilerplate_ngrams").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"report fell back to a global sort:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the gram aggs:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join in the miner:\n${p.take(800)}")
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.queryExecution.sparkPlan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"corpus-wide (unpartitioned) window in the miner:\n$w")
+      case _ =>
+    }
+  }
 }
