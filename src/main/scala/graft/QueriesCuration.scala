@@ -564,30 +564,8 @@ object QueriesCuration {
     // every marginal and the TVD arithmetic run over that constant-size
     // table — sources×buckets rows — never over docs.
     Q("q148_drift_audit",
-      (s, d) => {
-        val cells = documents(s, d)
-          .select(col("source"), expr(
-            "least(CAST(size(split(text, ' ')) AS BIGINT) DIV 8, 24L)")
-            .as("bucket"))
-          .groupBy("source", "bucket")
-          .agg(count(lit(1)).as("n_sb"))
-          .localCheckpoint(true)
-        val nS = cells.groupBy("source").agg(sum("n_sb").as("n_s"))
-        val nB = cells.groupBy("bucket").agg(sum("n_sb").as("n_b"))
-        val n = cells.agg(sum("n_sb").as("n"))
-        nS.crossJoin(broadcast(nB))
-          .join(cells, Seq("source", "bucket"), "left")
-          .withColumn("n_sb", coalesce(col("n_sb"), lit(0L)))
-          .crossJoin(broadcast(n))
-          .groupBy("source")
-          .agg(max("n_s").as("n_docs"),
-            sum(abs(col("n_sb") * col("n") - col("n_b") * col("n_s")))
-              .as("num"),
-            max(col("n_s") * col("n")).as("den"))
-          .withColumn("tvd_ppm", expr("(1000000L * num) DIV (2L * den)"))
-          .select("source", "n_docs", "tvd_ppm")
-          .orderBy("source")
-      },
+      (s, d) => driftFromCells(
+        lengthCells(documents(s, d)).localCheckpoint(true)),
       Some("""WITH cells AS (
              |  SELECT source,
              |    least(CAST(len(str_split(text, ' ')) AS BIGINT) // 8, 24)
@@ -972,5 +950,43 @@ object QueriesCuration {
         least(lit(64), col("n") - col("start_tok") + 1)
           .cast("long").as("n_tok") :+
         Scalars.tokenHash(col("chunk")).as("fp"): _*)
+  }
+
+  /** q148's map-side cell builder — (source, bucket, n_sb) counts over
+    * 8-token length bins capped at 24. Shared by the declared batch audit
+    * and the streaming twin (`StreamingSpec` X59: a complete-mode
+    * streaming aggregation of the same cells equals the batch cells, so
+    * the drift monitor runs incrementally — the cells ARE the state, the
+    * TVD arithmetic is a constant-size read model over them).
+    */
+  private[graft] def lengthCells(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("source"), expr(
+      "least(CAST(size(split(text, ' ')) AS BIGINT) DIV 8, 24L)")
+      .as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_sb"))
+
+  /** q148's exact-TVD arithmetic over a MATERIALIZED cell table (every
+    * marginal, the absent-cell grid, and the fixed-point division run
+    * over (source × bucket)-bounded input, never over docs).
+    */
+  private[graft] def driftFromCells(
+      cells: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nS = cells.groupBy("source").agg(sum("n_sb").as("n_s"))
+    val nB = cells.groupBy("bucket").agg(sum("n_sb").as("n_b"))
+    val n = cells.agg(sum("n_sb").as("n"))
+    nS.crossJoin(broadcast(nB))
+      .join(cells, Seq("source", "bucket"), "left")
+      .withColumn("n_sb", coalesce(col("n_sb"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"),
+        sum(abs(col("n_sb") * col("n") - col("n_b") * col("n_s")))
+          .as("num"),
+        max(col("n_s") * col("n")).as("den"))
+      .withColumn("tvd_ppm", expr("(1000000L * num) DIV (2L * den)"))
+      .select("source", "n_docs", "tvd_ppm")
+      .orderBy("source")
   }
 }

@@ -145,6 +145,28 @@ class StreamingSpec extends SparkSpec {
       "streaming chunk rows diverge from the batch form")
   }
 
+  test("X59 twin: complete-mode streaming drift cells equal the batch " +
+    "cells — the TVD monitor folds incrementally over micro-batches") {
+    val in = mkTmp("driftstream")
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = QueriesCuration.lengthCells(stream)
+      .writeStream.format("memory").queryName("drift_twin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    val streamed = QueriesCuration.driftFromCells(
+      spark.table("drift_twin").localCheckpoint(true))
+      .collect().map(_.toString).sorted
+    val batch = Queries.byName("q148_drift_audit").build(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch),
+      "streaming-folded drift audit diverges from the batch audit")
+  }
+
   test("T8: streaming tumbling-window agg matches the batch date_trunc form") {
     import spark.implicits._
     val in = mkTmp("events_json")
