@@ -589,6 +589,81 @@ object QueriesCuration {
              |FROM grid g CROSS JOIN n
              |GROUP BY g.source ORDER BY g.source""".stripMargin)),
 
+    // X63 corpus snapshot diff — the refresh report a crawl-ops team
+    // reads after every re-crawl (and the decision input for q91's
+    // upsert and q148's drift monitor): per source, documents added /
+    // removed / changed / unchanged between two snapshots plus churn as
+    // exact ppm of the prior snapshot. Change detection is CONTENT-HASH
+    // equality (sha2-256), never text comparison — the id join carries
+    // 32-byte hashes, text never leaves the scan. Stand-in next
+    // snapshot (q91's synthesized-batch precedent): doc_id % 10 = 3
+    // decays out, % 7 = 0 re-crawls with changed content, % 13 = 0
+    // additionally surfaces a NEW discovery (id + 1e10 — beyond any
+    // scaled id range), everything else re-crawls binary-identical.
+    // Scale shape: one full-outer join on the 8-byte doc_id over narrow
+    // (id, source, hash) projections — co-partitionable with the
+    // snapshot layout at 100 TB; states are map-side CASE over the
+    // joined row; the report is one partial+final agg to sources-many
+    // groups.
+    Q("q151_snapshot_diff",
+      (s, d) => {
+        val a = documents(s, d).select(col("doc_id"), col("source"),
+          sha2(col("text"), 256).as("ha"))
+        val base = documents(s, d)
+        val b = base.filter(col("doc_id") % 10 =!= 3)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 7 === 0,
+              sha2(concat(col("text"), lit(" u")), 256))
+              .otherwise(sha2(col("text"), 256)).as("hb"))
+          .unionByName(base.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 10000000000L).as("doc_id"),
+              col("source"),
+              sha2(concat(lit("new "), col("text")), 256).as("hb")))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(coalesce(a("source"), b("source")).as("source"),
+            when(col("ha").isNull, "added")
+              .when(col("hb").isNull, "removed")
+              .when(col("ha") === col("hb"), "unchanged")
+              .otherwise("changed").as("state"))
+          .groupBy("source")
+          .agg(
+            sum(when(col("state") === "added", 1L).otherwise(0L))
+              .as("n_added"),
+            sum(when(col("state") === "removed", 1L).otherwise(0L))
+              .as("n_removed"),
+            sum(when(col("state") === "changed", 1L).otherwise(0L))
+              .as("n_changed"),
+            sum(when(col("state") === "unchanged", 1L).otherwise(0L))
+              .as("n_unchanged"))
+          .withColumn("churn_ppm", expr(
+            "(1000000L * (n_added + n_removed + n_changed)) DIV " +
+              "(n_removed + n_changed + n_unchanged)"))
+          .select("source", "n_added", "n_removed", "n_changed",
+            "n_unchanged", "churn_ppm")
+          .orderBy("source")
+      },
+      Some("""WITH st AS (
+             |  SELECT source,
+             |    CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS is_added,
+             |    CASE WHEN doc_id % 10 = 3 THEN 1 ELSE 0 END AS is_removed,
+             |    CASE WHEN doc_id % 10 <> 3 AND doc_id % 7 = 0 THEN 1
+             |      ELSE 0 END AS is_changed,
+             |    CASE WHEN doc_id % 10 <> 3 AND doc_id % 7 <> 0 THEN 1
+             |      ELSE 0 END AS is_unchanged
+             |  FROM documents),
+             |g AS (
+             |  SELECT source,
+             |    CAST(sum(is_added) AS BIGINT) AS n_added,
+             |    CAST(sum(is_removed) AS BIGINT) AS n_removed,
+             |    CAST(sum(is_changed) AS BIGINT) AS n_changed,
+             |    CAST(sum(is_unchanged) AS BIGINT) AS n_unchanged
+             |  FROM st GROUP BY source)
+             |SELECT source, n_added, n_removed, n_changed, n_unchanged,
+             |  CAST((1000000 * (n_added + n_removed + n_changed)) //
+             |    (n_removed + n_changed + n_unchanged) AS BIGINT)
+             |    AS churn_ppm
+             |FROM g ORDER BY source""".stripMargin)),
+
     // X17 incremental corpus upsert — latest-version-wins per doc_id (the
     // relational form of ClickHouse ReplacingMergeTree / SCD-1: a re-crawl
     // batch replaces prior versions of the same document). Stand-in update

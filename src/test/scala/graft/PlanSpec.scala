@@ -944,6 +944,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q151 snapshot diff: narrow hash projections into one id join, " +
+      "map-side state CASE, partial agg — text never leaves the scan") {
+    val df = Queries.byName("q151_snapshot_diff").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"diff degenerated to a pairwise join:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the state rollup:\n${p.take(800)}")
+    // the scans feed sha2 projections only: no unprojected columns read
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"diff reads unprojected columns:\n${p.take(600)}")
+    assert(!p.contains("Window"),
+      s"unexpected window in a join-diff:\n${p.take(600)}")
+  }
+
   test("q150 boilerplate miner: hash-keyed aggs with map-side combine, " +
       "top-k via TakeOrdered, no pairwise join, doc-partitioned windows") {
     val df = Queries.byName("q150_boilerplate_ngrams").build(spark, sf)
