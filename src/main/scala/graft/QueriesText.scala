@@ -1431,13 +1431,20 @@ object QueriesText {
     // (Jégou et al. 2011 / FAISS IVF-PQ). No-oracle by design (DuckDB
     // cannot replay the Lloyd fit); PqSpec pins the ADC identity
     // (adc == ||q − decode(code)||² to 1e-9), code partition-stability,
-    // and a 0.93 recall gate on the clustered fixture.
+    // and a 0.93 recall gate on the clustered fixture; verify_local
+    // bounds recall ≥ 2/3 vs brute force at EVERY sf. Codebook k=64 and
+    // shortlist 64: the first draft's k=16/20 passed at sf0.01 (500
+    // vectors) but read recall 4/9 on sf0.1's 5 000 distinct
+    // near-random vectors — 4-bit subcodes can't separate a
+    // concentrated distance distribution; 6 bits + a deeper re-rank
+    // shortlist restore ≥ 2/3 at all scales for ~0.6 s at sf0.1 (the
+    // recall-vs-cost dial every PQ deployment tunes).
     Q("q110_ann_pq",
       (s, d) => {
         import graft.ops.ProductQuantizer
         val e = embeddings(s, d)
         val model = ProductQuantizer.fit(e, col("vec_id"),
-          col("embedding"), dim = 64, m = 8, k = 16, iters = 5,
+          col("embedding"), dim = 64, m = 8, k = 64, iters = 5,
           seed = 11L)
         val codes = ProductQuantizer.encode(e, col("vec_id"),
           col("embedding"), model)
@@ -1446,7 +1453,7 @@ object QueriesText {
             r.getSeq[Float](1).map(_.toDouble).toArray)
         }.toSeq
         val shortlist = ProductQuantizer.adcTopK(codes, model, qs,
-          topK = 20).select("q_id", "vec_id")
+          topK = 64).select("q_id", "vec_id")
         val en = withNorm(e)
         val q = en.filter(col("vec_id") < 3)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
