@@ -1644,6 +1644,60 @@ object QueriesText {
            |FROM m GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // X65 quality × duplication contingency — the evidence table behind
+    // the "dedup before or after the quality filter?" pipeline-ordering
+    // decision (and the sanity check on the quality score itself): per
+    // 0.1-wide quality bin (X50's exact fixed-point formula), document
+    // count and the fraction belonging to a near-dup cluster in the
+    // MAINTAINED index, as exact ppm. If duplication concentrates in low
+    // bins, the quality filter already removes most duplicates and dedup
+    // can run on the survivors (cheaper); flat rates mean dedup must run
+    // first or the filter keeps whole duplicate families.
+    // Scale shape: score + bin are map-side over one corpus scan;
+    // membership is one left join against the PERSISTED index labels
+    // (cachedFold — no closure rebuild); the rollup is a partial agg to
+    // ~10 bins. Nothing pairwise, nothing windowed.
+    Q("q153_quality_dup_matrix",
+      (s, d) => {
+        val qd = documents(s, d).select(col("doc_id"),
+          floor(lit(1e6) *
+            (least(size(split(col("text"), " ")).cast("double") / 100.0,
+              lit(1.0)) * 0.5 +
+             length(regexp_replace(col("text"), "[^a-z]", ""))
+               .cast("double") / length(col("text")) * 0.5)).as("q_fp"))
+          .withColumn("bin", expr("q_fp DIV 100000L"))
+        val labels = graft.pipelines.DedupPipeline.cachedFold(s, d).labels
+          .select(col("v").as("doc_id"), lit(1).as("cl"))
+        qd.join(labels, Seq("doc_id"), "left")
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("cl").isNotNull, 1L).otherwise(0L))
+              .as("n_clustered"))
+          .withColumn("clustered_ppm",
+            expr("(1000000L * n_clustered) DIV n_docs"))
+          .select("bin", "n_docs", "n_clustered", "clustered_ppm")
+          .orderBy("bin")
+      },
+      Some {
+        val qFp = "CAST(floor(1e6 * (" +
+          "least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)" +
+          " * 0.5 + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))" +
+          " AS DOUBLE) / length(text)) * 0.5)) AS BIGINT)"
+        s"""WITH RECURSIVE
+           |$closureSqlCtes,
+           |qd AS (
+           |  SELECT doc_id, $qFp // 100000 AS bin
+           |  FROM documents),
+           |m AS (
+           |  SELECT qd.bin, CASE WHEN c.v IS NULL THEN 0 ELSE 1 END AS cl
+           |  FROM qd LEFT JOIN comp c ON c.v = qd.doc_id)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(cl) AS BIGINT) AS n_clustered,
+           |  CAST((1000000 * sum(cl)) // count(*) AS BIGINT)
+           |    AS clustered_ppm
+           |FROM m GROUP BY bin ORDER BY bin""".stripMargin
+      }),
+
     // X48 tokenizer vocabulary coverage / OOV rate — the tokenizer-fit
     // audit run before training: fix a vocabulary (here the corpus's own
     // top-64 tokens by (freq DESC, token ASC) — the deterministic stand-in
@@ -2353,6 +2407,59 @@ object QueriesText {
              |  GROUP BY 1, 2)
              |SELECT a_id, b_id, shared_fps FROM p
              |WHERE shared_fps >= 2 ORDER BY a_id, b_id""".stripMargin)),
+
+    // X64 per-source content novelty — the per-source scalar the q146
+    // overlap MATRIX implies (and the number a mixing decision actually
+    // plugs in): what fraction of a source's distinct 3-shingles occurs
+    // in NO other source (exact ppm)? High novelty = the source
+    // contributes content nothing else covers; low = it's redundant with
+    // the rest of the mix and its q137 weight is buying duplicates.
+    // Scale shape — q146's pipeline with a spread count instead of pair
+    // expansion: one corpus shingle pass (per-doc windows), then ONE
+    // corpus-sized exchange on the shingle hash; the (source, h) dedup
+    // aggregates IN PLACE on that partitioning (hash(h) clusters every
+    // (h, source) pair), the per-hash source-spread is a count window
+    // over h on the SAME partitioning (sort only, no exchange, no join,
+    // groups bounded by the source catalog), and the rollup is
+    // sources-many groups. The corpus is shingled exactly once.
+    Q("q152_source_novelty",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val sh = fanOut(documents(s, d))
+          .select(col("doc_id"), col("source"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("w1", lead("w", 1).over(w))
+          .withColumn("w2", lead("w", 2).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("source"),
+            (Scalars.tokenHash(
+              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
+          .repartition(col("h"))
+          .dropDuplicates("source", "h")
+        sh.withColumn("nsrc",
+            count(lit(1)).over(Window.partitionBy("h")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty_ppm",
+            expr("(1000000L * n_unique) DIV n_shingles"))
+          .select("source", "n_shingles", "n_unique", "novelty_ppm")
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT source, $shinglesSql AS ws
+             |           FROM documents),
+             |th AS (SELECT source, unnest($tokenHashesSql) AS h FROM t),
+             |sh AS (SELECT DISTINCT source, h FROM th),
+             |sp AS (SELECT h, CAST(count(*) AS BIGINT) AS nsrc
+             |       FROM sh GROUP BY 1)
+             |SELECT source,
+             |  CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_unique,
+             |  CAST((1000000 * sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END))
+             |    // count(*) AS BIGINT) AS novelty_ppm
+             |FROM sh JOIN sp USING (h)
+             |GROUP BY source ORDER BY source""".stripMargin)),
 
     // X62 boilerplate n-gram miner — the REPORT behind every line/span
     // removal rule (C4 dropped repeated lines, CCNet hashes paragraphs;

@@ -944,6 +944,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q152 novelty: one shingle pipeline, dedup + spread window share " +
+      "the h exchange, no join, partial agg — nothing pairwise") {
+    val df = Queries.byName("q152_source_novelty").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("Join"),
+      s"novelty should need no join at all:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the rollup:\n${p.take(800)}")
+    // exactly one shingle pipeline: a single posexplode Generate
+    val gens = "Generate".r.findAllIn(p).size
+    assert(gens <= 1, s"corpus shingled more than once ($gens):\n" +
+      p.take(800))
+    // the (source,h) dedup must aggregate on the h exchange in place —
+    // no second corpus-sized exchange between repartition and rollup
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) +
+      p.linesIterator.count(_.contains("Exchange rangepartitioning")) <= 4,
+      s"extra exchange — dedup/window not sharing the h partitioning:\n$p")
+  }
+
+  test("q153 quality-dup matrix reads the PERSISTED labels — no closure " +
+      "rebuild, no re-shingle, map-side score, partial agg") {
+    val df = Queries.byName("q153_quality_dup_matrix").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"matrix planned a pairwise join:\n${p.take(800)}")
+    assert(df.inputFiles.exists(_.contains("dedup112_index")),
+      s"labels do not come from the persisted index: " +
+        df.inputFiles.take(3).mkString(", "))
+    assert(!p.contains("lead(") && !p.contains("concat_ws(-, b0"),
+      s"membership re-runs the signature pipeline:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the bin rollup:\n${p.take(800)}")
+  }
+
   test("q151 snapshot diff: narrow hash projections into one id join, " +
       "map-side state CASE, partial agg — text never leaves the scan") {
     val df = Queries.byName("q151_snapshot_diff").build(spark, sf)
