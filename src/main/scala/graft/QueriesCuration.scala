@@ -297,6 +297,132 @@ object QueriesCuration {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS alloc
              |FROM rk CROSS JOIN lo ORDER BY source""".stripMargin)),
 
+    // X66 token-budget mix materialization — the step that turns X49's
+    // allocation into an actual dataset: a global token budget
+    // B = corpus_tokens DIV 2 is split per source ∝ floor(1e6·sqrt(
+    // source_tokens)) by largest-remainder (Σ budgets = B exactly), then
+    // each source contributes its docs in deterministic content-hash
+    // order until the running token sum crosses its budget (a doc is kept
+    // iff the sum BEFORE it is under budget — reproducible on any engine,
+    // any partitioning). Undersubscribed sources (budget > their total
+    // tokens) surface as fill_ppm < 1e6 — the data-constrained signal
+    // that the mix needs multiple epochs of that source.
+    // Scale shape — the per-source ordered prefix sum is the trap: a
+    // window PARTITIONed BY source alone puts an entire source (possibly
+    // half of 100 TB) in ONE task. Materialized instead as a two-phase
+    // prefix sum over the order key's top bits: the 60-bit hash DIV 2^52
+    // gives 256 ORDER-PRESERVING buckets per source; phase 1 is a
+    // partial+final agg to (source, bucket) partials, phase 2 computes
+    // bucket offsets with a window over that sources×256-row table
+    // (tiny), phase 3 broadcasts offsets + budgets back and finishes the
+    // cumsum with windows partitioned by (source, bucket) — every task
+    // bounded by 1/256 of a source, narrower buckets if needed. The
+    // narrow (source, h, ntok, bkt) projection is materialized once
+    // (localCheckpoint = the production write), so text is split exactly
+    // once; budgets derive from the phase-1 partials, not a second scan.
+    Q("q154_budget_materialize",
+      (s, d) => {
+        val t = fanOut(documents(s, d))
+          .select(col("source"), col("doc_id"),
+            bucketFull("pack:").as("h"),
+            size(split(col("text"), " ")).cast("long").as("ntok"))
+          .withColumn("bkt", expr("h DIV 4503599627370496L"))
+          .localCheckpoint(true)
+        val partials = t.groupBy("source", "bkt")
+          .agg(sum("ntok").as("psum")).localCheckpoint(true)
+        val wOff = Window.partitionBy("source").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = partials
+          .withColumn("off", coalesce(sum("psum").over(wOff), lit(0L)))
+          .select("source", "bkt", "off")
+        val st = partials.groupBy("source").agg(sum("psum").as("n_tok"))
+          .withColumn("w_fp",
+            floor(lit(1e6) * sqrt(col("n_tok").cast("double"))))
+          .localCheckpoint(true)
+        val tot = st.agg(sum("w_fp").as("w_tot"),
+          expr("sum(n_tok) DIV 2").as("b"))
+        val base = st.crossJoin(broadcast(tot))
+          .withColumn("alloc_base", expr("(b * w_fp) DIV w_tot"))
+          .withColumn("rem", expr("(b * w_fp) % w_tot"))
+        val lo = base.agg((max("b") - sum("alloc_base")).as("leftover"))
+        val wr = Window.orderBy(col("rem").desc, col("source").asc)
+        val budgets = base.crossJoin(broadcast(lo))
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("budget_tok",
+            col("alloc_base") +
+              when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .select("source", "budget_tok")
+        val wCum = Window.partitionBy("source", "bkt")
+          .orderBy(col("h").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.join(broadcast(offsets), Seq("source", "bkt"))
+          .withColumn("cum_before",
+            col("off") + sum("ntok").over(wCum) - col("ntok"))
+          .join(broadcast(budgets), Seq("source"))
+          .withColumn("kept", col("cum_before") < col("budget_tok"))
+          .groupBy("source")
+          .agg(max("budget_tok").as("budget_tok"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+            sum(when(col("kept"), col("ntok")).otherwise(0L))
+              .as("kept_tok"))
+          .withColumn("fill_ppm",
+            expr("(1000000L * kept_tok) DIV budget_tok"))
+          .select("source", "budget_tok", "kept_docs", "kept_tok",
+            "fill_ppm")
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT source, doc_id,
+             |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+             |      1, 15))::BIGINT AS h,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |st AS (
+             |  SELECT source, CAST(sum(ntok) AS BIGINT) AS n_tok
+             |  FROM t GROUP BY source),
+             |wf AS (
+             |  SELECT source, n_tok,
+             |    CAST(floor(1e6 * sqrt(CAST(n_tok AS DOUBLE)))
+             |      AS BIGINT) AS w_fp
+             |  FROM st),
+             |tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_tot,
+             |  CAST(sum(n_tok) AS BIGINT) // 2 AS b FROM wf),
+             |base AS (
+             |  SELECT wf.source, wf.w_fp, t.b,
+             |    (t.b * wf.w_fp) // t.w_tot AS alloc_base,
+             |    (t.b * wf.w_fp) % t.w_tot AS rem
+             |  FROM wf CROSS JOIN tot t),
+             |lo AS (SELECT CAST(max(b) - sum(alloc_base) AS BIGINT)
+             |         AS leftover FROM base),
+             |rk AS (
+             |  SELECT source, alloc_base,
+             |    CAST(row_number() OVER (
+             |      ORDER BY rem DESC, source ASC) AS BIGINT) AS rk
+             |  FROM base),
+             |bud AS (
+             |  SELECT source,
+             |    CAST(alloc_base + (CASE WHEN rk.rk <= lo.leftover
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS budget_tok
+             |  FROM rk CROSS JOIN lo),
+             |c AS (
+             |  SELECT source, ntok,
+             |    sum(ntok) OVER (PARTITION BY source
+             |      ORDER BY h ASC, doc_id ASC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      - ntok AS cum_before
+             |  FROM t)
+             |SELECT c.source, CAST(max(bud.budget_tok) AS BIGINT)
+             |    AS budget_tok,
+             |  CAST(sum(CASE WHEN c.cum_before < bud.budget_tok
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+             |  CAST(sum(CASE WHEN c.cum_before < bud.budget_tok
+             |    THEN c.ntok ELSE 0 END) AS BIGINT) AS kept_tok,
+             |  CAST((1000000 * sum(CASE WHEN c.cum_before < bud.budget_tok
+             |    THEN c.ntok ELSE 0 END)) // max(bud.budget_tok)
+             |    AS BIGINT) AS fill_ppm
+             |FROM c JOIN bud USING (source)
+             |GROUP BY c.source ORDER BY c.source""".stripMargin)),
+
     // X52 DSIR-style importance scoring (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling") — the data-SELECTION
     // step run when a large raw corpus must be filtered toward a small

@@ -145,4 +145,68 @@ class CurationInvariantSpec extends SparkSpec {
       "corpus has no straddling pairs under the doc split — " +
         "the leakage-free claim would be vacuous")
   }
+
+  /** JVM replica of Scalars.tokenHash (md5 hex first 15 digits → long). */
+  private def tokenHashLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map("%02x".format(_)).mkString.take(15), 16)
+  }
+
+  test("q154 budget materialization matches an independent local model " +
+      "on skewed source shapes: Hamilton budgets sum EXACTLY to B, kept " +
+      "set is the hash-order prefix, crossing doc included") {
+    val shapes = Seq(
+      Seq("a" -> 1, "b" -> 1, "c" -> 1),
+      Seq("a" -> 997, "b" -> 3, "c" -> 500, "d" -> 1),
+      Seq("solo" -> 42),
+      Seq("a" -> 7, "b" -> 7, "c" -> 7, "d" -> 13))
+    shapes.foreach { shape =>
+      val dir = docsDir(shape)
+      val out = Queries.byName("q154_budget_materialize")
+        .build(spark, dir).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("budget_tok"), r.getAs[Long]("kept_docs"),
+            r.getAs[Long]("kept_tok"))).toMap
+      // local model from first principles (docsDir texts are 6 tokens:
+      // "doc $si $i unique words here")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("source", "doc_id").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+      val nTok = docs.groupBy(_._1).view.mapValues(_.length * 6L).toMap
+      val b = nTok.values.sum / 2
+      val wFp = nTok.view
+        .mapValues(n => math.floor(1e6 * math.sqrt(n.toDouble)).toLong)
+        .toMap
+      val wTot = wFp.values.sum
+      val base = wFp.map { case (s0, w) => s0 -> (b * w / wTot) }
+      val rem = wFp.map { case (s0, w) => s0 -> (b * w % wTot) }
+      val leftover = b - base.values.sum
+      val ranked = rem.toSeq.sortBy { case (s0, r) => (-r, s0) }
+        .map(_._1).zipWithIndex.toMap
+      val budget = base.map { case (s0, a) =>
+        s0 -> (a + (if (ranked(s0) < leftover) 1L else 0L))
+      }
+      assert(budget.values.sum == b,
+        s"$shape: model budgets do not sum to B — test bug")
+      shape.map(_._1).foreach { s0 =>
+        val ordered = docs.filter(_._1 == s0)
+          .map { case (_, id) => (tokenHashLocal(s"pack:$id"), id) }
+          .sortBy(identity)
+        var cum = 0L
+        val kept = ordered.takeWhile { _ =>
+          val keep = cum < budget(s0); cum += 6L; keep
+        }
+        val (gotB, gotD, gotT) = out(s0)
+        assert(gotB == budget(s0),
+          s"$shape/$s0: budget $gotB != model ${budget(s0)}")
+        assert(gotD == kept.length.toLong && gotT == kept.length * 6L,
+          s"$shape/$s0: kept ($gotD docs, $gotT tok) != model " +
+            s"(${kept.length} docs, ${kept.length * 6L} tok)")
+      }
+      assert(out.map(_._2._1).sum == b,
+        s"$shape: query budgets do not sum exactly to B")
+    }
+  }
 }

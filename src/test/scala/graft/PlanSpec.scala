@@ -737,6 +737,29 @@ class PlanSpec extends SparkSpec {
       s"product in the allocation plan:\n${p.take(800)}")
   }
 
+  test("q154 budget materialization: two-phase prefix sum — corpus " +
+      "cumsum windows carry the bucket key, offsets/budgets broadcast, " +
+      "one materialized scan") {
+    val df = Queries.byName("q154_budget_materialize").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the 100 TB trap: a prefix sum over a window PARTITIONed BY source
+    // alone serializes each source into one task — the corpus cumsum
+    // must be partitioned (source, bkt); only the sources×256 offsets
+    // table may window on source alone (ordered by bkt, not h)
+    assert(!"windowspecdefinition\\(source#\\d+, h#".r
+        .findFirstIn(p).isDefined,
+      s"corpus prefix sum partitioned by source alone:\n${p.take(1200)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"offsets/budgets not broadcast back to the corpus:\n${p.take(800)}")
+    assert(!p.contains("documents.parquet"),
+      s"arithmetic re-scans the corpus past the materialization:\n" +
+        p.take(800))
+    assert(!p.contains("CartesianProduct"),
+      s"product on the corpus path:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the phase-1 partials:\n${p.take(800)}")
+  }
+
   test("q139 edit-distance verification runs on the PERSISTED candidate " +
       "set — broadcast probes, no corpus re-shingle, nothing pairwise") {
     val df = Queries.byName("q139_editdist_verify").build(spark, sf)
