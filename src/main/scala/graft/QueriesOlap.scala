@@ -402,6 +402,46 @@ object QueriesOlap {
              |  vals[CAST((n_s - 1) // 2 + 1 AS INTEGER)] AS p50,
              |  vals[CAST((19 * (n_s - 1)) // 20 + 1 AS INTEGER)] AS p95,
              |  vals[CAST((99 * (n_s - 1)) // 100 + 1 AS INTEGER)] AS p99
-             |FROM s ORDER BY event_type""".stripMargin))
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // A14 unpivot / melt — the inverse reshaping of q61's pivot: the
+    // wide per-flag measure table melted to long (flag, measure, amount)
+    // form, the shape BI layers and chart APIs ingest. Uses Spark's
+    // native Dataset.unpivot (Catalyst Expand — one pass over the ALREADY
+    // AGGREGATED wide table, N_measures output rows per input row, no
+    // join, no shuffle beyond the agg's own). Measures share the double
+    // type (unpivot requires a common value type); price sums go through
+    // Scalars.moneySum first (exact decimal cents), so the doubles being
+    // melted are already order-independent. Scale: the corpus-sized work
+    // is the one partial+final agg to flags-many groups; Expand runs on
+    // that tiny table. Output total order (flag, measure) is unique.
+    Q("q156_unpivot_measures",
+      (s, d) => {
+        val wide = lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            Scalars.moneySum(col("l_extendedprice")).as("sum_base"),
+            Scalars.moneySum(Scalars.round2(
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+              .as("sum_disc"))
+        wide.unpivot(Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_base"), col("sum_disc")),
+            "measure", "amount")
+          .orderBy("l_returnflag", "measure")
+      },
+      Some(s"""WITH a AS (
+             |  SELECT l_returnflag,
+             |    CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             |    ${Scalars.moneySumSql("l_extendedprice")} AS sum_base,
+             |    ${Scalars.moneySumSql(Scalars.round2Sql(
+                    "l_extendedprice * (1.0 - l_discount)"))} AS sum_disc
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS amount
+             |FROM a
+             |UNION ALL SELECT l_returnflag, 'sum_base' AS measure,
+             |  sum_base AS amount FROM a
+             |UNION ALL SELECT l_returnflag, 'sum_disc' AS measure,
+             |  sum_disc AS amount FROM a
+             |ORDER BY l_returnflag, measure""".stripMargin))
   )
 }

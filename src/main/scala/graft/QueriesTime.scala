@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.Scalars
@@ -582,7 +583,97 @@ object QueriesTime {
              |         (CAST(l_n - 1 AS DOUBLE) * 1152921504606846976.0
              |           / CAST(kth_hash AS DOUBLE))) AS BIGINT) END
              |    AS est_inter
-             |FROM agg ORDER BY a_type, b_type""".stripMargin))
+             |FROM agg ORDER BY a_type, b_type""".stripMargin)),
+
+    // T21 linear-interpolation gap fill over an hourly spine — the
+    // time-series reporting shape q76's zero-fill cannot express: per
+    // event type, the hourly mean of `value` where observations exist and
+    // a LINEAR interpolation between the neighboring observed hours where
+    // they don't (the metric-dashboard / sensor-rollup fill rule; q95's
+    // as-of join is the step-function "previous value" cousin). All
+    // arithmetic is exact integers: each row quantizes to cents via the
+    // round2 floor-form, the hourly mean is an order-independent BIGINT
+    // cent sum DIV count, and the interpolation is rearranged to the
+    // all-non-negative form (pv*(nh-h) + nv*(h-ph)) DIV (nh-ph) — Spark's
+    // DIV truncates toward zero while DuckDB's // floors, so a form with
+    // a possibly-negative numerator (pv + slope*dh) would diverge
+    // cross-engine; this one never goes negative. Interior hours always
+    // have both neighbors because the spine spans [min,max] per type and
+    // the endpoints are observed by construction.
+    // Scale shape: the only corpus-sized work is ONE partial+final agg to
+    // (type, hour) groups; the spine generate, the left join, and the
+    // prev/next windows all run over the post-agg types×hours table
+    // (bounded by the calendar — ~100k rows per type per decade, never
+    // corpus-sized), so the per-type window partitioning is safe by
+    // construction at 100 TB. Nothing here re-touches events.
+    Q("q155_interpolate",
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(col("event_type"),
+            Scalars.longDiv("ts", NsPerHour).as("h"))
+          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .as("cs"),
+            count(lit(1)).as("n"))
+          .withColumn("avg_c", expr("cs DIV n"))
+          .select("event_type", "h", "avg_c")
+          // consumed twice (spine bounds + the fill join): materialize the
+          // tiny types×hours table once so events is scanned exactly once
+          // (q154's eager-localCheckpoint precedent = the production write)
+          .localCheckpoint(true)
+        val spine = hourly.groupBy("event_type")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"))).as("h"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val obsH = when(col("avg_c").isNotNull, col("h"))
+        spine.join(hourly, Seq("event_type", "h"), "left")
+          .withColumn("ph", last(obsH, ignoreNulls = true).over(wp))
+          .withColumn("pv", last(col("avg_c"), ignoreNulls = true).over(wp))
+          .withColumn("nh", first(obsH, ignoreNulls = true).over(wn))
+          .withColumn("nv", first(col("avg_c"), ignoreNulls = true).over(wn))
+          .select(col("event_type"), col("h").as("epoch_hour"),
+            when(col("avg_c").isNotNull, col("avg_c"))
+              .otherwise(expr(
+                "(pv * (nh - h) + nv * (h - ph)) DIV (nh - ph)"))
+              .as("value_cents"),
+            when(col("avg_c").isNull, 1).otherwise(0).cast("int")
+              .as("interpolated"))
+          .orderBy("event_type", "epoch_hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS cs,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |ha AS (SELECT event_type, h, cs // n AS avg_c FROM hourly),
+             |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+             |      FROM ha GROUP BY 1),
+             |spine AS (SELECT event_type,
+             |    unnest(generate_series(h0, h1)) AS h FROM b),
+             |j AS (SELECT event_type, h, avg_c
+             |      FROM spine LEFT JOIN ha USING (event_type, h)),
+             |w AS (SELECT event_type, h, avg_c,
+             |    last_value(CASE WHEN avg_c IS NOT NULL THEN h END
+             |      IGNORE NULLS) OVER pw AS ph,
+             |    last_value(avg_c IGNORE NULLS) OVER pw AS pv,
+             |    first_value(CASE WHEN avg_c IS NOT NULL THEN h END
+             |      IGNORE NULLS) OVER nw AS nh,
+             |    first_value(avg_c IGNORE NULLS) OVER nw AS nv
+             |  FROM j
+             |  WINDOW pw AS (PARTITION BY event_type ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    nw AS (PARTITION BY event_type ORDER BY h
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT event_type, h AS epoch_hour,
+             |  CAST(CASE WHEN avg_c IS NOT NULL THEN avg_c
+             |    ELSE (pv * (nh - h) + nv * (h - ph)) // (nh - ph) END
+             |    AS BIGINT) AS value_cents,
+             |  CAST(CASE WHEN avg_c IS NULL THEN 1 ELSE 0 END AS INT)
+             |    AS interpolated
+             |FROM w ORDER BY event_type, epoch_hour""".stripMargin))
   )
 
   /** X34 audience overlap via KMV sketches — registered separately so the

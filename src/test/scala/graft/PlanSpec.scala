@@ -1038,4 +1038,41 @@ class PlanSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q155 interpolation: one corpus scan + partial agg; spine/windows " +
+      "run post-agg, every window partitioned") {
+    val df = Queries.byName("q155_interpolate").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus-sized work is exactly ONE events pass into the hourly
+    // agg, materialized at the checkpoint; the spine generate, join, and
+    // prev/next windows run post-agg — no FileScan may remain (q137/q148
+    // checkpointed-input precedent)
+    assert(!p.contains("FileScan"),
+      s"corpus re-scan past the hourly materialization:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"product in the interpolation plan:\n${p.take(800)}")
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.queryExecution.sparkPlan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned window in the gap fill:\n$w")
+      case _ =>
+    }
+  }
+
+  test("q156 unpivot: Expand over the aggregated wide table — one pruned " +
+      "scan, partial agg, zero joins") {
+    val p = plan("q156_unpivot_measures")
+    assert(p.contains("Expand"),
+      s"unpivot did not plan as Expand:\n${p.take(800)}")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"lineitem scanned more than once:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the measure agg:\n${p.take(800)}")
+    assert(!p.contains("Join"),
+      s"melt should need no join:\n${p.take(800)}")
+    assert(!p.contains("l_partkey"),
+      s"scan reads unprojected columns:\n${p.take(800)}")
+  }
 }
