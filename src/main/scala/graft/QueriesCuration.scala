@@ -1120,7 +1120,108 @@ object QueriesCuration {
              |    AS dup_tok,
              |  coalesce(string_agg(CASE WHEN NOT dup THEN tok END,
              |    ' ' ORDER BY pos), '') AS text_dedup
-             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // X67 filter-cascade funnel — the ablation table a curation team
+    // reads before shipping a filter chain (the per-filter removal
+    // accounting of web-corpus pipeline reports): an ORDERED cascade of
+    // five deterministic document filters (language keep, minimum
+    // length, alphabetic ratio, distinct-word ratio, composite quality),
+    // reporting per stage the docs entering, removed, surviving, the
+    // stage's marginal removal rate, and cumulative survival — both as
+    // exact ppm. Marginal rates are ORDER-dependent (that is the point:
+    // stage k only sees stage k-1's survivors), so the cascade order is
+    // part of the declared semantics. Thresholds are exact integer
+    // comparisons on 1e6 fixed-point ratios (floor of identical IEEE
+    // doubles both engines — the X50 convention).
+    // Scale shape: the five pass-flags are map-side over ONE corpus
+    // scan; the funnel is ONE partial+final agg to a single row of six
+    // conjunction counters (sum of CASE — no per-stage scan, no join, no
+    // window); the 5-row report explodes from that row. Nothing here
+    // grows with corpus size except the one scan.
+    Q("q157_filter_funnel",
+      (s, d) => {
+        val nw = size(split(col("text"), " ")).cast("double")
+        val ar = length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text"))
+        val t = documents(s, d).select(
+          (col("lang") === "en").as("p1"),
+          (size(split(col("text"), " ")) >= 30).as("p2"),
+          (floor(lit(1e6) * ar) >= 810000L).as("p3"),
+          (floor(lit(1e6) *
+            (size(array_distinct(split(col("text"), " "))).cast("double") /
+              size(split(col("text"), " ")))) >= 400000L).as("p4"),
+          (floor(lit(1e6) * (least(nw / 100.0, lit(1.0)) * 0.5 +
+            ar * 0.5)) >= 600000L).as("p5"))
+        def surv(ps: Seq[String]): org.apache.spark.sql.Column =
+          sum(when(ps.map(col).reduce(_ && _), 1L).otherwise(0L))
+        val a = t.agg(count(lit(1)).as("n0"),
+          surv(Seq("p1")).as("n1"),
+          surv(Seq("p1", "p2")).as("n2"),
+          surv(Seq("p1", "p2", "p3")).as("n3"),
+          surv(Seq("p1", "p2", "p3", "p4")).as("n4"),
+          surv(Seq("p1", "p2", "p3", "p4", "p5")).as("n5"))
+        def st(k: Int, nm: String, nin: String, nout: String) =
+          struct(lit(k).as("stage"), lit(nm).as("fname"),
+            col(nin).as("n_in"), col(nout).as("n_out"))
+        a.select(col("n0"), explode(array(
+            st(1, "lang_en", "n0", "n1"),
+            st(2, "min_words_30", "n1", "n2"),
+            st(3, "alpha_ratio_081", "n2", "n3"),
+            st(4, "distinct_ratio_040", "n3", "n4"),
+            st(5, "quality_060", "n4", "n5"))).as("f"))
+          .select(col("f.stage").as("stage"), col("f.fname").as("fname"),
+            col("f.n_in").as("n_in"),
+            (col("f.n_in") - col("f.n_out")).as("n_removed"),
+            col("f.n_out").as("n_out"),
+            when(col("f.n_in") === 0L, 0L).otherwise(
+              expr("(1000000L * (f.n_in - f.n_out)) DIV f.n_in"))
+              .as("removed_ppm"),
+            when(col("n0") === 0L, 0L).otherwise(
+              expr("(1000000L * f.n_out) DIV n0")).as("survive_ppm"))
+          .orderBy("stage")
+      },
+      Some("""WITH t AS (
+             |  SELECT (lang = 'en') AS p1,
+             |    (len(str_split(text, ' ')) >= 30) AS p2,
+             |    (floor(1e6 * (CAST(length(regexp_replace(text,
+             |      '[^a-z]', '', 'g')) AS DOUBLE) / length(text)))
+             |      >= 810000) AS p3,
+             |    (floor(1e6 * (CAST(len(list_distinct(str_split(text,
+             |      ' '))) AS DOUBLE) / len(str_split(text, ' '))))
+             |      >= 400000) AS p4,
+             |    (floor(1e6 * (least(CAST(len(str_split(text, ' '))
+             |        AS DOUBLE) / 100.0, 1.0) * 0.5 +
+             |      CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+             |        AS DOUBLE) / length(text) * 0.5)) >= 600000) AS p5
+             |  FROM documents),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+             |  CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |  CAST(sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n2,
+             |  CAST(sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n3,
+             |  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0
+             |    END) AS BIGINT) AS n4,
+             |  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1
+             |    ELSE 0 END) AS BIGINT) AS n5
+             | FROM t),
+             |f AS (
+             |  SELECT 1 AS stage, 'lang_en' AS fname, n0 AS n_in,
+             |    n1 AS n_out, n0 FROM a
+             |  UNION ALL SELECT 2, 'min_words_30', n1, n2, n0 FROM a
+             |  UNION ALL SELECT 3, 'alpha_ratio_081', n2, n3, n0 FROM a
+             |  UNION ALL SELECT 4, 'distinct_ratio_040', n3, n4, n0 FROM a
+             |  UNION ALL SELECT 5, 'quality_060', n4, n5, n0 FROM a)
+             |SELECT CAST(stage AS INT) AS stage, fname, n_in,
+             |  n_in - n_out AS n_removed, n_out,
+             |  CAST(CASE WHEN n_in = 0 THEN 0
+             |    ELSE (1000000 * (n_in - n_out)) // n_in END AS BIGINT)
+             |    AS removed_ppm,
+             |  CAST(CASE WHEN n0 = 0 THEN 0
+             |    ELSE (1000000 * n_out) // n0 END AS BIGINT)
+             |    AS survive_ppm
+             |FROM f ORDER BY stage""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

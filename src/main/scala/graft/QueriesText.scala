@@ -2526,6 +2526,95 @@ object QueriesText {
              |SELECT occ.gram, occ.n_occ, df.n_docs
              |FROM occ JOIN df ON df.hh = occ.hh
              |WHERE df.n_docs >= 3
-             |ORDER BY occ.n_occ DESC, occ.gram LIMIT 20""".stripMargin))
+             |ORDER BY occ.n_occ DESC, occ.gram LIMIT 20""".stripMargin)),
+
+    // X68 near-dup keep-policy audit — the A/B evidence behind the "which
+    // copy do we keep?" dedup decision (pipelines variously keep the
+    // longest, the highest-quality, or an arbitrary-stable member of each
+    // duplicate family): for each of three deterministic policies —
+    // a_longest (n_chars DESC), b_best_quality (X50 fixed-point score
+    // DESC), c_min_id (doc_id ASC), all tie-broken by doc_id — keep one
+    // representative per near-dup cluster of the MAINTAINED index and
+    // report the retained corpus: kept docs, kept tokens, and mean kept
+    // quality (exact integer fixed point). The deltas between rows are
+    // exactly what the policy buys (e.g. b vs c = the quality uplift of
+    // quality-aware keeping at identical doc count).
+    // Scale shape: labels come from the PERSISTED dedup index
+    // (DedupPipeline.cachedFold — the q115/q128/q135 maintained-artifact
+    // contract, no closure rebuild); the doc features + labels join are
+    // materialized ONCE (localCheckpoint = the production write, q137
+    // precedent) and each policy is then ONE partial+final agg per
+    // cluster using max(struct(...)) — the argmax-by-ordered-tuple form:
+    // associative, map-side combinable, no per-cluster window, no
+    // pairwise anything. Three cluster-sized aggs + a 3-row union.
+    Q("q158_keep_policy",
+      (s, d) => {
+        val labels = graft.pipelines.DedupPipeline.cachedFold(s, d).labels
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("ntok"),
+          floor(lit(1e6) *
+            (least(size(split(col("text"), " ")).cast("double") / 100.0,
+              lit(1.0)) * 0.5 +
+             length(regexp_replace(col("text"), "[^a-z]", ""))
+               .cast("double") / length(col("text")) * 0.5)).as("q_fp"))
+        val labeled = docs
+          .join(labels.select(col("v").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+          .localCheckpoint(true)
+        def pick(policy: String, o1: Column, o2: Column) =
+          labeled.groupBy("cluster")
+            .agg(max(struct(o1.as("o1"), o2.as("o2"),
+              col("q_fp").as("q_fp"), col("ntok").as("ntok"))).as("w"))
+            .agg(count(lit(1)).as("kept_docs"),
+              sum(col("w.ntok")).as("kept_tok"),
+              sum(col("w.q_fp")).as("sum_q"))
+            .select(lit(policy).as("policy"), col("kept_docs"),
+              col("kept_tok"), expr("sum_q DIV kept_docs").as("mean_q_fp"))
+        pick("a_longest", col("n_chars"), -col("doc_id"))
+          .unionAll(pick("b_best_quality", col("q_fp"), -col("doc_id")))
+          .unionAll(pick("c_min_id", -col("doc_id"), lit(0L)))
+          .orderBy("policy")
+      },
+      Some {
+        val qFp = "CAST(floor(1e6 * (" +
+          "least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)" +
+          " * 0.5 + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))" +
+          " AS DOUBLE) / length(text)) * 0.5)) AS BIGINT)"
+        s"""WITH RECURSIVE
+           |$closureSqlCtes,
+           |docs AS (
+           |  SELECT doc_id, n_chars,
+           |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok,
+           |    $qFp AS q_fp
+           |  FROM documents),
+           |lab AS (
+           |  SELECT d.doc_id, d.n_chars, d.ntok, d.q_fp,
+           |    coalesce(c.component, d.doc_id) AS cluster
+           |  FROM docs d LEFT JOIN comp c ON c.v = d.doc_id),
+           |k1 AS (SELECT cluster, q_fp, ntok, row_number() OVER (
+           |    PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC)
+           |    AS rn FROM lab),
+           |k2 AS (SELECT cluster, q_fp, ntok, row_number() OVER (
+           |    PARTITION BY cluster ORDER BY q_fp DESC, doc_id ASC)
+           |    AS rn FROM lab),
+           |k3 AS (SELECT cluster, q_fp, ntok, row_number() OVER (
+           |    PARTITION BY cluster ORDER BY doc_id ASC) AS rn FROM lab),
+           |p1 AS (SELECT 'a_longest' AS policy,
+           |    CAST(count(*) AS BIGINT) AS kept_docs,
+           |    CAST(sum(ntok) AS BIGINT) AS kept_tok,
+           |    CAST(sum(q_fp) // count(*) AS BIGINT) AS mean_q_fp
+           |  FROM k1 WHERE rn = 1),
+           |p2 AS (SELECT 'b_best_quality', CAST(count(*) AS BIGINT),
+           |    CAST(sum(ntok) AS BIGINT),
+           |    CAST(sum(q_fp) // count(*) AS BIGINT)
+           |  FROM k2 WHERE rn = 1),
+           |p3 AS (SELECT 'c_min_id', CAST(count(*) AS BIGINT),
+           |    CAST(sum(ntok) AS BIGINT),
+           |    CAST(sum(q_fp) // count(*) AS BIGINT)
+           |  FROM k3 WHERE rn = 1)
+           |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+           |UNION ALL SELECT * FROM p3 ORDER BY policy""".stripMargin
+      })
   )
 }

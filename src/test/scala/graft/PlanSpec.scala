@@ -1061,6 +1061,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q157 filter funnel: one corpus scan into a single conjunction " +
+      "agg — no join, no window, map-side combine") {
+    val p = plan("q157_filter_funnel")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"documents scanned more than once:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the funnel counters:\n${p.take(800)}")
+    assert(!p.contains("Join"),
+      s"funnel should need no join:\n${p.take(800)}")
+    assert(!p.contains("Window"),
+      s"funnel should need no window:\n${p.take(800)}")
+  }
+
+  test("q158 keep policy: aggregation-form argmax over the checkpointed " +
+      "labeled table — no corpus re-scan, no per-cluster window, no " +
+      "pairwise join, partial agg") {
+    val df = Queries.byName("q158_keep_policy").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // features + persisted-index labels are materialized once at the
+    // checkpoint; each policy's argmax is max(struct(...)) — associative
+    // partial agg, NOT a row_number window per cluster
+    assert(!p.contains("FileScan"),
+      s"corpus re-scan past the labeled materialization:\n${p.take(800)}")
+    assert(!p.contains("Window"),
+      s"per-cluster window instead of aggregation-form argmax:\n" +
+        p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join in the policy audit:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the per-cluster argmax:\n${p.take(800)}")
+    assert("Union".r.findAllIn(p).size >= 1,
+      s"three policy rows should union:\n${p.take(800)}")
+  }
+
   test("q156 unpivot: Expand over the aggregated wide table — one pruned " +
       "scan, partial agg, zero joins") {
     val p = plan("q156_unpivot_measures")
