@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Algebraic invariants of the round-9 closing operators (q155/q157/q158)
+  * on adversarial shapes and cross-row consistency the value-level oracle
+  * exercises only on the fixed testdata distribution.
+  */
+class ClosingOpsInvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q155 interpolation on handcrafted gap shapes: exact lerp values " +
+      "on interior hours, single-observation spine degenerates to one " +
+      "row, same-hour events average in integer cents") {
+    val dir = Files.createTempDirectory("interp").toString
+    def ev(id: Long, hour: Long, offSec: Long, typ: String, v: Double) =
+      (id, hour * 3600L + offSec, 7L, typ, v, "{}")
+    Seq(
+      // type a: observed at hours 100 and 110 only — pure 10-hour gap
+      ev(1, 100, 0, "a", 100.00), ev(2, 110, 0, "a", 200.00),
+      // type b: a single observed hour — spine must be exactly one row
+      ev(3, 50, 0, "b", 7.77),
+      // type c: two events in hour 200 (mean = 301 DIV 2 cents), one in
+      // 202 — the lone gap hour 201 lerps between 150 and 300
+      ev(4, 200, 10, "c", 1.00), ev(5, 200, 20, "c", 2.01),
+      ev(6, 202, 0, "c", 3.00))
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.byName("q155_interpolate").build(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("epoch_hour"))
+        -> (r.getAs[Long]("value_cents"), r.getAs[Int]("interpolated")))
+      .toMap
+    // type a: 11 spine rows, endpoints observed, interior exact lerp
+    (100L to 110L).foreach { h =>
+      val exp = 10000L + 1000L * (h - 100)
+      val interp = if (h == 100L || h == 110L) 0 else 1
+      assert(out(("a", h)) == ((exp, interp)),
+        s"a/$h: ${out(("a", h))} != ($exp, $interp)")
+    }
+    // type b: exactly one row, no interpolation anywhere
+    assert(out.keys.count(_._1 == "b") == 1 && out(("b", 50L)) == ((777L, 0)),
+      s"b spine: ${out.filter(_._1._1 == "b")}")
+    // type c: integer-cents mean on the shared hour, lerp on the gap
+    assert(out(("c", 200L)) == ((150L, 0)), s"c/200: ${out(("c", 200L))}")
+    assert(out(("c", 201L)) == ((225L, 1)), s"c/201: ${out(("c", 201L))}")
+    assert(out(("c", 202L)) == ((300L, 0)), s"c/202: ${out(("c", 202L))}")
+    assert(out.size == 11 + 1 + 3, s"unexpected spine rows: ${out.size}")
+  }
+
+  test("q157 funnel chain is internally consistent: stage k's n_in is " +
+      "stage k-1's n_out, removed = in - out, survival monotone and " +
+      "recomputable from stage 1's population") {
+    val rows = Queries.byName("q157_filter_funnel").build(spark, sf)
+      .collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.length == 5)
+    val n0 = rows.head.getAs[Long]("n_in")
+    assert(n0 == Tables.documents(spark, sf).count(),
+      "stage 1 population is not the corpus")
+    var prevOut = n0
+    var prevSurv = 1000000L
+    rows.foreach { r =>
+      val (nin, nrem, nout) = (r.getAs[Long]("n_in"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_out"))
+      assert(nin == prevOut, s"stage ${r.getAs[Int]("stage")}: n_in $nin " +
+        s"!= previous n_out $prevOut")
+      assert(nrem == nin - nout && nrem >= 0)
+      val surv = r.getAs[Long]("survive_ppm")
+      assert(surv == 1000000L * nout / n0,
+        s"survive_ppm $surv not recomputable from n0=$n0, n_out=$nout")
+      assert(surv <= prevSurv, "survival increased down the cascade")
+      prevOut = nout; prevSurv = surv
+    }
+  }
+
+  test("q158 keep policies agree on the cluster count and best-quality " +
+      "keeping dominates on mean kept quality") {
+    val rows = Queries.byName("q158_keep_policy").build(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("policy") ->
+        (r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tok"),
+          r.getAs[Long]("mean_q_fp"))).toMap
+    assert(rows.keySet == Set("a_longest", "b_best_quality", "c_min_id"))
+    val counts = rows.values.map(_._1).toSet
+    assert(counts.size == 1 && counts.head > 0,
+      s"policies disagree on cluster count: $rows")
+    val bq = rows("b_best_quality")._3
+    assert(bq >= rows("a_longest")._3 && bq >= rows("c_min_id")._3,
+      s"best-quality policy not dominant on mean quality: $rows")
+  }
+}
