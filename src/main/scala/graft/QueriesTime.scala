@@ -607,41 +607,7 @@ object QueriesTime {
     // corpus-sized), so the per-type window partitioning is safe by
     // construction at 100 TB. Nothing here re-touches events.
     Q("q155_interpolate",
-      (s, d) => {
-        val hourly = events(s, d)
-          .groupBy(col("event_type"),
-            Scalars.longDiv("ts", NsPerHour).as("h"))
-          .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
-              .as("cs"),
-            count(lit(1)).as("n"))
-          .withColumn("avg_c", expr("cs DIV n"))
-          .select("event_type", "h", "avg_c")
-          // consumed twice (spine bounds + the fill join): materialize the
-          // tiny types×hours table once so events is scanned exactly once
-          // (q154's eager-localCheckpoint precedent = the production write)
-          .localCheckpoint(true)
-        val spine = hourly.groupBy("event_type")
-          .agg(min("h").as("h0"), max("h").as("h1"))
-          .select(col("event_type"),
-            explode(sequence(col("h0"), col("h1"))).as("h"))
-        val w = Window.partitionBy("event_type").orderBy("h")
-        val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val obsH = when(col("avg_c").isNotNull, col("h"))
-        spine.join(hourly, Seq("event_type", "h"), "left")
-          .withColumn("ph", last(obsH, ignoreNulls = true).over(wp))
-          .withColumn("pv", last(col("avg_c"), ignoreNulls = true).over(wp))
-          .withColumn("nh", first(obsH, ignoreNulls = true).over(wn))
-          .withColumn("nv", first(col("avg_c"), ignoreNulls = true).over(wn))
-          .select(col("event_type"), col("h").as("epoch_hour"),
-            when(col("avg_c").isNotNull, col("avg_c"))
-              .otherwise(expr(
-                "(pv * (nh - h) + nv * (h - ph)) DIV (nh - ph)"))
-              .as("value_cents"),
-            when(col("avg_c").isNull, 1).otherwise(0).cast("int")
-              .as("interpolated"))
-          .orderBy("event_type", "epoch_hour")
-      },
+      (s, d) => fillFromHourly(hourlyCents(events(s, d))),
       Some("""WITH hourly AS (
              |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
              |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
@@ -675,6 +641,57 @@ object QueriesTime {
              |    AS interpolated
              |FROM w ORDER BY event_type, epoch_hour""".stripMargin))
   )
+
+  /** T21 corpus-sized stage of q155: the (event_type, hour) cent-sum +
+    * count agg. Exposed separately because it is also the STREAMING fold
+    * of the gap-fill monitor (complete-mode agg over micro-batches;
+    * `StreamingSpec` T21s pins streamed-vs-batch equality) — cs/n are
+    * associative, so the sink table equals the batch agg exactly.
+    */
+  private[graft] def hourlyCents(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("event_type"),
+        Scalars.longDiv("ts", NsPerHour).as("h"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("cs"),
+        count(lit(1)).as("n"))
+
+  /** T21 post-agg stage of q155: spine + ignore-nulls neighbor windows +
+    * exact-integer lerp over the (event_type, h, cs, n) table. Runs on
+    * calendar-bounded input (types×hours), never corpus-sized.
+    */
+  private[graft] def fillFromHourly(
+      hourlyAgg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hourly = hourlyAgg
+      .withColumn("avg_c", expr("cs DIV n"))
+      .select("event_type", "h", "avg_c")
+      // consumed twice (spine bounds + the fill join): materialize the
+      // tiny types×hours table once so events is scanned exactly once
+      // (q154's eager-localCheckpoint precedent = the production write)
+      .localCheckpoint(true)
+    val spine = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsH = when(col("avg_c").isNotNull, col("h"))
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("ph", last(obsH, ignoreNulls = true).over(wp))
+      .withColumn("pv", last(col("avg_c"), ignoreNulls = true).over(wp))
+      .withColumn("nh", first(obsH, ignoreNulls = true).over(wn))
+      .withColumn("nv", first(col("avg_c"), ignoreNulls = true).over(wn))
+      .select(col("event_type"), col("h").as("epoch_hour"),
+        when(col("avg_c").isNotNull, col("avg_c"))
+          .otherwise(expr(
+            "(pv * (nh - h) + nv * (h - ph)) DIV (nh - ph)"))
+          .as("value_cents"),
+        when(col("avg_c").isNull, 1).otherwise(0).cast("int")
+          .as("interpolated"))
+      .orderBy("event_type", "epoch_hour")
+  }
 
   /** X34 audience overlap via KMV sketches — registered separately so the
     * udaf builds once. "How many users did BOTH X and Y": the question the

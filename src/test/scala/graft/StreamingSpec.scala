@@ -167,6 +167,28 @@ class StreamingSpec extends SparkSpec {
       "streaming-folded drift audit diverges from the batch audit")
   }
 
+  test("T21s twin: complete-mode streaming hourly cents equal the batch " +
+    "agg — the gap-fill monitor folds incrementally over micro-batches") {
+    val in = mkTmp("interpstream")
+    val ev = Tables.events(spark, sf) // ts already normalized to epoch-ns
+    ev.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = QueriesTime.hourlyCents(stream)
+      .writeStream.format("memory").queryName("interp_twin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    val streamed = QueriesTime.fillFromHourly(
+      spark.table("interp_twin").localCheckpoint(true))
+      .collect().map(_.toString)
+    val batch = Queries.byName("q155_interpolate").build(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming-folded gap fill diverges from the batch form")
+  }
+
   test("T8: streaming tumbling-window agg matches the batch date_trunc form") {
     import spark.implicits._
     val in = mkTmp("events_json")
