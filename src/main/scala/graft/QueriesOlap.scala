@@ -442,6 +442,48 @@ object QueriesOlap {
              |  sum_base AS amount FROM a
              |UNION ALL SELECT l_returnflag, 'sum_disc' AS measure,
              |  sum_disc AS amount FROM a
-             |ORDER BY l_returnflag, measure""".stripMargin))
+             |ORDER BY l_returnflag, measure""".stripMargin)),
+
+    // W8 value-bounded RANGE window frame — the rolling "last 7 days"
+    // aggregate over an IRREGULAR series, where a ROWS frame (q69's
+    // form) is semantically wrong: k rows back can be arbitrarily old
+    // when days are missing; RANGE bounds the frame by the ORDER-BY
+    // VALUE, so the trailing total covers exactly days [d-6, d]
+    // whatever the gap structure. Per user: daily event count + exact
+    // cent sum (round2 floor-form), then inclusive trailing-7-day
+    // totals via RANGE BETWEEN 6 PRECEDING AND CURRENT ROW on the
+    // integer epoch-day — all integer arithmetic end to end.
+    // Scale shape: the corpus-sized work is one partial+final agg to
+    // (user, day); the RANGE window runs user-partitioned over that
+    // daily table — per-user state bounded by active days (the q102
+    // user-partitioned precedent), never corpus-sized.
+    Q("q159_range_frame",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("user_id"),
+            Scalars.longDiv("ts", 86400000000000L).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .as("cents"))
+        val w = Window.partitionBy("user_id").orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        daily.select(col("user_id"), col("day"),
+          sum(col("n")).over(w).as("n_7d"),
+          sum(col("cents")).over(w).as("cents_7d"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+             |      AS BIGINT) AS cents
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, day,
+             |  CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS cents_7d
+             |FROM daily
+             |WINDOW w AS (PARTITION BY user_id ORDER BY day
+             |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, day""".stripMargin))
   )
 }

@@ -1096,6 +1096,25 @@ class PlanSpec extends SparkSpec {
       s"three policy rows should union:\n${p.take(800)}")
   }
 
+  test("q159 range frame: a genuine RangeFrame window over the daily " +
+      "agg — one scan, partial agg, user-partitioned") {
+    val df = Queries.byName("q159_range_frame").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RangeFrame"),
+      s"window planned without a RANGE frame:\n${p.take(800)}")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"events scanned more than once:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the daily agg:\n${p.take(800)}")
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.queryExecution.sparkPlan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned RANGE window:\n$w")
+      case _ =>
+    }
+  }
+
   test("q156 unpivot: Expand over the aggregated wide table — one pruned " +
       "scan, partial agg, zero joins") {
     val p = plan("q156_unpivot_measures")
