@@ -484,6 +484,88 @@ object QueriesOlap {
              |FROM daily
              |WINDOW w AS (PARTITION BY user_id ORDER BY day
              |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-             |ORDER BY user_id, day""".stripMargin))
+             |ORDER BY user_id, day""".stripMargin)),
+
+    // A15 exact Spearman rank agreement — per source, the rank
+    // correlation between two per-doc quality signals (the q138
+    // composite quality ppm vs lexical diversity = distinct-word
+    // ratio ppm). This is the statistical gate run before trusting a
+    // CHEAP quality proxy corpus-wide: if its ranking agrees with the
+    // expensive signal (rho near 1e6 ppm), filter on the cheap one.
+    // Exactness contract: ranks are a permutation (tiebreak by doc_id,
+    // deterministic both engines), so Spearman's difference form
+    // rho = 1 - 6*sum(d^2)/(n(n^2-1)) is ALL-INTEGER — emitted as ppm
+    // fixed point, no accumulation-order-dependent double anywhere.
+    // Scale shape: per-source ranks do NOT come from a per-source
+    // window (one source can be 10 TB — a single-reducer partition at
+    // 100 TB); they come from ops/GlobalRank.perGroupRank — the q63
+    // range-partition + prefix-count machinery — over the composite
+    // key sig*2^31 + doc_id (< 2^53, so exact through the rank path's
+    // double; doc_id recovered by modulus). Two ranked passes, one
+    // doc_id equi-join, one partial+final agg to sources-many rows;
+    // sum(d^2) accumulates in DECIMAL(38,0) (n^3-scale — overflows
+    // BIGINT past n~1e6 rows/source).
+    Q("q160_spearman_agreement",
+      (s, d) => {
+        val sigs = documents(s, d).select(col("doc_id"), col("source"),
+          floor(lit(1e6) *
+            (least(size(split(col("text"), " ")).cast("double") / 100.0,
+              lit(1.0)) * 0.5 +
+             length(regexp_replace(col("text"), "[^a-z]", ""))
+               .cast("double") / length(col("text")) * 0.5))
+            .cast("long").as("a_fp"),
+          expr("(1000000L * size(array_distinct(split(text, ' ')))) " +
+            "DIV size(split(text, ' '))").as("b_fp"))
+          // materialized ONCE (localCheckpoint stands in for the
+          // production parquet write, the q136 precedent): both rank
+          // passes read the narrow 4-column signal table — the corpus
+          // text is scanned and the regexes run exactly once.
+          .localCheckpoint(true)
+        def ranked(sig: String, rk: String) =
+          graft.ops.GlobalRank.perGroupRank(sigs, col("source"),
+              col(sig) * lit(2147483648L) + col("doc_id"))
+            .select(col("g").as("source"),
+              (col("v").cast("long") % lit(2147483648L)).as("doc_id"),
+              col("rank").as(rk))
+        ranked("a_fp", "ra").join(ranked("b_fp", "rb"),
+            Seq("source", "doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(((col("ra") - col("rb")) * (col("ra") - col("rb")))
+              .cast("decimal(38,0)")).as("d2"))
+          .select(col("source"), col("n"),
+            col("d2").cast("long").as("sum_d2"),
+            when(col("n") > 1,
+              expr("CAST(1000000 - (6000000 * d2) DIV " +
+                "(CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"))
+              .otherwise(lit(1000000L)).as("rho_ppm"))
+          .orderBy("source")
+      },
+      Some {
+        val aFp = "CAST(floor(1e6 * (" +
+          "least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)" +
+          " * 0.5 + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))" +
+          " AS DOUBLE) / length(text)) * 0.5)) AS BIGINT)"
+        s"""WITH sigs AS (
+           |  SELECT doc_id, source, $aFp AS a_fp,
+           |    (1000000 * len(list_distinct(str_split(text, ' '))))
+           |      // len(str_split(text, ' ')) AS b_fp
+           |  FROM documents),
+           |ra AS (SELECT source, doc_id, CAST(row_number() OVER (
+           |    PARTITION BY source ORDER BY a_fp, doc_id) - 1 AS BIGINT)
+           |    AS ra FROM sigs),
+           |rb AS (SELECT source, doc_id, CAST(row_number() OVER (
+           |    PARTITION BY source ORDER BY b_fp, doc_id) - 1 AS BIGINT)
+           |    AS rb FROM sigs)
+           |SELECT ra.source, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+           |  CASE WHEN count(*) > 1 THEN CAST(1000000 -
+           |    (6000000 * sum((ra - rb) * (ra - rb))) //
+           |    (count(*) * count(*) * count(*) - count(*)) AS BIGINT)
+           |  ELSE 1000000 END AS rho_ppm
+           |FROM ra JOIN rb ON ra.source = rb.source
+           |  AND ra.doc_id = rb.doc_id
+           |GROUP BY ra.source ORDER BY ra.source""".stripMargin
+      })
   )
 }

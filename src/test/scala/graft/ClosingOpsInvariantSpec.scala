@@ -76,6 +76,36 @@ class ClosingOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q160 spearman hits the exact poles on handcrafted sources: " +
+      "monotone-agreeing signals give +1e6 ppm, a tiebreak-forced " +
+      "reversal gives -1e6 with sum_d2 = n(n^2-1)/3") {
+    val dir = Files.createTempDirectory("spear").toString
+    // mono: both signals strictly decrease in k (quality composite via
+    // shrinking length+alpha mix; diversity via 1/k repeated words) —
+    // identical rank permutations, rho must be exactly +1e6.
+    val mono = (1 to 4).map(k =>
+      (k.toLong, Seq.fill(k)("x").mkString(" "), "en", "mono"))
+    // rev: quality is CONSTANT (same length, same alpha ratio), so rank
+    // a falls back to the doc_id tiebreak; diversity strictly INCREASES
+    // as doc_id decreases — a perfect reversal, rho exactly -1e6.
+    val letters = "abcdefgh".split("")
+    val rev = (1 to 4).map { k =>
+      val words = (0 until 8).map(i => letters(i % k))
+      ((5 - k).toLong, words.mkString(" "), "en", "rev")
+    }
+    (mono ++ rev).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.byName("q160_spearman_agreement").build(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_d2"),
+          r.getAs[Long]("rho_ppm"))).toMap
+    assert(out("mono") == ((4L, 0L, 1000000L)), s"mono pole: $out")
+    // n(n^2-1)/3 for n=4 is 20
+    assert(out("rev") == ((4L, 20L, -1000000L)), s"rev pole: $out")
+  }
+
   test("q158 keep policies agree on the cluster count and best-quality " +
       "keeping dominates on mean kept quality") {
     val rows = Queries.byName("q158_keep_policy").build(spark, sf)

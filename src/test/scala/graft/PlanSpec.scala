@@ -1115,6 +1115,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q160 spearman: per-source ranks come from the distributed " +
+      "GlobalRank path, not a per-source window") {
+    val df = Queries.byName("q160_spearman_agreement").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"per-source rank planned as a window (single-reducer per source " +
+        s"at 100 TB):\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the per-source agg:\n${p.take(800)}")
+    assert(p.contains("Scan[obj") || p.contains("Scan ExistingRDD"),
+      s"GlobalRank's range-partitioned rank path missing:\n${p.take(800)}")
+  }
+
   test("q156 unpivot: Expand over the aggregated wide table — one pruned " +
       "scan, partial agg, zero joins") {
     val p = plan("q156_unpivot_measures")
