@@ -2615,6 +2615,57 @@ object QueriesText {
            |  FROM k3 WHERE rn = 1)
            |SELECT * FROM p1 UNION ALL SELECT * FROM p2
            |UNION ALL SELECT * FROM p3 ORDER BY policy""".stripMargin
-      })
+      }),
+
+    // X69 hard-negative mining — the contrastive-training data op: for
+    // each anchor vector, the top-k most-SIMILAR vectors carrying a
+    // DIFFERENT label. These near-miss negatives are what make an
+    // embedding model learn fine distinctions (in-batch random
+    // negatives are trivially far); every retrieval/embedding training
+    // pipeline mines them from the corpus it trains on. Same contract
+    // as q41/q118: the anchor set is bounded (|anchors| ≪ corpus) and
+    // BROADCAST, the corpus is scanned once with norms materialized
+    // behind an exchange (computed once per vector, not per pair), the
+    // label disequality rides the broadcast join condition (which also
+    // excludes self — same label), and per-anchor top-k is a window
+    // over anchors-many partitions, never corpus-partitioned. At 100 TB
+    // the corpus side stays a single map-side pass; for anchor sets too
+    // large to broadcast, the q54/q117 IVF cell-blocking is the
+    // escalation path (same re-rank form, cell-bounded candidates).
+    Q("q161_hard_negatives",
+      (s, d) => {
+        val e = embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            norm(col("embedding")).as("nrm"))
+          .repartition(col("vec_id"))
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+            col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        e.join(broadcast(q), col("label") =!= col("q_label"))
+          .withColumn("cos",
+            dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("rn"), col("vec_id"),
+            col("label").as("neg_label"), round(col("cos"), 6).as("cos_sim"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+              |            embedding AS q_emb
+              |           FROM embeddings WHERE vec_id < 3),
+              |pairs AS (
+              |  SELECT q_id, vec_id, label,
+              |    ${cosSql("embedding", "q_emb")} AS cos
+              |  FROM embeddings, q WHERE label <> q_label),
+              |scored AS (
+              |  SELECT q_id, vec_id, label, cos,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, vec_id ASC) AS rn
+              |  FROM pairs)
+              |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
+              |       label AS neg_label, round(cos, 6) AS cos_sim
+              |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
   )
 }

@@ -137,6 +137,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("q161 hard negatives broadcast the anchor set; corpus side is " +
+      "never shuffled before the label-disequality join") {
+    val p = plan("q161_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"anchor set not broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"negative mining degenerated to a cross join:\n${p.take(800)}")
+  }
+
   test("q53 band join is an equi-join (no nested loop over pairs)") {
     val p = plan("q53_minhash_band_pairs")
     assert(!p.contains("CartesianProduct"), "pair search degenerated to cross join")
