@@ -639,7 +639,53 @@ object QueriesTime {
              |    AS BIGINT) AS value_cents,
              |  CAST(CASE WHEN avg_c IS NULL THEN 1 ELSE 0 END AS INT)
              |    AS interpolated
-             |FROM w ORDER BY event_type, epoch_hour""".stripMargin))
+             |FROM w ORDER BY event_type, epoch_hour""".stripMargin)),
+
+    // T22 volume-spike gate on an irregular daily series — the
+    // ingestion monitor a training-data pipeline runs per source/user:
+    // flag days whose event count is >= 3x the account's own trailing
+    // 28-day baseline (a crawler bug, a spam flood, a misconfigured
+    // replay all land here before they poison the corpus mix). The
+    // baseline frame is STRICTLY PRECEDING — RANGE BETWEEN 27 PRECEDING
+    // AND 1 PRECEDING — so the day under test never contaminates its
+    // own baseline (q159's inclusive trailing frame is the wrong tool
+    // here), and RANGE (not ROWS) keeps the baseline honest across
+    // gaps. Warm-up guard: no verdict until >= 7 active baseline days.
+    // All integer: the 3x test is the cross-multiplication
+    // n * base_days >= 3 * base_n — no division, no doubles.
+    // Scale shape: q159's — one corpus-sized partial+final agg to
+    // (user, day); the window runs user-partitioned over that bounded
+    // daily table.
+    Q("q162_spike_gate",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("user_id"), Scalars.longDiv("ts", NsPerDay).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id").orderBy(col("day"))
+          .rangeBetween(-27, -1)
+        daily.select(col("user_id"), col("day"), col("n"),
+          coalesce(sum(col("n")).over(w), lit(0L)).as("base_n"),
+          count(lit(1)).over(w).as("base_days"))
+          .withColumn("spike",
+            when(col("base_days") >= 7 &&
+              col("n") * col("base_days") >= lit(3L) * col("base_n"), 1)
+              .otherwise(0))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT user_id, day, n,
+             |  CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS base_n,
+             |  CAST(count(*) OVER w AS BIGINT) AS base_days,
+             |  CAST(CASE WHEN count(*) OVER w >= 7 AND
+             |      n * count(*) OVER w >= 3 * coalesce(sum(n) OVER w, 0)
+             |    THEN 1 ELSE 0 END AS INT) AS spike
+             |FROM daily
+             |WINDOW w AS (PARTITION BY user_id ORDER BY day
+             |  RANGE BETWEEN 27 PRECEDING AND 1 PRECEDING)
+             |ORDER BY user_id, day""".stripMargin))
   )
 
   /** T21 corpus-sized stage of q155: the (event_type, hour) cent-sum +

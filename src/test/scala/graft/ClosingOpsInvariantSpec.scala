@@ -106,6 +106,39 @@ class ClosingOpsInvariantSpec extends SparkSpec {
     assert(out("rev") == ((4L, 20L, -1000000L)), s"rev pole: $out")
   }
 
+  test("q162 spike gate on handcrafted series: a 10x burst day fires, " +
+      "warm-up days (<7 baseline days) never fire, and a day after a " +
+      "long gap has an EMPTY range baseline — no verdict") {
+    val dir = Files.createTempDirectory("spike").toString
+    var id = 0L
+    def ev(user: Long, day: Long, n: Int) = (0 until n).map { _ =>
+      id += 1; (id, day * 86400L + 60L, user, "c", 1.0, "{}")
+    }
+    // user 1: one event/day for days 0..27, then a 10-event burst on 28
+    val u1 = (0L to 27L).flatMap(d => ev(1, d, 1)) ++ ev(1, 28, 10)
+    // user 2: 7 active days then silence; day 100's baseline frame
+    // [73, 99] is empty — RANGE (not ROWS) keeps the gap honest
+    val u2 = (0L to 6L).flatMap(d => ev(2, d, 1)) ++ ev(2, 100, 50)
+    (u1 ++ u2)
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.byName("q162_spike_gate").build(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day")) ->
+        (r.getAs[Long]("base_n"), r.getAs[Long]("base_days"),
+          r.getAs[Int]("spike"))).toMap
+    // burst day: 27 baseline days of 1 event -> 10*27 >= 3*27 fires
+    assert(out((1L, 28L)) == ((27L, 27L, 1)), s"burst: ${out((1L, 28L))}")
+    // steady days past warm-up never fire; warm-up days never fire
+    (1L to 27L).foreach { d =>
+      assert(out((1L, d))._3 == 0, s"steady/warm-up day $d fired")
+    }
+    // a ROWS frame would see user 2's 7 old days here; RANGE sees none
+    assert(out((2L, 100L)) == ((0L, 0L, 0)),
+      s"gap day baseline not empty: ${out((2L, 100L))}")
+  }
+
   test("q158 keep policies agree on the cluster count and best-quality " +
       "keeping dominates on mean kept quality") {
     val rows = Queries.byName("q158_keep_policy").build(spark, sf)

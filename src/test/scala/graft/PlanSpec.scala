@@ -1138,6 +1138,25 @@ class PlanSpec extends SparkSpec {
       s"GlobalRank's range-partitioned rank path missing:\n${p.take(800)}")
   }
 
+  test("q162 spike gate: strictly-preceding RANGE frame over the daily " +
+      "agg — one scan, partial agg, user-partitioned window") {
+    val df = Queries.byName("q162_spike_gate").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RangeFrame"),
+      s"baseline planned without a RANGE frame:\n${p.take(800)}")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"events scanned more than once:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the daily agg:\n${p.take(800)}")
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.queryExecution.sparkPlan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned baseline window:\n$w")
+      case _ =>
+    }
+  }
+
   test("q156 unpivot: Expand over the aggregated wide table — one pruned " +
       "scan, partial agg, zero joins") {
     val p = plan("q156_unpivot_measures")
