@@ -657,21 +657,7 @@ object QueriesTime {
     // (user, day); the window runs user-partitioned over that bounded
     // daily table.
     Q("q162_spike_gate",
-      (s, d) => {
-        val daily = events(s, d)
-          .groupBy(col("user_id"), Scalars.longDiv("ts", NsPerDay).as("day"))
-          .agg(count(lit(1)).as("n"))
-        val w = Window.partitionBy("user_id").orderBy(col("day"))
-          .rangeBetween(-27, -1)
-        daily.select(col("user_id"), col("day"), col("n"),
-          coalesce(sum(col("n")).over(w), lit(0L)).as("base_n"),
-          count(lit(1)).over(w).as("base_days"))
-          .withColumn("spike",
-            when(col("base_days") >= 7 &&
-              col("n") * col("base_days") >= lit(3L) * col("base_n"), 1)
-              .otherwise(0))
-          .orderBy("user_id", "day")
-      },
+      (s, d) => spikeFromDaily(dailyCounts(events(s, d))),
       Some("""WITH daily AS (
              |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
              |    CAST(count(*) AS BIGINT) AS n
@@ -687,6 +673,36 @@ object QueriesTime {
              |  RANGE BETWEEN 27 PRECEDING AND 1 PRECEDING)
              |ORDER BY user_id, day""".stripMargin))
   )
+
+  /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.
+    * Exposed separately because it is also the STREAMING fold of the
+    * spike monitor (complete-mode agg over micro-batches; `StreamingSpec`
+    * T22s pins streamed-vs-batch equality) — the count is associative,
+    * so the sink table equals the batch agg exactly.
+    */
+  private[graft] def dailyCounts(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("user_id"), Scalars.longDiv("ts", NsPerDay).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** T22 post-agg stage of q162: strictly-preceding RANGE baseline +
+    * all-integer spike test over the (user_id, day, n) table. Runs on
+    * users×active-days input, never corpus-sized.
+    */
+  private[graft] def spikeFromDaily(
+      daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("day"))
+      .rangeBetween(-27, -1)
+    daily.select(col("user_id"), col("day"), col("n"),
+      coalesce(sum(col("n")).over(w), lit(0L)).as("base_n"),
+      count(lit(1)).over(w).as("base_days"))
+      .withColumn("spike",
+        when(col("base_days") >= 7 &&
+          col("n") * col("base_days") >= lit(3L) * col("base_n"), 1)
+          .otherwise(0))
+      .orderBy("user_id", "day")
+  }
 
   /** T21 corpus-sized stage of q155: the (event_type, hour) cent-sum +
     * count agg. Exposed separately because it is also the STREAMING fold

@@ -189,6 +189,28 @@ class StreamingSpec extends SparkSpec {
       "streaming-folded gap fill diverges from the batch form")
   }
 
+  test("T22s twin: complete-mode streaming daily counts equal the batch " +
+    "agg — the spike monitor folds incrementally over micro-batches") {
+    val in = mkTmp("spikestream")
+    val ev = Tables.events(spark, sf) // ts already normalized to epoch-ns
+    ev.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = QueriesTime.dailyCounts(stream)
+      .writeStream.format("memory").queryName("spike_twin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    val streamed = QueriesTime.spikeFromDaily(
+      spark.table("spike_twin").localCheckpoint(true))
+      .collect().map(_.toString)
+    val batch = Queries.byName("q162_spike_gate").build(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming-folded spike gate diverges from the batch form")
+  }
+
   test("T8: streaming tumbling-window agg matches the batch date_trunc form") {
     import spark.implicits._
     val in = mkTmp("events_json")
