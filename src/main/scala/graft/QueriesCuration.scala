@@ -1221,7 +1221,77 @@ object QueriesCuration {
              |  CAST(CASE WHEN n0 = 0 THEN 0
              |    ELSE (1000000 * n_out) // n0 END AS BIGINT)
              |    AS survive_ppm
-             |FROM f ORDER BY stage""".stripMargin))
+             |FROM f ORDER BY stage""".stripMargin)),
+
+    // X70 winsorized robust mean — the feature-normalization step run
+    // before per-source length/quality statistics feed a mixing or
+    // re-weighting decision: clamp each doc's token count to its
+    // source's [p05, p95] band, then take the mean of the CLAMPED
+    // values. Unlike dropping outliers (q107's MAD gate), winsorizing
+    // keeps every row while bounding any single doc's leverage — the
+    // standard robust location estimate for heavy-tailed length
+    // distributions. Exactness: the p05/p95 boundaries come from
+    // ops/GlobalRank.exactPercentiles (q63's distributed machinery —
+    // interpolation agrees with DuckDB quantile_cont to the ulp) and
+    // are then QUANTIZED to integer hundredths (floor(p*100), same
+    // double both engines); every clamped value is the integer
+    // clamp(100*ntok, p05_fp, p95_fp), so sum and mean are exact
+    // integer arithmetic — no order-dependent double sum anywhere.
+    // Scale shape: one (source, ntok) pass through the range-partition
+    // rank machinery (no buffer-all Percentile, no per-source window),
+    // boundaries are a sources-many table BROADCAST back onto a second
+    // corpus pass, one partial+final agg. Nothing corpus-sized ever
+    // concentrates on one reducer.
+    Q("q163_winsorized_mean",
+      (s, d) => {
+        // materialized ONCE (the q136/q160 localCheckpoint precedent):
+        // both the percentile pass and the clamp pass read the narrow
+        // 2-column table — corpus text is scanned and split once.
+        val toks = documents(s, d).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+          .localCheckpoint(true)
+        val bounds = GlobalRank.exactPercentiles(
+            toks, col("source"), col("ntok"), Seq(0.05, 0.95))
+          .groupBy(col("g").as("source"))
+          .agg(
+            floor(max(when(col("q") === 0.05, col("pct"))) * 100)
+              .cast("long").as("p05_fp"),
+            floor(max(when(col("q") === 0.95, col("pct"))) * 100)
+              .cast("long").as("p95_fp"))
+        toks.join(broadcast(bounds), Seq("source"))
+          .select(col("source"), col("p05_fp"), col("p95_fp"),
+            least(greatest(col("ntok") * 100, col("p05_fp")),
+              col("p95_fp")).as("w_fp"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            first(col("p05_fp")).as("p05_fp"),
+            first(col("p95_fp")).as("p95_fp"),
+            sum(col("w_fp")).as("w_sum"))
+          .select(col("source"), col("n_docs"), col("p05_fp"),
+            col("p95_fp"),
+            expr("w_sum DIV n_docs").as("win_mean_fp"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |b AS (
+             |  SELECT source,
+             |    CAST(floor(quantile_cont(ntok, 0.05) * 100) AS BIGINT)
+             |      AS p05_fp,
+             |    CAST(floor(quantile_cont(ntok, 0.95) * 100) AS BIGINT)
+             |      AS p95_fp
+             |  FROM toks GROUP BY source),
+             |w AS (
+             |  SELECT toks.source, p05_fp, p95_fp,
+             |    least(greatest(100 * ntok, p05_fp), p95_fp) AS w_fp
+             |  FROM toks JOIN b ON toks.source = b.source)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  p05_fp, p95_fp,
+             |  CAST(sum(w_fp) // count(*) AS BIGINT) AS win_mean_fp
+             |FROM w GROUP BY source, p05_fp, p95_fp
+             |ORDER BY source""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

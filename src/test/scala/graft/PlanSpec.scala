@@ -1157,6 +1157,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q163 winsorized mean: distributed percentile path (no buffer-all " +
+      "Percentile, no per-source window), bounds broadcast back") {
+    val df = Queries.byName("q163_winsorized_mean").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("percentile"),
+      s"buffer-all Percentile aggregate crept in:\n${p.take(800)}")
+    assert(!p.contains("Window"),
+      s"per-source window crept into the percentile path:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"sources-many bounds table not broadcast:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the winsorized agg:\n${p.take(800)}")
+  }
+
   test("q156 unpivot: Expand over the aggregated wide table — one pruned " +
       "scan, partial agg, zero joins") {
     val p = plan("q156_unpivot_measures")
