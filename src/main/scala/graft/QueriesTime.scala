@@ -671,7 +671,49 @@ object QueriesTime {
              |FROM daily
              |WINDOW w AS (PARTITION BY user_id ORDER BY day
              |  RANGE BETWEEN 27 PRECEDING AND 1 PRECEDING)
-             |ORDER BY user_id, day""".stripMargin))
+             |ORDER BY user_id, day""".stripMargin)),
+
+    // W9 rolling DISTINCT count over a value-bounded frame — "distinct
+    // event types used in the trailing 7 days", the engagement-breadth
+    // metric (weekly active features / rolling distinct sources) that
+    // plain rolling SUMS (W8) cannot express: distinct-over-frame has
+    // no associative decrement, so engines either buffer the frame or
+    // refuse DISTINCT window aggregates outright. Relational form:
+    // dedup the corpus to (user, day, type) FIRST (one partial+final
+    // agg — this is where corpus-sized work ends), then collect_set
+    // over the RANGE frame on that bounded table and reduce to one row
+    // per (user, day) — every same-day row sees the identical
+    // value-bounded frame, so max() of the set size is exact. Window
+    // state is <= |types active in 7 days| per user, bytes not rows.
+    // The DuckDB oracle replays it as a range self-join with
+    // count(DISTINCT) — the semantics, not the plan.
+    Q("q164_rolling_distinct",
+      (s, d) => {
+        val dt = events(s, d)
+          .select(col("user_id"),
+            Scalars.longDiv("ts", NsPerDay).as("day"), col("event_type"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy(col("day"))
+          .rangeBetween(-6, Window.currentRow)
+        dt.withColumn("t7", size(collect_set(col("event_type")).over(w)))
+          .groupBy("user_id", "day")
+          .agg(count(lit(1)).cast("long").as("types_1d"),
+            max(col("t7")).cast("long").as("types_7d"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH dt AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 86400000000000 AS day, event_type
+             |  FROM events),
+             |d1 AS (SELECT user_id, day,
+             |    CAST(count(*) AS BIGINT) AS types_1d
+             |  FROM dt GROUP BY 1, 2)
+             |SELECT a.user_id, a.day, a.types_1d,
+             |  CAST(count(DISTINCT b.event_type) AS BIGINT) AS types_7d
+             |FROM d1 a JOIN dt b ON b.user_id = a.user_id
+             |  AND b.day BETWEEN a.day - 6 AND a.day
+             |GROUP BY a.user_id, a.day, a.types_1d
+             |ORDER BY a.user_id, a.day""".stripMargin))
   )
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.

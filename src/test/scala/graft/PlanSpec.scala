@@ -1172,6 +1172,25 @@ class PlanSpec extends SparkSpec {
       s"no map-side combine in the winsorized agg:\n${p.take(800)}")
   }
 
+  test("q164 rolling distinct: RANGE frame over the deduped (user, day, " +
+      "type) table — one scan, partial dedup agg, user-partitioned") {
+    val df = Queries.byName("q164_rolling_distinct").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RangeFrame"),
+      s"rolling window planned without a RANGE frame:\n${p.take(800)}")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"events scanned more than once:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the dedup agg:\n${p.take(800)}")
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.queryExecution.sparkPlan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned rolling-distinct window:\n$w")
+      case _ =>
+    }
+  }
+
   test("q156 unpivot: Expand over the aggregated wide table — one pruned " +
       "scan, partial agg, zero joins") {
     val p = plan("q156_unpivot_measures")
