@@ -713,7 +713,64 @@ object QueriesTime {
              |FROM d1 a JOIN dt b ON b.user_id = a.user_id
              |  AND b.day BETWEEN a.day - 6 AND a.day
              |GROUP BY a.user_id, a.day, a.types_1d
-             |ORDER BY a.user_id, a.day""".stripMargin))
+             |ORDER BY a.user_id, a.day""".stripMargin)),
+
+    // T23 SCD-2 point-in-time feature lookup — the label-leakage-safe
+    // training join: each fact row must see the dimension version that
+    // was valid AT ITS OWN TIME, never a later one (joining current
+    // attributes onto historical facts is the classic feature-leakage
+    // bug in training-data assembly; q109 BUILDS the SCD-2 history,
+    // this op CONSUMES it correctly). Deterministic stand-in dimension:
+    // per user, version 1 (tier = user%3) valid from the first active
+    // day, version 2 (tier+10) valid from the span midpoint — derived
+    // from the data, so both engines construct it identically. The
+    // lookup is ops/AsofJoin.backward — the MERGE form: no join node,
+    // one hash shuffle on user_id shared by facts and dimension, one
+    // per-partition time sort, a running last() carry. At 100 TB the
+    // versioned dimension never pairs with the fact table (the theta
+    // range-join + argmax composition would); both sides shuffle once.
+    // Per (user, version) rollup proves every fact landed in exactly
+    // its valid version window.
+    Q("q165_pit_features",
+      (s, d) => {
+        // materialized ONCE (the q136/q160 localCheckpoint precedent):
+        // the fact side, the span agg, and both dimension versions all
+        // read the users×active-days daily table — one corpus scan.
+        val daily = dailyCounts(events(s, d)).localCheckpoint(true)
+        val span = daily.groupBy("user_id")
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val dim = span.select(col("user_id"), col("d0").as("day"),
+            lit(1L).as("version"), pmod(col("user_id"), lit(3L)).as("tier"))
+          .unionByName(span.filter(col("d1") > col("d0"))
+            .select(col("user_id"), (expr("(d0 + d1) DIV 2") + 1L).as("day"),
+              lit(2L).as("version"),
+              (pmod(col("user_id"), lit(3L)) + 10L).as("tier")))
+        ops.AsofJoin.backward(daily, dim, Seq("user_id"), "day",
+            timeOut = "v_day",
+            payload = Seq("version" -> "version", "tier" -> "tier"))
+          .groupBy("user_id", "version", "tier")
+          .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+             |  FROM daily GROUP BY 1),
+             |dim AS (
+             |  SELECT user_id, d0 AS day, CAST(1 AS BIGINT) AS version,
+             |    CAST(user_id % 3 AS BIGINT) AS tier FROM span
+             |  UNION ALL
+             |  SELECT user_id, (d0 + d1) // 2 + 1, 2, user_id % 3 + 10
+             |  FROM span WHERE d1 > d0)
+             |SELECT dl.user_id AS user_id, dim.version AS version,
+             |  dim.tier AS tier,
+             |  CAST(count(*) AS BIGINT) AS n_days,
+             |  CAST(sum(dl.n) AS BIGINT) AS n_events
+             |FROM daily dl ASOF JOIN dim
+             |  ON dl.user_id = dim.user_id AND dl.day >= dim.day
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin))
   )
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.

@@ -1191,6 +1191,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q165 PIT lookup: the as-of is the merge form — zero join nodes, " +
+      "one corpus scan, keyed carry window") {
+    val df = Queries.byName("q165_pit_features").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"PIT lookup planned as a join (range-join blowup at scale):\n" +
+        p.take(800))
+    assert("FileScan".r.findAllIn(p).size <= 1,
+      s"events scanned more than once:\n${p.take(800)}")
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.queryExecution.sparkPlan.foreach {
+      case w: WindowExec =>
+        assert(w.partitionSpec.nonEmpty,
+          s"unpartitioned as-of carry window:\n$w")
+      case _ =>
+    }
+  }
+
   test("q156 unpivot: Expand over the aggregated wide table — one pruned " +
       "scan, partial agg, zero joins") {
     val p = plan("q156_unpivot_measures")
