@@ -566,6 +566,105 @@ object QueriesOlap {
            |FROM ra JOIN rb ON ra.source = rb.source
            |  AND ra.doc_id = rb.doc_id
            |GROUP BY ra.source ORDER BY ra.source""".stripMargin
+      }),
+
+    // A16 one-pass Poisson-bootstrap confidence interval — error bars
+    // on a corpus statistic (per-source mean token count) WITHOUT
+    // resampling passes: replicate b's weight for doc i is
+    // Poisson(1)-distributed, derived DETERMINISTICALLY from the
+    // cross-engine md5 token hash of (b, doc_id) via integer CDF
+    // thresholds at 2^20 (the Poisson-bootstrap identity: multinomial
+    // resampling ≈ independent Poisson(1) weights; Chamandy et al.
+    // 2012 "Estimating uncertainty for massive data streams" — the
+    // one-pass bootstrap Google built for exactly this shape). All 32
+    // replicate means are integer fixed-point hundredths
+    // ((100·Σw·x) DIV Σw, Σw floored at 1 against the ~p^n empty
+    // replicate); the CI is order statistics over the SORTED 32-vector
+    // (elements 2 and 31 ≈ p05/p95). No rand() anywhere — same CI
+    // every run, any partitioning, any engine.
+    // Scale shape: ONE corpus pass, 64 partial+final agg columns
+    // (32×[Σwx, Σw]) — map-side combinable, sources×65 cells of final
+    // state; the per-doc cost is 32 md5 calls, the honest price of 32
+    // resamples in one pass. The sort/CI runs on 32-element arrays of
+    // the sources-many aggregate — never corpus-sized.
+    Q("q166_bootstrap_ci",
+      (s, d) => {
+        val B = 32
+        val thresholds = Seq(385749L, 771499L, 964373L, 1028665L,
+          1044738L, 1047952L) // floor(2^20 * CDF_Poisson(1)(k)), k=0..5
+        def w(b: Int) = {
+          val h = pmod(Scalars.tokenHash(
+            concat(lit(s"bs$b-"), col("doc_id").cast("string"))),
+            lit(1L << 20))
+          thresholds.zipWithIndex.drop(1)
+            .foldLeft(when(h < thresholds.head, 0L)) {
+              case (acc, (t, k)) => acc.when(h < t, k.toLong)
+            }.otherwise(6L)
+        }
+        // narrow 3-column projection FIRST, then fanOut: the weight
+        // projection is per-row-heavy (32 md5 per doc) and the local
+        // single-row-group parquet would otherwise run it in ONE task
+        // (the Tables.fanOut rationale); only (source, doc_id, ntok)
+        // rides the redistribution, never text.
+        val base = fanOut(documents(s, d).select(col("source"),
+          col("doc_id"), size(split(col("text"), " ")).cast("long")
+            .as("ntok")))
+        // weights materialized in ONE projection before the agg: each
+        // replicate's md5 evaluates once per row, then feeds both its
+        // Σwx and Σw columns as a plain column reference (inlining w(b)
+        // into the aggregates would evaluate every hash twice — agg
+        // expressions don't share subexpressions across columns).
+        val withW = base.select(
+          col("source") +: col("ntok") +:
+            (0 until B).map(b => w(b).as(s"w$b")): _*)
+        val aggs =
+          Seq(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tok_sum")) ++
+            (0 until B).flatMap(b => Seq(
+              sum(col(s"w$b") * col("ntok")).as(s"sx$b"),
+              sum(col(s"w$b")).as(s"sw$b")))
+        val means = sort_array(array((0 until B).map(b =>
+          expr(s"(100 * sx$b) DIV greatest(sw$b, 1L)")): _*))
+        withW.groupBy("source").agg(aggs.head, aggs.tail: _*)
+          .select(col("source"), col("n_docs"),
+            expr("(100 * tok_sum) DIV n_docs").as("mean_fp"),
+            means.as("ms"))
+          .select(col("source"), col("n_docs"), col("mean_fp"),
+            element_at(col("ms"), 2).as("ci_lo_fp"),
+            element_at(col("ms"), 31).as("ci_hi_fp"))
+          .orderBy("source")
+      },
+      Some {
+        val B = 32
+        val ts = Seq(385749L, 771499L, 964373L, 1028665L, 1044738L,
+          1047952L)
+        def wSql(b: Int) = {
+          val h = s"((('0x' || substr(md5('bs$b-' || " +
+            s"CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 1048576)"
+          "CASE " + ts.zipWithIndex.map { case (t, k) =>
+            s"WHEN $h < $t THEN $k "
+          }.mkString + "ELSE 6 END"
+        }
+        val wCols = (0 until B).map(b => s"${wSql(b)} AS w$b").mkString(", ")
+        val sums = (0 until B).map(b =>
+          s"sum(w$b * ntok) AS sx$b, sum(w$b) AS sw$b").mkString(", ")
+        val meanList = (0 until B).map(b =>
+          s"CAST((100 * sx$b) // greatest(sw$b, 1) AS BIGINT)")
+          .mkString(", ")
+        s"""WITH base AS (
+           |  SELECT source, doc_id,
+           |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+           |  FROM documents),
+           |wt AS (SELECT source, ntok, $wCols FROM base),
+           |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    sum(ntok) AS tok_sum, $sums
+           |  FROM wt GROUP BY source),
+           |m AS (SELECT source, n_docs,
+           |    CAST((100 * tok_sum) // n_docs AS BIGINT) AS mean_fp,
+           |    list_sort([$meanList]) AS ms
+           |  FROM a)
+           |SELECT source, n_docs, mean_fp, ms[2] AS ci_lo_fp,
+           |  ms[31] AS ci_hi_fp
+           |FROM m ORDER BY source""".stripMargin
       })
   )
 }

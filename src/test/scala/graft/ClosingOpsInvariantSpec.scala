@@ -139,6 +139,24 @@ class ClosingOpsInvariantSpec extends SparkSpec {
       s"gap day baseline not empty: ${out((2L, 100L))}")
   }
 
+  test("q166 bootstrap CI collapses to a point on a constant column: " +
+      "every Poisson-weighted replicate mean of a constant is the " +
+      "constant, so ci_lo = mean = ci_hi exactly") {
+    val dir = Files.createTempDirectory("boot").toString
+    (1L to 40L).map(i => (i, "a b c", "en", "const"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Queries.byName("q166_bootstrap_ci").build(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("mean_fp") == 300L &&
+      row.getAs[Long]("ci_lo_fp") == 300L &&
+      row.getAs[Long]("ci_hi_fp") == 300L,
+      s"constant-column CI not degenerate: $row")
+  }
+
   test("q158 keep policies agree on the cluster count and best-quality " +
       "keeping dominates on mean kept quality") {
     val rows = Queries.byName("q158_keep_policy").build(spark, sf)

@@ -1209,6 +1209,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q166 bootstrap: one corpus pass — weights in a single projection " +
+      "feeding a map-side-combined 64-column agg, no window, no join") {
+    val df = Queries.byName("q166_bootstrap_ci").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"documents scanned more than once:\n${p.take(800)}")
+    assert(p.contains("partial_sum"),
+      s"no map-side combine in the replicate agg:\n${p.take(800)}")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"bootstrap should be a pure agg:\n${p.take(800)}")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"per-row-heavy weight projection not fanned out (1-task scan " +
+        s"on single-row-group files):\n${p.take(800)}")
+  }
+
   test("q156 unpivot: Expand over the aggregated wide table — one pruned " +
       "scan, partial agg, zero joins") {
     val p = plan("q156_unpivot_measures")
