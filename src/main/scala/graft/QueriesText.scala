@@ -2666,6 +2666,96 @@ object QueriesText {
               |  FROM pairs)
               |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
               |       label AS neg_label, round(cos, 6) AS cos_sim
-              |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin))
+              |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
+
+    // X71 canonical-influence ranking — iterative graph analytics
+    // BEYOND connected components: 5 power iterations of PageRank
+    // (d = 0.85) over the undirected LSH candidate graph (q53's band
+    // pairs), surfacing the most-connected documents of the near-dup
+    // neighborhood as canonical-pick candidates (a graph-centrality
+    // alternative to q158's longest/best-quality keep policies: the
+    // copy every other variant is closest to). Exactness contract: the
+    // whole iteration is INTEGER ppm arithmetic — contribution =
+    // r DIV deg, update = 150000 + (850000·Σcontrib) DIV 1e6 — so five
+    // rounds of float summation (whose accumulation order neither
+    // engine pins) never occur; both engines converge to identical
+    // longs. Scale shape: edges come from the band equi-join (never
+    // pairwise); each iteration is one src equi-join + one dst
+    // partial+final agg — linear in edges, fixed 5 rounds; the edge
+    // table with degrees is localCheckpointed once and reused by all
+    // rounds; top-20 via TakeOrdered, never a global sort.
+    Q("q167_pagerank_canon",
+      (s, d) => {
+        // CONTENT-level graph (the round-9 copy-invariant lesson, as in
+        // q119/q139: exact-dedup FIRST): verbatim copies share identical
+        // band keys, so doc-level edges form O(copies^2) cliques that
+        // add zero information — contract to one node per distinct text
+        // (min doc_id) before pairing. All contraction exchanges are
+        // narrow (hash/id/band_key); text never rides a shuffle.
+        val withH = documents(s, d).select(col("doc_id"),
+          sha2(col("text"), 256).as("h"))
+        val nodeOf = withH.groupBy("h").agg(min(col("doc_id")).as("node"))
+        val docNode = withH.join(nodeOf, "h").select("doc_id", "node")
+        val nodeBands = bandKeys(documents(s, d)).join(docNode, "doc_id")
+          .select(col("node").as("doc_id"), col("band_key")).distinct()
+        val pairs = bandPairsFrom(nodeBands)
+        val edges = pairs
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(pairs
+            .select(col("b_id").as("src"), col("a_id").as("dst")))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        val ed = edges.join(deg, "src").localCheckpoint(true)
+        var ranks = deg.select(col("src").as("id"),
+          lit(1000000L).as("r"))
+        for (_ <- 1 to 5) {
+          ranks = ed.join(ranks, col("id") === col("src"))
+            .select(col("dst"), expr("r DIV deg").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("cs"))
+            .select(col("dst").as("id"),
+              (lit(150000L) + expr("(850000 * cs) DIV 1000000")).as("r"))
+        }
+        ranks.orderBy(col("r").desc, col("id").asc).limit(20)
+          .select(col("id").as("doc_id"), col("r").as("rank_ppm"))
+      },
+      Some {
+        def h(i: Int): String = minhashSqlExpr(
+          MinhashAB(i)._1, MinhashAB(i)._2)
+        val iters = (1 to 5).map { k =>
+          s"""r$k AS (SELECT e.dst AS id,
+             |  CAST(150000 + (850000 * sum(r${k - 1}.r // e.deg))
+             |    // 1000000 AS BIGINT) AS r
+             |  FROM e JOIN r${k - 1} ON r${k - 1}.id = e.src
+             |  GROUP BY e.dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+           |bands AS (
+           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+           |  UNION ALL
+           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+           |nodeof AS (
+           |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS node
+           |  FROM documents),
+           |nbands AS (
+           |  SELECT DISTINCT n.node AS doc_id, b.band_key
+           |  FROM bands b JOIN nodeof n ON b.doc_id = n.doc_id),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM nbands a JOIN nbands b ON a.band_key = b.band_key
+           |  WHERE a.doc_id < b.doc_id),
+           |edges0 AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           |  FROM edges0 GROUP BY src),
+           |e AS (SELECT edges0.src AS src, edges0.dst AS dst, deg.deg
+           |  FROM edges0 JOIN deg ON edges0.src = deg.src),
+           |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r
+           |  FROM deg),
+           |$iters
+           |SELECT id AS doc_id, r AS rank_ppm FROM r5
+           |ORDER BY rank_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
+      })
   )
 }

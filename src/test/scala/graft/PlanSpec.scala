@@ -147,6 +147,19 @@ class PlanSpec extends SparkSpec {
       s"negative mining degenerated to a cross join:\n${p.take(800)}")
   }
 
+  test("q167 pagerank: equi-join iterations over the checkpointed edge " +
+      "table, top-20 via TakeOrdered, nothing pairwise") {
+    val df = Queries.byName("q167_pagerank_canon").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"an iteration degenerated to a non-equi join:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 planned as a global sort:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine in the contribution aggs:\n${p.take(800)}")
+  }
+
   test("q53 band join is an equi-join (no nested loop over pairs)") {
     val p = plan("q53_minhash_band_pairs")
     assert(!p.contains("CartesianProduct"), "pair search degenerated to cross join")
