@@ -139,6 +139,32 @@ class ClosingOpsInvariantSpec extends SparkSpec {
       s"gap day baseline not empty: ${out((2L, 100L))}")
   }
 
+  test("q165 PIT lookup on a handcrafted span: facts split exactly at " +
+      "the version boundary (days [d0, mid) to v1, [mid, d1] to v2), " +
+      "and a single-day user degenerates to one version") {
+    val dir = Files.createTempDirectory("pit").toString
+    var id = 0L
+    def ev(user: Long, day: Long) = { id += 1
+      (id, day * 86400L + 60L, user, "c", 1.0, "{}") }
+    // user 1: days 0..9 -> d0=0, d1=9, mid=(0+9) DIV 2 + 1 = 5:
+    // v1 (tier 1) owns days 0..4, v2 (tier 11) owns days 5..9
+    // user 3: a single active day -> v2 never exists
+    val rows = (0L to 9L).map(d => ev(1, d)) :+ ev(3, 7)
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.byName("q165_pit_features").build(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version")) ->
+        (r.getAs[Long]("tier"), r.getAs[Long]("n_days"),
+          r.getAs[Long]("n_events"))).toMap
+    assert(out((1L, 1L)) == ((1L, 5L, 5L)), s"v1 window: $out")
+    assert(out((1L, 2L)) == ((11L, 5L, 5L)), s"v2 window: $out")
+    assert(out((3L, 1L)) == ((0L, 1L, 1L)) && !out.contains((3L, 2L)),
+      s"single-day user: $out")
+    assert(out.size == 3, s"unexpected rows: $out")
+  }
+
   test("q166 bootstrap CI collapses to a point on a constant column: " +
       "every Poisson-weighted replicate mean of a constant is the " +
       "constant, so ci_lo = mean = ci_hi exactly") {
