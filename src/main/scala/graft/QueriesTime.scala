@@ -770,7 +770,62 @@ object QueriesTime {
              |  CAST(sum(dl.n) AS BIGINT) AS n_events
              |FROM daily dl ASOF JOIN dim
              |  ON dl.user_id = dim.user_id AND dl.day >= dim.day
-             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)),
+
+    // T24 recency-decay engagement score — the freshness weighting a
+    // training-data pipeline applies before sampling: each user's (or
+    // source's) activity is scored with an exponential decay over age
+    // in days (0.9/day ⇒ half-life ≈ 6.6 days), horizon-capped at 28
+    // days, so the corpus mix can up-weight recently-active material
+    // without a hand-tuned cutoff cliff. Exactness contract: the decay
+    // curve is the INTEGER recurrence d(0)=1e6, d(k)=d(k−1)·9 DIV 10 —
+    // a 28-row table both engines construct identically (no pow(), no
+    // float rounding at the .5 boundaries); the score is then pure
+    // integer Σ n·d(age). The reference day is data-derived (global max
+    // active day), so the query is reproducible, not wall-clock-bound.
+    // Scale shape: corpus-sized work ends at the dailyCounts
+    // partial+final agg (shared with q162's monitor and its streaming
+    // twin); the 1-row reference and the 28-row decay table ride
+    // broadcasts; the weighted rollup is one more partial+final agg
+    // over users×(≤28) rows. No window anywhere.
+    Q("q168_decay_score",
+      (s, d) => {
+        import s.implicits._
+        val daily = dailyCounts(events(s, d))
+        val ref = daily.agg(max(col("day")).as("rd"))
+        val decay = Iterator.iterate(1000000L)(v => v * 9L / 10L)
+          .take(28).zipWithIndex
+          .map { case (v, k) => (k.toLong, v) }.toSeq
+          .toDF("age", "decay_ppm")
+        daily.crossJoin(broadcast(ref))
+          .withColumn("age", col("rd") - col("day"))
+          .filter(col("age") < 28)
+          .join(broadcast(decay), "age")
+          .groupBy("user_id")
+          .agg(sum(col("n")).as("n_recent"),
+            count(lit(1)).as("days_active"),
+            sum(col("n") * col("decay_ppm")).as("score_ppm"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE decay(age, dp) AS (
+             |  SELECT CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+             |  UNION ALL
+             |  SELECT age + 1, dp * 9 // 10 FROM decay WHERE age < 27),
+             |daily AS (
+             |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |ref AS (SELECT max(day) AS rd FROM daily),
+             |aged AS (
+             |  SELECT dl.user_id, dl.n, r.rd - dl.day AS age
+             |  FROM daily dl CROSS JOIN ref r
+             |  WHERE r.rd - dl.day < 28)
+             |SELECT a.user_id,
+             |  CAST(sum(a.n) AS BIGINT) AS n_recent,
+             |  CAST(count(*) AS BIGINT) AS days_active,
+             |  CAST(sum(a.n * decay.dp) AS BIGINT) AS score_ppm
+             |FROM aged a JOIN decay ON decay.age = a.age
+             |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin))
   )
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.
