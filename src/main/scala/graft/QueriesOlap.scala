@@ -665,6 +665,56 @@ object QueriesOlap {
            |SELECT source, n_docs, mean_fp, ms[2] AS ci_lo_fp,
            |  ms[31] AS ci_hi_fp
            |FROM m ORDER BY source""".stripMargin
-      })
+      }),
+
+    // A17 per-source Gini concentration of token counts — the
+    // length-inequality audit run before trusting per-source length
+    // stats: a source whose token mass is concentrated in a few huge
+    // docs (Gini → 1) needs chunking/repacking before it can feed a
+    // mix allocation, while a uniform source (Gini → 0) can be sampled
+    // doc-wise. Exactness contract: with 1-based ranks r over
+    // (ntok, doc_id) — the doc_id tiebreak makes the order a
+    // deterministic permutation, and swapping tied values never changes
+    // Σr·x — the mean-difference form G = (2Σrx − (n+1)Σx)/(n·Σx) is
+    // ALL-INTEGER, emitted as ppm via DIV; Σrx accumulates in
+    // DECIMAL(38,0) (n²·x̄-scale — overflows BIGINT past ~1e6
+    // rows/source). Scale shape: q160's — per-source ranks come from
+    // ops/GlobalRank.perGroupRank (range-partition + prefix-count) over
+    // the composite key ntok·2³¹ + doc_id, NEVER a per-source window
+    // (one source can be 10 TB = single-reducer); one ranked pass, one
+    // partial+final agg to sources-many rows.
+    Q("q169_gini_length",
+      (s, d) => {
+        val sigs = documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        graft.ops.GlobalRank.perGroupRank(sigs, col("source"),
+            col("ntok") * lit(2147483648L) + col("doc_id"))
+          .select(col("g").as("source"), (col("rank") + 1L).as("r"),
+            expr("CAST(v AS BIGINT) DIV 2147483648L").as("ntok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("ntok")).as("tok_sum"),
+            sum((col("r") * col("ntok")).cast("decimal(38,0)")).as("srx"))
+          .select(col("source"), col("n"), col("tok_sum"),
+            expr("CAST((2000000 * srx - CAST(1000000 AS DECIMAL(38,0)) " +
+              "* (n + 1) * tok_sum) DIV " +
+              "(CAST(n AS DECIMAL(38,0)) * tok_sum) AS BIGINT)")
+              .as("gini_ppm"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, ntok, CAST(row_number() OVER (
+             |    PARTITION BY source ORDER BY ntok, doc_id) AS BIGINT)
+             |    AS r
+             |  FROM t)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(ntok) AS BIGINT) AS tok_sum,
+             |  CAST((2000000 * sum(r * ntok)
+             |    - 1000000 * (count(*) + 1) * sum(ntok))
+             |    // (count(*) * sum(ntok)) AS BIGINT) AS gini_ppm
+             |FROM r GROUP BY source ORDER BY source""".stripMargin))
   )
 }
