@@ -171,6 +171,50 @@ object QueriesText {
       .select("a_id", "b_id").distinct()
   }
 
+  /** CONTENT-level LSH candidate pairs (the round-9 copy-invariant
+    * lesson, as in q119/q139: exact-dedup FIRST): verbatim copies share
+    * identical band keys, so doc-level edges form O(copies²) cliques
+    * that add zero information — contract to one node per distinct text
+    * (min doc_id) before pairing. All contraction exchanges are narrow
+    * (hash/id/band_key); text never rides a shuffle. Shared by q167
+    * (PageRank) and q170 (triangle count).
+    */
+  private[graft] def contractedPairs(s: SparkSession, d: String)
+      : DataFrame = {
+    val withH = documents(s, d).select(col("doc_id"),
+      sha2(col("text"), 256).as("h"))
+    val nodeOf = withH.groupBy("h").agg(min(col("doc_id")).as("node"))
+    val docNode = withH.join(nodeOf, "h").select("doc_id", "node")
+    val nodeBands = bandKeys(documents(s, d)).join(docNode, "doc_id")
+      .select(col("node").as("doc_id"), col("band_key")).distinct()
+    bandPairsFrom(nodeBands)
+  }
+
+  /** DuckDB replay of [[contractedPairs]] — CTEs ending in
+    * `pairs(a_id, b_id)`; callers prepend `WITH ` and append consumers.
+    */
+  private[graft] lazy val contractedPairsSqlCtes: String = {
+    def h(i: Int): String = minhashSqlExpr(MinhashAB(i)._1, MinhashAB(i)._2)
+    s"""t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+       |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
+       |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
+       |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
+       |bands AS (
+       |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
+       |nodeof AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS node
+       |  FROM documents),
+       |nbands AS (
+       |  SELECT DISTINCT n.node AS doc_id, b.band_key
+       |  FROM bands b JOIN nodeof n ON b.doc_id = n.doc_id),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM nbands a JOIN nbands b ON a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** LSH band keys per doc, `(doc_id, band_key)` — the PERSISTABLE form of
     * the signature index: band keys are what candidate joins probe, so the
     * incremental pipeline ([[graft.pipelines.DedupPipeline.addBatch]])
@@ -2686,19 +2730,7 @@ object QueriesText {
     // rounds; top-20 via TakeOrdered, never a global sort.
     Q("q167_pagerank_canon",
       (s, d) => {
-        // CONTENT-level graph (the round-9 copy-invariant lesson, as in
-        // q119/q139: exact-dedup FIRST): verbatim copies share identical
-        // band keys, so doc-level edges form O(copies^2) cliques that
-        // add zero information — contract to one node per distinct text
-        // (min doc_id) before pairing. All contraction exchanges are
-        // narrow (hash/id/band_key); text never rides a shuffle.
-        val withH = documents(s, d).select(col("doc_id"),
-          sha2(col("text"), 256).as("h"))
-        val nodeOf = withH.groupBy("h").agg(min(col("doc_id")).as("node"))
-        val docNode = withH.join(nodeOf, "h").select("doc_id", "node")
-        val nodeBands = bandKeys(documents(s, d)).join(docNode, "doc_id")
-          .select(col("node").as("doc_id"), col("band_key")).distinct()
-        val pairs = bandPairsFrom(nodeBands)
+        val pairs = contractedPairs(s, d)
         val edges = pairs
           .select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(pairs
@@ -2718,8 +2750,6 @@ object QueriesText {
           .select(col("id").as("doc_id"), col("r").as("rank_ppm"))
       },
       Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
         val iters = (1 to 5).map { k =>
           s"""r$k AS (SELECT e.dst AS id,
              |  CAST(150000 + (850000 * sum(r${k - 1}.r // e.deg))
@@ -2727,24 +2757,7 @@ object QueriesText {
              |  FROM e JOIN r${k - 1} ON r${k - 1}.id = e.src
              |  GROUP BY e.dst)""".stripMargin
         }.mkString(",\n")
-        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |nodeof AS (
-           |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS node
-           |  FROM documents),
-           |nbands AS (
-           |  SELECT DISTINCT n.node AS doc_id, b.band_key
-           |  FROM bands b JOIN nodeof n ON b.doc_id = n.doc_id),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM nbands a JOIN nbands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id),
+        s"""WITH $contractedPairsSqlCtes,
            |edges0 AS (SELECT a_id AS src, b_id AS dst FROM pairs
            |  UNION ALL SELECT b_id, a_id FROM pairs),
            |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
@@ -2756,6 +2769,70 @@ object QueriesText {
            |$iters
            |SELECT id AS doc_id, r AS rank_ppm FROM r5
            |ORDER BY rank_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
-      })
+      }),
+
+    // X72 triangle census of the near-dup candidate graph — motif
+    // analytics beyond q92's connected components and q167's
+    // centrality: a node whose neighborhood CLOSES (high local
+    // clustering = triangles/possible wedge pairs) sits in a dense
+    // template family (boilerplate farm, mirror ring — safe to collapse
+    // aggressively), while a high-degree node with NO closure is a hub
+    // stitching unrelated docs (usually an LSH band collision —
+    // collapse would over-merge; q158's keep policies need the
+    // distinction). Exactness: triangle counts and the closure ratio
+    // closure_ppm = 2e6·tri DIV (deg·(deg−1)) are all-integer. Scale
+    // shape: the a<b<c enumeration is TWO equi-joins on node ids over
+    // the contracted edge table (bounded by LSH band collisions, never
+    // corpus-pairwise; the contraction kills the O(copies²) verbatim
+    // cliques) — each triangle is built exactly once from its ordered
+    // vertex triple; per-node counts via explode + partial+final agg;
+    // top-20 via TakeOrdered, never a global sort.
+    Q("q170_triangle_census",
+      (s, d) => {
+        val pairs = contractedPairs(s, d).localCheckpoint(true)
+        val deg = pairs.select(col("a_id").as("node"))
+          .unionByName(pairs.select(col("b_id").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val tri = pairs.as("ab")
+          .join(pairs.as("bc"), col("ab.b_id") === col("bc.a_id"))
+          .join(pairs.as("ac"),
+            col("ab.a_id") === col("ac.a_id") &&
+              col("bc.b_id") === col("ac.b_id"))
+          .select(col("ab.a_id").as("x"), col("ab.b_id").as("y"),
+            col("bc.b_id").as("z"))
+        val triN = tri
+          .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("tri"))
+        deg.join(triN, Seq("node"), "left")
+          .withColumn("tri", coalesce(col("tri"), lit(0L)))
+          .withColumn("closure_ppm", when(col("deg") >= 2,
+            expr("(2000000 * tri) DIV (deg * (deg - 1))"))
+            .otherwise(lit(0L)))
+          .orderBy(col("tri").desc, col("node").asc).limit(20)
+          .select(col("node").as("doc_id"), col("deg"), col("tri"),
+            col("closure_ppm"))
+      },
+      Some(s"""WITH $contractedPairsSqlCtes,
+              |tr AS (
+              |  SELECT ab.a_id AS x, ab.b_id AS y, bc.b_id AS z
+              |  FROM pairs ab
+              |  JOIN pairs bc ON ab.b_id = bc.a_id
+              |  JOIN pairs ac ON ab.a_id = ac.a_id AND bc.b_id = ac.b_id),
+              |nodes AS (SELECT a_id AS node FROM pairs
+              |  UNION ALL SELECT b_id FROM pairs),
+              |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+              |  FROM nodes GROUP BY node),
+              |tn0 AS (SELECT x AS node FROM tr
+              |  UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr),
+              |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+              |  FROM tn0 GROUP BY node)
+              |SELECT deg.node AS doc_id, deg.deg,
+              |  CAST(coalesce(tn.tri, 0) AS BIGINT) AS tri,
+              |  CAST(CASE WHEN deg.deg >= 2
+              |    THEN (2000000 * coalesce(tn.tri, 0))
+              |      // (deg.deg * (deg.deg - 1))
+              |    ELSE 0 END AS BIGINT) AS closure_ppm
+              |FROM deg LEFT JOIN tn ON tn.node = deg.node
+              |ORDER BY tri DESC, doc_id ASC LIMIT 20""".stripMargin))
   )
 }
