@@ -463,8 +463,7 @@ object QueriesOlap {
           .groupBy(col("user_id"),
             Scalars.longDiv("ts", 86400000000000L).as("day"))
           .agg(count(lit(1)).as("n"),
-            sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
-              .as("cents"))
+            sum(Scalars.cents(col("value"))).as("cents"))
         val w = Window.partitionBy("user_id").orderBy(col("day"))
           .rangeBetween(-6, Window.currentRow)
         daily.select(col("user_id"), col("day"),
@@ -523,7 +522,7 @@ object QueriesOlap {
           .localCheckpoint(true)
         def ranked(sig: String, rk: String) =
           graft.ops.GlobalRank.perGroupRank(sigs, col("source"),
-              col(sig) * lit(2147483648L) + col("doc_id"))
+              Scalars.packId(col(sig), col("doc_id")))
             .select(col("g").as("source"),
               (col("v").cast("long") % lit(2147483648L)).as("doc_id"),
               col("rank").as(rk))
@@ -688,7 +687,7 @@ object QueriesOlap {
         val sigs = documents(s, d).select(col("doc_id"), col("source"),
           size(split(col("text"), " ")).cast("long").as("ntok"))
         graft.ops.GlobalRank.perGroupRank(sigs, col("source"),
-            col("ntok") * lit(2147483648L) + col("doc_id"))
+            Scalars.packId(col("ntok"), col("doc_id")))
           .select(col("g").as("source"), (col("rank") + 1L).as("r"),
             expr("CAST(v AS BIGINT) DIV 2147483648L").as("ntok"))
           .groupBy("source")

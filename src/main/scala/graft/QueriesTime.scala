@@ -868,8 +868,7 @@ object QueriesTime {
       ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     ev.groupBy(col("event_type"),
         Scalars.longDiv("ts", NsPerHour).as("h"))
-      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
-          .as("cs"),
+      .agg(sum(Scalars.cents(col("value"))).as("cs"),
         count(lit(1)).as("n"))
 
   /** T21 post-agg stage of q155: spine + ignore-nulls neighbor windows +

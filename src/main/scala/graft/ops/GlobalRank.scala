@@ -92,9 +92,12 @@ object GlobalRank {
     * `percentages` must be exactly-representable doubles (0.25, 0.5, …).
     * Returns `(g string, q double, pct double)` — one row per group ×
     * percentage. Interpolation replicates Spark's `Percentile.getPercentile`
-    * weighted form `(hi − pos)·v_lo + (pos − lo)·v_hi` bit-for-bit (which
-    * DuckDB's `quantile_cont` agrees with on this data), so results are
-    * hash-identical to the single-reducer aggregate they replace.
+    * weighted form `(hi − pos)·v_lo + (pos − lo)·v_hi` (which DuckDB's
+    * `quantile_cont` agrees with on this data), with one strengthening:
+    * when v_lo == v_hi the exact value is returned directly instead of
+    * through the weighted form, which can land 1 ulp low — see the
+    * in-line note. Results are hash-identical to the single-reducer
+    * aggregate they replace.
     *
     * Cost at scale: one full shuffle of (group, value) pairs — narrow, two
     * columns — plus two reduce passes over it and tiny broadcast joins.
@@ -125,7 +128,14 @@ object GlobalRank {
         max(when(col("rank") === col("lo"), col("v"))).as("vlo"),
         max(when(col("rank") === col("hi"), col("v"))).as("vhi"))
       .withColumn("pct",
-        when(col("lo") === col("hi"), col("vlo"))
+        // vlo == vhi short-circuit: the weighted form (hi−pos)·v +
+        // (pos−lo)·v is 1 ulp BELOW v for some (pos, v) even though the
+        // weights sum to 1 exactly — and DuckDB's quantile_cont returns
+        // v exactly in that case (common for discrete values), so any
+        // downstream floor/quantization straddling the boundary would
+        // diverge cross-engine. Both engines return exactly v here.
+        when(col("lo") === col("hi") || col("vlo") === col("vhi"),
+            col("vlo"))
           .otherwise((col("hi") - col("pos")) * col("vlo") +
             (col("pos") - col("lo")) * col("vhi")))
       .select("g", "q", "pct")

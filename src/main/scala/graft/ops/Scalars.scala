@@ -114,6 +114,46 @@ object Scalars {
   /** DuckDB rendition of round2 for oracle SQL. */
   def round2Sql(x: String): String = s"(floor(($x) * 100 + 0.5) / 100)"
 
+  /** Exact integer-cents quantization of a NON-NEGATIVE money double —
+    * the integer-domain twin of [[round2]]: floor(x·100 + 0.5) as BIGINT,
+    * identical IEEE arithmetic in both engines. Domain contract: x ≥ 0
+    * (events.value is generated ≥ 0.01; TablesSpec pins the schema). The
+    * contract matters because downstream integer division over these
+    * cents uses Spark `DIV` (truncates toward zero) where DuckDB uses
+    * `//` (floors) — equivalent only on a non-negative domain. A signed
+    * money column would need a floor-division helper instead; asserting
+    * here per row would put a branch on the hottest agg path for a
+    * condition the generator rules out, so the contract is documented +
+    * spec-pinned (ScalarsSpec) rather than runtime-checked.
+    */
+  def cents(x: Column): Column = floor(x * 100 + lit(0.5)).cast("long")
+
+  /** DuckDB rendition of cents for oracle SQL. */
+  def centsSql(x: String): String =
+    s"CAST(floor(($x) * 100 + 0.5) AS BIGINT)"
+
+  /** Composite (sig, doc_id) sort key for GlobalRank's double-typed rank
+    * path: sig·2³¹ + doc_id, with doc_id recovered downstream by % 2³¹.
+    * Exactness window: the rank machinery casts the key to double, so the
+    * pack is exact only while sig·2³¹ + doc_id < 2⁵³ (sig ≤ ~4.1e6 — ppm
+    * signals and token counts qualify) AND doc_id ∈ [0, 2³¹). The doc_id
+    * bound is enforced PER ROW via assert_true because violation is
+    * otherwise silent: both the rank order and the recovered doc_id
+    * corrupt, with no error. Testdata stays inside the bound only by
+    * construction (tools/scale_testdata.py shifts ids by copy·STRIDE=1e8;
+    * FACTOR ≥ 22 breaches 2³¹ — see the STRIDE note there), and a real
+    * corpus has no cap at all — this guard turns that assumption into an
+    * error instead of wrong answers.
+    */
+  def packId(sig: Column, docId: Column): Column = {
+    val guard = coalesce(
+      assert_true(docId >= 0 && docId < lit(2147483648L),
+        lit("Scalars.packId: doc_id outside [0, 2^31) silently corrupts " +
+          "the packed rank key — re-key or widen the radix")).cast("long"),
+      lit(0L))
+    sig * lit(2147483648L) + docId + guard
+  }
+
   /** Order-independent money sum. A double sum over millions of rows is
     * accumulation-order-dependent: at sf1 (6M lineitem rows) Spark's
     * partial-agg merge order vs DuckDB's produced grand totals differing
