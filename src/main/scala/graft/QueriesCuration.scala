@@ -1291,7 +1291,128 @@ object QueriesCuration {
              |  p05_fp, p95_fp,
              |  CAST(sum(w_fp) // count(*) AS BIGINT) AS win_mean_fp
              |FROM w GROUP BY source, p05_fp, p95_fp
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // X76 quantile normalization — map every doc's token count to the
+    // GLOBAL value at the same rank fraction within its source (the
+    // Bolstad et al. 2003 microarray technique, here the feature-
+    // normalization step that makes per-source length features
+    // comparable before they feed one mixing/packing decision: a
+    // "long doc" in a tweets source and in a books source land at the
+    // same normalized value iff they sit at the same quantile).
+    // Exactness contract: everything is RANKS — per-source rank r
+    // (tiebreak doc_id), source size n_s, corpus size N, target global
+    // rank t = r·(N−1) DIV (n_s−1) (single-doc sources map to the
+    // median (N−1) DIV 2), normalized value = the corpus value at rank
+    // t. No interpolation, no doubles anywhere: pure integer index
+    // arithmetic (r·(N−1) accumulates in DECIMAL(38,0) — it overflows
+    // BIGINT past ~3e9 docs).
+    // Scale shape: BOTH rank passes are ops/GlobalRank (range-partition
+    // + prefix counts — never a per-source window, never a global-order
+    // single-reducer window); the value lookup is an equi-join on the
+    // 8-byte target rank; n_s / N ride broadcasts. The corpus text is
+    // scanned once into the localCheckpointed narrow token table.
+    Q("q175_quantile_normalize",
+      (s, d) => {
+        val toks = documents(s, d).select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+          .localCheckpoint(true)
+        val rk = GlobalRank.perGroupRank(toks, col("source"),
+            Scalars.packId(col("ntok"), col("doc_id")))
+          .select(col("g").as("source"),
+            (col("v").cast("long") % lit(2147483648L)).as("doc_id"),
+            expr("CAST(v AS BIGINT) DIV 2147483648L").as("ntok"),
+            col("rank").as("r"))
+        val ns = toks.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val glob = GlobalRank.perGroupRank(toks, lit("all"),
+            Scalars.packId(col("ntok"), col("doc_id")))
+          .select(expr("CAST(v AS BIGINT) DIV 2147483648L").as("norm_tok"),
+            col("rank").as("grank"))
+        val nTot = toks.agg(count(lit(1)).as("n_tot"))
+        rk.join(broadcast(ns), "source")
+          .crossJoin(broadcast(nTot))
+          .withColumn("t", when(col("n_s") > 1,
+              expr("CAST((CAST(r AS DECIMAL(38,0)) * (n_tot - 1)) " +
+                "DIV (n_s - 1) AS BIGINT)"))
+            .otherwise(expr("(n_tot - 1) DIV 2")))
+          .join(glob, col("t") === col("grank"))
+          .select(col("doc_id"), col("source"), col("ntok"),
+            col("norm_tok"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, doc_id,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |rk AS (
+             |  SELECT source, doc_id, ntok,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY ntok, doc_id) - 1 AS BIGINT) AS r
+             |  FROM toks),
+             |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+             |  FROM toks GROUP BY source),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM toks),
+             |gl AS (
+             |  SELECT ntok AS norm_tok,
+             |    CAST(row_number() OVER (ORDER BY ntok, doc_id) - 1
+             |      AS BIGINT) AS grank
+             |  FROM toks)
+             |SELECT rk.doc_id, rk.source, rk.ntok, gl.norm_tok
+             |FROM rk JOIN ns USING (source) CROSS JOIN nt
+             |JOIN gl ON gl.grank = CASE WHEN ns.n_s > 1
+             |  THEN (rk.r * (nt.n_tot - 1)) // (ns.n_s - 1)
+             |  ELSE (nt.n_tot - 1) // 2 END
+             |ORDER BY rk.doc_id""".stripMargin)),
+
+    // X78 systematic PPS sampling (probability proportional to size,
+    // Madow 1949) — the token-weighted sample a mix/eval pipeline draws
+    // when doc-wise uniform sampling over-represents short docs: walk
+    // the corpus in canonical doc_id order, take a pick every
+    // step = total_tokens DIV 100 tokens; a doc is selected with
+    // probability ∝ its token count, docs longer than the step get
+    // multiple picks (the textbook with-replacement systematic form) —
+    // all deterministic, no rand(), integer end to end.
+    // Scale shape: the running token total is ops/GlobalRank.prefixSum
+    // (range-partition + per-partition offsets — q86's machinery, no
+    // global-order window, no single reducer); the 1-row total rides a
+    // broadcast; selection is a map-side integer test over the
+    // localCheckpointed prefix table.
+    Q("q178_pps_sample",
+      (s, d) => {
+        val toks = documents(s, d).select(col("doc_id"),
+          greatest(size(split(col("text"), " ")).cast("long"), lit(1L))
+            .as("w"))
+        val pre = GlobalRank.prefixSum(toks, col("doc_id"), col("w"))
+          .localCheckpoint(true)
+        val tot = pre.agg(sum("v").as("total"))
+        pre.crossJoin(broadcast(tot))
+          .withColumn("step", expr("greatest(total DIV 100, 1L)"))
+          .withColumn("n_picks",
+            expr("(cum_before + v) DIV step - cum_before DIV step"))
+          .filter(col("n_picks") > 0)
+          .select(col("k").as("doc_id"), col("v").as("ntok"),
+            col("n_picks"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    greatest(CAST(len(str_split(text, ' ')) AS BIGINT), 1)
+             |      AS w
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, w,
+             |    COALESCE(CAST(sum(w) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS cb
+             |  FROM t),
+             |tot AS (
+             |  SELECT CAST(greatest(sum(w) // 100, 1) AS BIGINT) AS step
+             |  FROM t)
+             |SELECT doc_id, w AS ntok,
+             |  CAST((cb + w) // step - cb // step AS BIGINT) AS n_picks
+             |FROM c CROSS JOIN tot
+             |WHERE (cb + w) // step - cb // step > 0
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

@@ -255,6 +255,46 @@ object QueriesOlap {
              |FROM orders WHERE o_totalprice > 450000.0
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Q3 correlated EXISTS / NOT EXISTS — the decorrelation shape real
+    // SQL users hit weekly (q67 proves uncorrelated IN, q68 the scalar
+    // agg): customers in a segment who placed at least one high-value
+    // order (correlated EXISTS) and whose orders contain NO returned
+    // item (correlated NOT EXISTS through a two-table subquery).
+    // Catalyst's RewritePredicateSubquery decorrelates both — EXISTS →
+    // left-semi join on the correlation key, NOT EXISTS → left-anti —
+    // so at 100 TB this is two shuffled/broadcast hash joins over the
+    // fact tables, never a per-customer re-execution of the subquery
+    // (the nested-loop plan a naive engine runs). PlanSpec pins the
+    // decorrelated shape: semi + anti present, no BNLJ/cartesian.
+    Q("q171_exists_correlated",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer")
+        orders(s, d).createOrReplaceTempView("orders")
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT c_custkey, c_name FROM customer c
+                |WHERE c_mktsegment = 'AUTOMOBILE'
+                |  AND EXISTS (SELECT 1 FROM orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_totalprice > 200000.0)
+                |  AND NOT EXISTS (
+                |    SELECT 1 FROM orders o2
+                |    JOIN lineitem l ON l.l_orderkey = o2.o_orderkey
+                |    WHERE o2.o_custkey = c.c_custkey
+                |      AND l.l_returnflag = 'R')
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE c_mktsegment = 'AUTOMOBILE'
+             |  AND EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 200000.0)
+             |  AND NOT EXISTS (
+             |    SELECT 1 FROM orders o2
+             |    JOIN lineitem l ON l.l_orderkey = o2.o_orderkey
+             |    WHERE o2.o_custkey = c.c_custkey
+             |      AND l.l_returnflag = 'R')
+             |ORDER BY c_custkey""".stripMargin)),
+
     // W7 sliding-frame moving average (3-order trailing mean per customer —
     // the rank-movement smoothing a rankings time-series needs). A 3-value
     // mean is a row-level derived double → floor-form rounding (§7.5 #1).

@@ -2833,6 +2833,378 @@ object QueriesText {
               |      // (deg.deg * (deg.deg - 1))
               |    ELSE 0 END AS BIGINT) AS closure_ppm
               |FROM deg LEFT JOIN tn ON tn.node = deg.node
-              |ORDER BY tri DESC, doc_id ASC LIMIT 20""".stripMargin))
+              |ORDER BY tri DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // X73 positional phrase search — the retrieval primitive behind
+    // "find every document containing this exact phrase": the corpus's
+    // top trigram is mined first (the phrase is DATA-derived for
+    // reproducibility — occurrence count over distinct texts, gram-asc
+    // tiebreak), then every document containing it is reported with its
+    // per-document occurrence count. Both stages consume ONE stride-1
+    // per-doc trigram stream (q150's lead-window machinery) built over
+    // DISTINCT CONTENT and localCheckpointed once; verbatim copies get
+    // their counts back through the content-hash fan-out join (the
+    // copy-invariant rule — at sf1 the stream is 10× smaller than the
+    // corpus). All aggregation keys are the 8-byte md5 token hash (the
+    // gram text rides as a min() measure); the match is a 1-row
+    // broadcast equi-join against the stream — never a corpus-wide
+    // LIKE/contains scan, which cannot use an index and re-reads every
+    // byte of text per phrase.
+    Q("q172_phrase_search",
+      (s, d) => {
+        val withH = documents(s, d).select(col("doc_id"),
+          sha2(col("text"), 256).as("h"))
+        val dtext = documents(s, d).select(col("text")).distinct()
+          .select(sha2(col("text"), 256).as("h"), col("text"))
+        val w = Window.partitionBy("h").orderBy("pos")
+        val grams = fanOut(dtext)
+          .select(col("h"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
+          .withColumn("w1", lead("wd", 1).over(w))
+          .withColumn("w2", lead("wd", 2).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("h"),
+            concat_ws(" ", col("wd"), col("w1"), col("w2")).as("gram"))
+          .withColumn("g", Scalars.tokenHash(col("gram")) % P)
+          .localCheckpoint(true)
+        val top = grams.groupBy("g")
+          .agg(count(lit(1)).as("n_occ"), min("gram").as("gram"))
+          .orderBy(col("n_occ").desc, col("gram").asc).limit(1)
+        val hits = grams.join(broadcast(top.select("g")), "g")
+          .groupBy("h").agg(count(lit(1)).as("n_occ"))
+        withH.join(hits, "h")
+          .crossJoin(broadcast(top.select("gram")))
+          .select(col("doc_id"), col("gram"), col("n_occ"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH dt AS (SELECT DISTINCT text FROM documents),
+              |t AS (SELECT text, str_split(text, ' ') AS toks FROM dt),
+              |g AS (
+              |  SELECT text,
+              |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+              |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+              |  WHERE len(toks) >= 3),
+              |h AS (
+              |  SELECT text, gram,
+              |    (('0x' || substr(md5(gram), 1, 15))::BIGINT % $P) AS gg
+              |  FROM g),
+              |top AS (
+              |  SELECT gg, CAST(count(*) AS BIGINT) AS n_occ,
+              |    min(gram) AS gram
+              |  FROM h GROUP BY 1
+              |  ORDER BY n_occ DESC, gram LIMIT 1),
+              |hits AS (
+              |  SELECT h.text, CAST(count(*) AS BIGINT) AS n_occ
+              |  FROM h JOIN top USING (gg) GROUP BY 1)
+              |SELECT d.doc_id, top.gram, hits.n_occ
+              |FROM documents d
+              |JOIN hits ON hits.text = d.text
+              |CROSS JOIN top
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // X74 embedding cluster-separation audit — pairwise cosine between
+    // per-label centroid vectors: the check run before trusting labels
+    // (or cluster assignments) for stratified sampling, hard-negative
+    // mining (q161), or SemDeDup cluster pruning (q119) — two labels
+    // whose centroids cosine near ±1 are not separable classes, so
+    // per-label quotas would be double-counting one population.
+    // Exactness contract: each component is quantized to integer
+    // thousandths (floor(e·1000) — float→double cast is exact), so the
+    // per-(label, dim) component sums, the pairwise dot, and the norm
+    // squares are ALL-INTEGER (DECIMAL(38,0) accumulation — a double
+    // sum would be accumulation-order-dependent); cosine scale-
+    // invariance means centroid division by n cancels, so the SUM
+    // vector stands in for the centroid exactly. The one double step —
+    // signed cos² ppm = ±floor(1e6·dot²/(naa·nbb)) — divides identical
+    // exact integers cast to identical doubles in both engines.
+    // Scale shape: corpus-sized work is ONE scan + a 64-way posexplode
+    // absorbed by a map-side partial agg to (labels × dims) rows;
+    // everything after runs on that tiny table (self-join on dim,
+    // labels²-sized output). No per-pair corpus work anywhere.
+    Q("q173_centroid_cosine",
+      (s, d) => {
+        val sums = embeddings(s, d)
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "e")))
+          .select(col("label"), col("dim"),
+            floor(col("e").cast("double") * 1000).cast("long").as("qv"))
+          .groupBy("label", "dim")
+          .agg(sum(col("qv").cast("decimal(38,0)")).as("sv"))
+          .localCheckpoint(true)
+        val n2 = sums.groupBy("label")
+          .agg(sum(col("sv") * col("sv")).as("nn"))
+        val ratio = (lit(1e6) *
+          (col("dot").cast("double") * col("dot").cast("double")) /
+          (col("naa").cast("double") * col("nbb").cast("double")))
+        sums.as("a").join(sums.as("b"),
+            col("a.dim") === col("b.dim") &&
+              col("a.label") < col("b.label"))
+          .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+          .agg(sum(col("a.sv") * col("b.sv")).as("dot"))
+          .join(n2.select(col("label").as("la"), col("nn").as("naa")),
+            Seq("la"))
+          .join(n2.select(col("label").as("lb"), col("nn").as("nbb")),
+            Seq("lb"))
+          .select(col("la"), col("lb"),
+            col("dot").cast("long").as("dot"),
+            when(col("dot") >= 0, floor(ratio))
+              .otherwise(-floor(ratio)).cast("long").as("cos2_ppm"))
+          .orderBy("la", "lb")
+      },
+      Some("""WITH q AS (
+             |  SELECT label, i AS dim,
+             |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+             |      AS BIGINT) AS qv
+             |  FROM embeddings,
+             |    unnest(range(1, len(embedding) + 1)) AS u(i)),
+             |s AS (SELECT label, dim, sum(qv) AS sv FROM q GROUP BY 1, 2),
+             |n2 AS (SELECT label, sum(sv * sv) AS nn FROM s GROUP BY 1),
+             |p AS (SELECT a.label AS la, b.label AS lb,
+             |    sum(a.sv * b.sv) AS dot
+             |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+             |  GROUP BY 1, 2)
+             |SELECT p.la, p.lb, CAST(p.dot AS BIGINT) AS dot,
+             |  CAST(CASE WHEN p.dot >= 0 THEN
+             |    floor(1e6 * (CAST(p.dot AS DOUBLE) * CAST(p.dot AS DOUBLE))
+             |      / (CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)))
+             |  ELSE
+             |    -floor(1e6 * (CAST(p.dot AS DOUBLE) * CAST(p.dot AS DOUBLE))
+             |      / (CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)))
+             |  END AS BIGINT) AS cos2_ppm
+             |FROM p
+             |JOIN n2 na ON na.label = p.la
+             |JOIN n2 nb ON nb.label = p.lb
+             |ORDER BY la, lb""".stripMargin)),
+
+    // X75 EXACT set-similarity self-join via prefix filtering (SSJoin,
+    // Chaudhuri et al. 2006; All-Pairs, Bayardo et al. 2007) — the
+    // exact complement of the probabilistic LSH band path (X2b): every
+    // pair of distinct texts with 3-shingle-set Jaccard ≥ 0.6, with NO
+    // false negatives (the prefix-filter theorem: under any global
+    // token order, two sets with J ≥ τ must share a token among each
+    // side's first |x| − ⌈τ·|x|⌉ + 1 tokens) and no false positives
+    // (exact intersection verify on candidates). LSH trades recall for
+    // speed; this is the audit/ground-truth tier run on samples or on
+    // blocked subsets. All integer: the threshold test is the
+    // ppm-floored Jaccard (equivalent to 5·I ≥ 3·(na+nb−I)).
+    // Scale shape: contract to DISTINCT CONTENT first (text rides one
+    // h-keyed partial agg as a min() measure — the q150 rule); the
+    // candidate join is over PREFIX postings ordered rarest-first
+    // (df asc — the order minimizing candidate count), never all-pairs;
+    // the per-doc rank window is doc-sized; verification joins full
+    // shingle arrays only for candidate ids.
+    Q("q174_setsim_prefix",
+      (s, d) => {
+        val base = documents(s, d)
+          .select(sha2(col("text"), 256).as("hk"), col("doc_id"),
+            col("text"))
+          .groupBy("hk")
+          .agg(min("doc_id").as("id"), min("text").as("text"))
+        val sets = fanOut(base)
+          .select(col("id"),
+            Scalars.shingles3(split(col("text"), " ")).as("sh"))
+          .localCheckpoint(true)
+        val post = sets.select(col("id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("tok"))
+        val dfreq = post.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+        val w = Window.partitionBy("id").orderBy(col("dfreq"), col("tok"))
+        val pref = post.join(dfreq, "tok")
+          .withColumn("rn", row_number().over(w))
+          .filter(expr("rn <= n - (3 * n + 4) DIV 5 + 1"))
+          .select("id", "tok", "rn", "n")
+        // PPJoin candidate pruning (Xiao et al. 2008) on top of the
+        // prefix join: the LENGTH filter (J ≥ 0.6 forces
+        // 5·min(na,nb) ≥ 3·max(na,nb)) and the POSITIONAL filter (the
+        // overlap still reachable past match positions (i, j) is
+        // 1 + min(na−i, nb−j), which must reach the equivalent-overlap
+        // threshold α = ⌈3(na+nb)/8⌉). Measured at sf0.1: 299k → 69k
+        // candidates for the same 25-pair result.
+        val cand = pref.as("a").join(pref.as("b"),
+            col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+              expr("5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)") &&
+              expr("1 + least(a.n - a.rn, b.n - b.rn) >= " +
+                "(3 * (a.n + b.n) + 7) DIV 8"))
+          .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+          .distinct()
+        cand
+          .join(sets.select(col("id").as("a_id"), col("sh").as("sa")),
+            "a_id")
+          .join(sets.select(col("id").as("b_id"), col("sh").as("sb")),
+            "b_id")
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("sa"), col("sb"))).cast("long")
+              .as("i"),
+            size(col("sa")).cast("long").as("na"),
+            size(col("sb")).cast("long").as("nb"))
+          .withColumn("jacc_ppm", expr("(1000000 * i) DIV (na + nb - i)"))
+          .filter(col("jacc_ppm") >= 600000)
+          .select("a_id", "b_id", "jacc_ppm")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"""WITH dt AS (
+              |  SELECT min(doc_id) AS id, text FROM documents
+              |  GROUP BY text),
+              |sets AS (SELECT id, $shinglesSql AS sh FROM dt),
+              |post AS (SELECT id, unnest(sh) AS tok FROM sets),
+              |dfreq AS (SELECT tok, count(*) AS dfreq FROM post
+              |  GROUP BY tok),
+              |rk AS (
+              |  SELECT post.id, post.tok, row_number() OVER (
+              |    PARTITION BY post.id ORDER BY dfreq.dfreq, post.tok)
+              |    AS rn
+              |  FROM post JOIN dfreq USING (tok)),
+              |sz AS (SELECT id, len(sh) AS n FROM sets),
+              |pref AS (
+              |  SELECT rk.id, rk.tok, rk.rn, sz.n FROM rk JOIN sz USING (id)
+              |  WHERE rn <= n - (3 * n + 4) // 5 + 1),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              |  FROM pref a JOIN pref b
+              |    ON a.tok = b.tok AND a.id < b.id
+              |    AND 5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)
+              |    AND 1 + least(a.n - a.rn, b.n - b.rn)
+              |      >= (3 * (a.n + b.n) + 7) // 8),
+              |v AS (
+              |  SELECT a_id, b_id,
+              |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS i,
+              |    CAST(len(sa.sh) AS BIGINT) AS na,
+              |    CAST(len(sb.sh) AS BIGINT) AS nb
+              |  FROM cand
+              |  JOIN sets sa ON sa.id = cand.a_id
+              |  JOIN sets sb ON sb.id = cand.b_id)
+              |SELECT a_id, b_id,
+              |  CAST((1000000 * i) // (na + nb - i) AS BIGINT) AS jacc_ppm
+              |FROM v WHERE (1000000 * i) // (na + nb - i) >= 600000
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // X77 label propagation over the near-dup candidate graph (Raghavan
+    // et al. 2007, 2 synchronous rounds, deterministic majority with
+    // (count DESC, label ASC) tiebreak) — the source-coherence audit of
+    // near-dup communities: seed every node with its source label; if
+    // neighborhoods converge to single source labels, duplication is
+    // intra-source (dedup can shard by source); nodes that FLIP source
+    // are mirror/syndication edges (X58's cross-source matrix at node
+    // granularity). Exactness: counts are integers, the argmax is the
+    // associative min(struct(−cnt, label)) — no window, no
+    // nondeterministic first().
+    // Scale shape: the graph is contracted to one node per DISTINCT
+    // TEXT (the X71/X72 rule); each round is one edge⋈labels equi-join
+    // + two partial+final aggs over the checkpointed edge list — fixed
+    // round count, monotone shuffle volume, q167's cost class.
+    Q("q176_label_propagation",
+      (s, d) => {
+        val pairs = contractedPairs(s, d)
+        val edges = pairs
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(pairs
+            .select(col("b_id").as("src"), col("a_id").as("dst")))
+          .localCheckpoint(true)
+        val init = edges.select(col("src").as("id")).distinct()
+          .join(documents(s, d)
+            .select(col("doc_id").as("id"), col("source").as("lbl")),
+            "id")
+          .localCheckpoint(true)
+        def propagate(cur: org.apache.spark.sql.DataFrame) =
+          edges.join(cur.select(col("id").as("dst"), col("lbl")), "dst")
+            .groupBy(col("src"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("src"))
+            .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("lbl")))
+              .as("m"))
+            .select(col("src").as("id"), col("m.lbl").as("lbl"))
+        val fin = propagate(propagate(init))
+        fin.join(init.select(col("id"), col("lbl").as("lbl0")), "id")
+          .groupBy(col("lbl"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("lbl") =!= col("lbl0"), 1L).otherwise(0L))
+              .as("n_converted"))
+          .orderBy("lbl")
+      },
+      Some(s"""WITH $contractedPairsSqlCtes,
+              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              |  UNION ALL SELECT b_id, a_id FROM pairs),
+              |init AS (
+              |  SELECT n.id, d.source AS lbl
+              |  FROM (SELECT DISTINCT src AS id FROM edges) n
+              |  JOIN documents d ON d.doc_id = n.id),
+              |c1 AS (SELECT e.src, i.lbl, count(*) AS cnt
+              |  FROM edges e JOIN init i ON i.id = e.dst GROUP BY 1, 2),
+              |l1 AS (SELECT src AS id, lbl FROM (
+              |  SELECT src, lbl, row_number() OVER (PARTITION BY src
+              |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c1)
+              |  WHERE rn = 1),
+              |c2 AS (SELECT e.src, i.lbl, count(*) AS cnt
+              |  FROM edges e JOIN l1 i ON i.id = e.dst GROUP BY 1, 2),
+              |l2 AS (SELECT src AS id, lbl FROM (
+              |  SELECT src, lbl, row_number() OVER (PARTITION BY src
+              |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c2)
+              |  WHERE rn = 1)
+              |SELECT l2.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+              |  CAST(sum(CASE WHEN l2.lbl != init.lbl THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_converted
+              |FROM l2 JOIN init ON init.id = l2.id
+              |GROUP BY l2.lbl ORDER BY l2.lbl""".stripMargin)),
+
+    // X79 mutual nearest-neighbor mining — pairs of vectors that are
+    // each other's top-1 cosine neighbor within their sign-LSH bucket:
+    // the margin-free reciprocal-NN criterion parallel-corpus and
+    // paired-data mining uses (a one-directional NN is often a hub
+    // artifact; mutuality is the cheap symmetric filter). Determinism:
+    // top-1 is (cos DESC, vec_id ASC) — and within a bucket the max-cos
+    // pair is always mutual, so every ≥2-member bucket yields at least
+    // one pair.
+    // Scale shape: q51's bucket contract — candidate pairs exist ONLY
+    // within the 8-bit sign bucket (equi-join, never all-pairs; at
+    // production scale the bit-width dials bucket size down as the
+    // corpus grows), norms materialized once behind the scan; the
+    // top-1 window is per-vector over its bucket-bounded candidates;
+    // mutuality is a self-join of the tiny top-1 table on the reversed
+    // id pair.
+    Q("q179_mutual_nn",
+      (s, d) => {
+        val bucket = (0 until 8).map { j =>
+          when(element_at(col("embedding"), j + 1) > 0f, lit(1 << j))
+            .otherwise(0)
+        }.reduce(_ + _)
+        val e = withNorm(embeddings(s, d))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            bucket.as("bucket"))
+        val cand = e.as("a").join(e.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("id"), col("b.vec_id").as("nb"),
+            (dot(col("a.embedding"), col("b.embedding")) /
+              (col("a.nrm") * col("b.nrm"))).as("cos"))
+        val w = Window.partitionBy("id")
+          .orderBy(col("cos").desc, col("nb").asc)
+        val top1 = cand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("id", "nb")
+        top1.as("x").join(top1.as("y"),
+            col("x.id") === col("y.nb") && col("x.nb") === col("y.id") &&
+              col("x.id") < col("x.nb"))
+          .select(col("x.id").as("a_id"), col("x.nb").as("b_id"))
+          .orderBy("a_id", "b_id")
+      },
+      Some {
+        val bSql = (0 until 8).map { j =>
+          s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, embedding, ($bSql) AS bucket
+           |           FROM embeddings),
+           |cand AS (
+           |  SELECT a.vec_id AS id, b.vec_id AS nb,
+           |    ${cosSql("a.embedding", "b.embedding")} AS cos
+           |  FROM e a JOIN e b ON a.bucket = b.bucket
+           |    AND a.vec_id <> b.vec_id),
+           |top1 AS (
+           |  SELECT id, nb FROM (
+           |    SELECT id, nb, row_number() OVER (PARTITION BY id
+           |      ORDER BY cos DESC, nb ASC) AS rn FROM cand)
+           |  WHERE rn = 1)
+           |SELECT x.id AS a_id, x.nb AS b_id
+           |FROM top1 x JOIN top1 y
+           |  ON x.id = y.nb AND x.nb = y.id AND x.id < x.nb
+           |ORDER BY a_id, b_id""".stripMargin
+      })
   )
 }

@@ -825,7 +825,54 @@ object QueriesTime {
              |  CAST(count(*) AS BIGINT) AS days_active,
              |  CAST(sum(a.n * decay.dp) AS BIGINT) AS score_ppm
              |FROM aged a JOIN decay ON decay.age = a.age
-             |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin))
+             |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin)),
+
+    // T25 event-transition matrix — the first-order Markov statistic a
+    // behavioral/training pipeline reads before sequence modeling: per
+    // (event_type → next event_type) pair, transition count and row-
+    // normalized probability (ppm), successor defined within each
+    // user's stream ordered by (ts, event_id) — the deterministic
+    // unique tiebreak the oracle discipline demands. Integers end to
+    // end (counts + DIV ppm).
+    // Scale shape: the lag/lead pass is a user-partitioned window (the
+    // q102/q111 per-user precedent — per-user state, never a global
+    // order); transitions then collapse through ONE partial+final agg
+    // to a types² table, and the row totals join is types-sized
+    // (broadcast). Nothing corpus-sized survives past the first agg.
+    Q("q177_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val tr = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy("from_type").agg(sum("n").as("tot"))
+        tr.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("(1000000 * n) DIV tot").as("p_ppm"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+             |  FROM events),
+             |tr0 AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY tsn, event_id) AS to_type
+             |  FROM e),
+             |tr AS (SELECT from_type, to_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM tr0 WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1)
+             |SELECT tr.from_type, tr.to_type, tr.n,
+             |  CAST((1000000 * tr.n) // tot.tot AS BIGINT) AS p_ppm
+             |FROM tr JOIN tot USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin))
   )
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.

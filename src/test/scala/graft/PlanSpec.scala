@@ -1251,4 +1251,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_partkey"),
       s"scan reads unprojected columns:\n${p.take(800)}")
   }
+
+  test("q171 correlated EXISTS/NOT EXISTS decorrelates to semi + anti " +
+      "hash joins — no nested-loop, no per-row subquery re-execution") {
+    val p = plan("q171_exists_correlated")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS did not decorrelate to a semi join:\n${p.take(1200)}")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS did not decorrelate to an anti join:\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"nested-loop plan leaked into the decorrelation:\n${p.take(1200)}")
+    // the segment predicate must reach the customer scan
+    assert(p.contains("PushedFilters") && p.contains("AUTOMOBILE"),
+      s"segment filter not pushed to the scan:\n${p.take(1200)}")
+  }
 }
