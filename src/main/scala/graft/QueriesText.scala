@@ -3153,20 +3153,27 @@ object QueriesText {
     // top-1 is (cos DESC, vec_id ASC) — and within a bucket the max-cos
     // pair is always mutual, so every ≥2-member bucket yields at least
     // one pair.
-    // Scale shape: q51's bucket contract — candidate pairs exist ONLY
-    // within the 8-bit sign bucket (equi-join, never all-pairs; at
-    // production scale the bit-width dials bucket size down as the
-    // corpus grows), norms materialized once behind the scan; the
-    // top-1 window is per-vector over its bucket-bounded candidates;
-    // mutuality is a self-join of the tiny top-1 table on the reversed
-    // id pair.
+    // Scale shape: contract to DISTINCT VECTORS first (min-id
+    // representative — verbatim embedding copies from exact-dup docs
+    // otherwise make every copy's top-1 its own twin at cos 1.0,
+    // drowning genuine neighbors AND growing bucket pair counts with
+    // copies²: the q119 copy-invariant rule in embedding space;
+    // measured 3.9 s → sf0.1-flat at sf1). Then q51's bucket contract —
+    // candidate pairs exist ONLY within the 8-bit sign bucket
+    // (equi-join, never all-pairs; at production scale the bit-width
+    // dials bucket size down as the corpus grows), norms materialized
+    // once behind the scan; the top-1 window is per-vector over its
+    // bucket-bounded candidates; mutuality is a self-join of the tiny
+    // top-1 table on the reversed id pair.
     Q("q179_mutual_nn",
       (s, d) => {
         val bucket = (0 until 8).map { j =>
           when(element_at(col("embedding"), j + 1) > 0f, lit(1 << j))
             .otherwise(0)
         }.reduce(_ + _)
-        val e = withNorm(embeddings(s, d))
+        val distinctVecs = embeddings(s, d)
+          .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+        val e = withNorm(distinctVecs)
           .select(col("vec_id"), col("embedding"), col("nrm"),
             bucket.as("bucket"))
         val cand = e.as("a").join(e.as("b"),
@@ -3189,8 +3196,9 @@ object QueriesText {
         val bSql = (0 until 8).map { j =>
           s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
         }.mkString(" + ")
-        s"""WITH e AS (SELECT vec_id, embedding, ($bSql) AS bucket
-           |           FROM embeddings),
+        s"""WITH dv AS (SELECT min(vec_id) AS vec_id, embedding
+           |            FROM embeddings GROUP BY embedding),
+           |e AS (SELECT vec_id, embedding, ($bSql) AS bucket FROM dv),
            |cand AS (
            |  SELECT a.vec_id AS id, b.vec_id AS nb,
            |    ${cosSql("a.embedding", "b.embedding")} AS cos
