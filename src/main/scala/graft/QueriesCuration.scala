@@ -1412,7 +1412,104 @@ object QueriesCuration {
              |  CAST((cb + w) // step - cb // step AS BIGINT) AS n_picks
              |FROM c CROSS JOIN tot
              |WHERE (cb + w) // step - cb // step > 0
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // X80 inter-filter agreement (Cohen's kappa, 1960) — the audit run
+    // before swapping one quality filter for a cheaper one: agreement
+    // between the learned linear classifier (q120's keep rule) and the
+    // Gopher/C4 repetition rule (q89's max-unigram ≤ 0.12, integer
+    // form) beyond what chance predicts. Raw agreement po alone
+    // misleads when both filters pass almost everything — kappa
+    // subtracts the marginal-product expectation. Exactness: the 2×2
+    // table is integer counts from ONE token pass; po and kappa are
+    // emitted as ppm with division in an explicitly truncate-toward-
+    // zero form (CASE on sign) because kappa can be negative and Spark
+    // DIV truncates where DuckDB // floors — the q155/round2 lesson on
+    // a signed domain. Products accumulate in DECIMAL(38,0) (N²-scale).
+    // Scale shape: one explode → (doc, tok) partial agg → per-doc
+    // flags (second partial agg) → ONE global agg to a single row.
+    // Nothing but the token pass is corpus-sized.
+    Q("q181_filter_kappa",
+      (s, d) => {
+        // no fanOut: the explode's downstream groupBy already
+        // redistributes (this file's q87/q89 measured convention)
+        val cc = documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        val wgt = (Scalars.tokenHash(col("tok")) % lit(256L) * lit(2971L)
+          + lit(1129L)) % lit(1997L) - lit(998L)
+        val flags = cc.select(col("doc_id"), col("c"), wgt.as("wgt"))
+          .groupBy("doc_id")
+          .agg(sum(col("c") * col("wgt")).as("score"),
+            sum(col("c")).as("total"), max(col("c")).as("maxc"))
+          .select(
+            when(col("score") > 0, 1L).otherwise(0L).as("f1"),
+            when(col("maxc") * 100 <= col("total") * 12, 1L)
+              .otherwise(0L).as("f2"))
+        flags.agg(
+            sum(expr("f1 * f2")).as("n11"),
+            sum(expr("f1 * (1 - f2)")).as("n10"),
+            sum(expr("(1 - f1) * f2")).as("n01"),
+            sum(expr("(1 - f1) * (1 - f2)")).as("n00"),
+            count(lit(1)).as("n"))
+          .select(col("n11"), col("n10"), col("n01"), col("n00"),
+            expr("(1000000 * (n11 + n00)) DIV n").as("po_ppm"),
+            expr("""CAST(CASE
+              WHEN CAST(n AS DECIMAL(38,0)) * n
+                   - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+                      + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))) = 0
+              THEN CASE WHEN n11 + n00 = n THEN 1000000 ELSE 0 END
+              WHEN CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+                   - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+                      + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))) >= 0
+              THEN (1000000 * (CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+                   - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+                      + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0)))))
+                   DIV (CAST(n AS DECIMAL(38,0)) * n
+                   - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+                      + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0))))
+              ELSE -((1000000 * -(CAST(n AS DECIMAL(38,0)) * (n11 + n00)
+                   - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+                      + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0)))))
+                   DIV (CAST(n AS DECIMAL(38,0)) * n
+                   - ((n11 + n10) * CAST(n11 + n01 AS DECIMAL(38,0))
+                      + (n01 + n00) * CAST(n10 + n00 AS DECIMAL(38,0)))))
+              END AS BIGINT)""").as("kappa_ppm"))
+      },
+      Some {
+        val pe = "((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))"
+        val num = s"(n*(n11+n00) - $pe)"
+        val den = s"(n*n - $pe)"
+        s"""WITH tc AS (
+           |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+           |  FROM documents),
+           |cc AS (SELECT doc_id, tok, count(*) AS c
+           |  FROM tc GROUP BY 1, 2),
+           |fl AS (
+           |  SELECT doc_id,
+           |    CASE WHEN sum(c * (((('0x' || substr(md5(tok), 1, 15))
+           |      ::BIGINT % 256) * 2971 + 1129) % 1997 - 998)) > 0
+           |      THEN 1 ELSE 0 END AS f1,
+           |    CASE WHEN max(c) * 100 <= sum(c) * 12 THEN 1 ELSE 0 END
+           |      AS f2
+           |  FROM cc GROUP BY doc_id),
+           |m AS (
+           |  SELECT CAST(sum(f1 * f2) AS BIGINT) AS n11,
+           |    CAST(sum(f1 * (1 - f2)) AS BIGINT) AS n10,
+           |    CAST(sum((1 - f1) * f2) AS BIGINT) AS n01,
+           |    CAST(sum((1 - f1) * (1 - f2)) AS BIGINT) AS n00,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM fl)
+           |SELECT n11, n10, n01, n00,
+           |  CAST((1000000 * (n11 + n00)) // n AS BIGINT) AS po_ppm,
+           |  CAST(CASE
+           |    WHEN $den = 0
+           |      THEN CASE WHEN n11 + n00 = n THEN 1000000 ELSE 0 END
+           |    WHEN $num >= 0 THEN (1000000 * $num) // $den
+           |    ELSE -((1000000 * -$num) // $den)
+           |  END AS BIGINT) AS kappa_ppm
+           |FROM m""".stripMargin
+      })
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

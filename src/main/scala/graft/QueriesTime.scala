@@ -872,7 +872,107 @@ object QueriesTime {
              |SELECT tr.from_type, tr.to_type, tr.n,
              |  CAST((1000000 * tr.n) // tot.tot AS BIGINT) AS p_ppm
              |FROM tr JOIN tot USING (from_type)
-             |ORDER BY from_type, to_type""".stripMargin))
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // T26 weekly cohort-retention triangle — the classic growth-
+    // analytics matrix (cohort = a user's first active week; each cell
+    // = users of that cohort active again k weeks later, as exact ppm
+    // of the cohort): the report behind every "is engagement
+    // durable?" question, and the time-generalized form of q78's
+    // day-over-day retention. Integers end to end (week = epoch-ns DIV
+    // ns-per-week via the longDiv contract; ppm via DIV).
+    // Scale shape: corpus-sized work is ONE (user, week) distinct agg
+    // (partial+final); the cohort assignment is a per-user min over
+    // that table (second partial agg) joined back on user_id; cells
+    // and cohort sizes are both cohortweeks²-bounded, the final ppm
+    // join is cohorts-sized (broadcast). No window anywhere.
+    Q("q180_cohort_retention",
+      (s, d) => {
+        val weekly = events(s, d)
+          .groupBy(col("user_id"),
+            Scalars.longDiv("ts", 604800000000000L).as("week"))
+          .agg(count(lit(1)).as("n_ev"))
+          .localCheckpoint(true)
+        val cohort = weekly.groupBy("user_id")
+          .agg(min("week").as("cohort_week"))
+        val sizes = cohort.groupBy("cohort_week")
+          .agg(count(lit(1)).as("cohort_n"))
+        weekly.join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .join(broadcast(sizes), "cohort_week")
+          .select(col("cohort_week"), col("week_offset"), col("n_users"),
+            expr("(1000000 * n_users) DIV cohort_n").as("retained_ppm"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH weekly AS (
+             |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
+             |  FROM events GROUP BY 1, 2),
+             |cohort AS (
+             |  SELECT user_id, min(week) AS cohort_week
+             |  FROM weekly GROUP BY 1),
+             |sizes AS (
+             |  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n
+             |  FROM cohort GROUP BY 1),
+             |cells AS (
+             |  SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+             |    CAST(count(*) AS BIGINT) AS n_users
+             |  FROM weekly w JOIN cohort c USING (user_id)
+             |  GROUP BY 1, 2)
+             |SELECT cells.cohort_week, cells.week_offset, cells.n_users,
+             |  CAST((1000000 * cells.n_users) // sizes.cohort_n AS BIGINT)
+             |    AS retained_ppm
+             |FROM cells JOIN sizes USING (cohort_week)
+             |ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // T27 event debounce — the stream-cleaning op run before any
+    // engagement statistic: collapse bursts of same-(user, type) events
+    // separated by < 60 s into their first event (double-clicks, retry
+    // storms, at-least-once replays all melt into one), reporting per
+    // type the raw count, kept count, and squash ratio. A burst START
+    // is an event ≥ 60 s after its predecessor (or the first ever);
+    // gaps-and-islands without materializing island ids — only the
+    // lag test matters for keep/drop. Integer epoch-ns math only.
+    // Scale shape: one (user, type)-partitioned lag window (per-user
+    // state, the q102/q177 precedent), then ONE partial+final agg to a
+    // types-sized report. Nothing corpus-sized past the window, and
+    // the window input is the narrow (user, type, ts) projection.
+    Q("q182_event_debounce",
+      (s, d) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("prev_ts", lag("ts", 1).over(w))
+          .withColumn("keep",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") >= 60000000000L, 1L)
+              .otherwise(0L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_raw"), sum(col("keep")).as("n_kept"))
+          .select(col("event_type"), col("n_raw"), col("n_kept"),
+            expr("(1000000 * (n_raw - n_kept)) DIV n_raw")
+              .as("squashed_ppm"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id
+             |  FROM events),
+             |k AS (
+             |  SELECT event_type,
+             |    CASE WHEN lag(tsn) OVER (PARTITION BY user_id, event_type
+             |        ORDER BY tsn, event_id) IS NULL
+             |      OR tsn - lag(tsn) OVER (PARTITION BY user_id, event_type
+             |        ORDER BY tsn, event_id) >= 60000000000
+             |    THEN 1 ELSE 0 END AS keep
+             |  FROM e)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
+             |  CAST(sum(keep) AS BIGINT) AS n_kept,
+             |  CAST((1000000 * (count(*) - sum(keep))) // count(*)
+             |    AS BIGINT) AS squashed_ppm
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.
