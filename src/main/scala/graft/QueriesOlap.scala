@@ -754,6 +754,41 @@ object QueriesOlap {
              |  CAST((2000000 * sum(r * ntok)
              |    - 1000000 * (count(*) + 1) * sum(ntok))
              |    // (count(*) * sum(ntok)) AS BIGINT) AS gini_ppm
-             |FROM r GROUP BY source ORDER BY source""".stripMargin))
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    // A18 corpus concentration (Herfindahl–Hirschman index) — the
+    // one-number mix audit next to A17's per-source Gini: token mass
+    // share per source, HHI = Σ share² (1e6 = one source owns
+    // everything), plus the effective source count 1/HHI — what a mix
+    // designer reads before trusting "we have 20 sources" (10 of them
+    // may be crumbs). Exactness: hhi_ppm = 1e6·Σc² DIV N² and
+    // eff_sources = N² DIV Σc² are pure integer forms over exact
+    // per-source token counts (Σc² accumulates in DECIMAL(38,0) —
+    // N²-scale, overflows BIGINT past ~3e9 tokens).
+    // Scale shape: one partial+final agg to sources-many rows, one
+    // more to a single row. Nothing else.
+    Q("q183_hhi_concentration",
+      (s, d) => documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .groupBy("source").agg(sum("ntok").as("c"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("c")).as("n_tokens"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("c2"))
+        .select(col("n_sources"), col("n_tokens"),
+          expr("CAST((1000000 * c2) DIV (CAST(n_tokens AS DECIMAL(38,0))" +
+            " * n_tokens) AS BIGINT)").as("hhi_ppm"),
+          expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) " +
+            "DIV c2 AS BIGINT)").as("eff_sources")),
+      Some("""WITH c AS (
+             |  SELECT source,
+             |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS c
+             |  FROM documents GROUP BY source)
+             |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+             |  CAST(sum(c) AS BIGINT) AS n_tokens,
+             |  CAST((1000000 * sum(c * c)) // (sum(c) * sum(c))
+             |    AS BIGINT) AS hhi_ppm,
+             |  CAST((sum(c) * sum(c)) // sum(c * c) AS BIGINT)
+             |    AS eff_sources
+             |FROM c""".stripMargin))
   )
 }

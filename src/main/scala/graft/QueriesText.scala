@@ -3213,6 +3213,57 @@ object QueriesText {
            |FROM top1 x JOIN top1 y
            |  ON x.id = y.nb AND x.nb = y.id AND x.id < x.nb
            |ORDER BY a_id, b_id""".stripMargin
-      })
+      }),
+
+    // X81 corpus novelty curve — per ingest batch (the q112 doc_id%3
+    // batch stand-in for daily crawls), the fraction of the batch's
+    // DISTINCT shingles never seen in any earlier batch: the signal a
+    // crawl-ops team watches to decide when a source is mined out
+    // (novelty → 0 means new crawls re-fetch old content; the
+    // batch-axis complement of X64's source-axis novelty). Integer
+    // counts + ppm via DIV.
+    // Scale shape: per-doc shingles are map-side; everything reduces
+    // through ONE exchange keyed on the shingle hash — the (shingle,
+    // batch)-distinct agg and the per-shingle first-batch min both run
+    // on that partitioning (q152's single-exchange contract); the
+    // rollup is batches-many rows. Shingle TEXT never shuffles (8-byte
+    // tokenHash keys, collision-merged identically in both engines).
+    Q("q185_novelty_curve",
+      (s, d) => {
+        // fanOut: local single-row-group parquet scans are 1 task and
+        // the shingle explode is per-row-heavy (the q150/q166 lesson)
+        val byH = fanOut(documents(s, d))
+          .select((col("doc_id") % 3).as("batch"),
+            explode(Scalars.shingles3(split(col("text"), " "))).as("sh"))
+          .select(col("batch"), (Scalars.tokenHash(col("sh")) % P).as("h"))
+          // ONE h-keyed exchange: the ≤3-element batch set per shingle
+          // replaces distinct + first-batch agg + join (3 exchanges)
+          .groupBy("h").agg(collect_set(col("batch")).as("batches"))
+        byH.select(array_min(col("batches")).as("first_batch"),
+            explode(col("batches")).as("batch"))
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_batch") === col("batch"), 1L)
+              .otherwise(0L)).as("n_new"))
+          .select(col("batch"), col("n_shingles"), col("n_new"),
+            expr("(1000000 * n_new) DIV n_shingles").as("novelty_ppm"))
+          .orderBy("batch")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id % 3 AS batch, $shinglesSql AS ws
+              |  FROM documents),
+              |sb AS (
+              |  SELECT DISTINCT batch,
+              |    (('0x' || substr(md5(s.sh), 1, 15))::BIGINT % $P) AS h
+              |  FROM t, unnest(ws) AS s(sh)),
+              |f AS (SELECT h, min(batch) AS first_batch FROM sb GROUP BY h)
+              |SELECT sb.batch, CAST(count(*) AS BIGINT) AS n_shingles,
+              |  CAST(sum(CASE WHEN f.first_batch = sb.batch THEN 1
+              |    ELSE 0 END) AS BIGINT) AS n_new,
+              |  CAST((1000000 * sum(CASE WHEN f.first_batch = sb.batch
+              |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+              |    AS novelty_ppm
+              |FROM sb JOIN f USING (h)
+              |GROUP BY sb.batch ORDER BY sb.batch""".stripMargin))
   )
 }

@@ -972,7 +972,56 @@ object QueriesTime {
              |  CAST(sum(keep) AS BIGINT) AS n_kept,
              |  CAST((1000000 * (count(*) - sum(keep))) // count(*)
              |    AS BIGINT) AS squashed_ppm
-             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // T28 conversion-latency percentiles — the product-analytics
+    // distribution behind every funnel (T12 counts who converts; this
+    // measures HOW LONG): per converting user, seconds from first
+    // signup to the first purchase at-or-after it, then exact
+    // p50/p90/p99 over those latencies. Latencies are integer seconds
+    // (epoch-ns DIV 1e9 — the longDiv contract), so the percentile
+    // values land on integers or exact .5 midpoints — no rounding
+    // step, no cross-engine float drift (exactPercentiles' vlo==vhi
+    // short-circuit covers the discrete-tie case).
+    // Scale shape: two argmin/argmax-form partial aggs (first signup /
+    // first qualifying purchase per user — never a per-user window
+    // over raw events), one user-keyed join, then
+    // ops/GlobalRank.exactPercentiles (range-partition + prefix
+    // counts — q63's machinery, no buffer-all Percentile).
+    Q("q184_conversion_latency",
+      (s, d) => {
+        val ev = events(s, d)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("ts0"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+          .join(su, "user_id")
+          .filter(col("ts") >= col("ts0"))
+          .groupBy("user_id")
+          .agg(min(col("ts")).as("tp"), min(col("ts0")).as("ts0"))
+          .select(expr("(tp - ts0) DIV 1000000000L").as("lat_s"))
+        graft.ops.GlobalRank.exactPercentiles(
+            pu, lit("all"), col("lat_s"), Seq(0.5, 0.9, 0.99))
+          .select(col("q"), col("pct").as("latency_s"))
+          .orderBy("q")
+      },
+      Some("""WITH su AS (
+             |  SELECT user_id, min(epoch_ns(ts)) AS ts0 FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |pu AS (
+             |  SELECT e.user_id,
+             |    (min(epoch_ns(e.ts)) - min(su.ts0)) // 1000000000
+             |      AS lat_s
+             |  FROM events e JOIN su ON su.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= su.ts0
+             |  GROUP BY e.user_id)
+             |SELECT CAST(0.5 AS DOUBLE) AS q,
+             |  quantile_cont(lat_s, 0.5) AS latency_s FROM pu
+             |UNION ALL SELECT CAST(0.9 AS DOUBLE),
+             |  quantile_cont(lat_s, 0.9) FROM pu
+             |UNION ALL SELECT CAST(0.99 AS DOUBLE),
+             |  quantile_cont(lat_s, 0.99) FROM pu
+             |ORDER BY q""".stripMargin))
   )
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.
