@@ -1252,6 +1252,57 @@ class PlanSpec extends SparkSpec {
       s"scan reads unprojected columns:\n${p.take(800)}")
   }
 
+  test("q174 prefix set-similarity join: candidate generation is an " +
+      "equi-join (never cartesian/BNLJ), aggs combine map-side") {
+    val p = plan("q174_setsim_prefix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan leaked into the similarity join:\n${p.take(1000)}")
+    assert(p.contains("partial"), "no map-side combine in df/candidate aggs")
+  }
+
+  test("q175 quantile normalization runs window-free (GlobalRank rank " +
+      "passes, no per-source or global Window node)") {
+    val p = plan("q175_quantile_normalize")
+    assert(!p.contains("Window"),
+      s"a window crept into the rank path:\n${p.take(1000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      "n_s/N did not ride broadcasts")
+  }
+
+  test("q176/q179 graph & NN ops: equi-joins only, no cartesian") {
+    Seq("q176_label_propagation", "q179_mutual_nn").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: non-equi join in the plan:\n${p.take(800)}")
+    }
+  }
+
+  test("q180 cohort retention is window-free; q182 debounce window " +
+      "reads only the narrow event projection") {
+    val p180 = plan("q180_cohort_retention")
+    assert(!p180.contains("Window"),
+      s"cohort triangle should need no window:\n${p180.take(800)}")
+    assert(p180.contains("partial"), "no map-side combine in weekly agg")
+    val p182 = plan("q182_event_debounce")
+    assert(p182.contains("Window"), "debounce lost its lag window")
+    assert(!p182.contains("props"),
+      s"debounce window carries unprojected payload columns:" +
+        s"\n${p182.take(800)}")
+  }
+
+  test("q184 conversion latency avoids the buffer-all Percentile " +
+      "aggregate; q185 novelty needs no join at all") {
+    val p184 = plan("q184_conversion_latency")
+    assert(!p184.toLowerCase.contains("percentile"),
+      s"buffer-all percentile in the plan:\n${p184.take(800)}")
+    val p185 = plan("q185_novelty_curve")
+    assert(!p185.contains("Join"),
+      s"novelty should be join-free (one h-keyed agg):\n${p185.take(800)}")
+    assert(p185.contains("partial"), "no map-side combine in novelty aggs")
+  }
+
   test("q171 correlated EXISTS/NOT EXISTS decorrelates to semi + anti " +
       "hash joins — no nested-loop, no per-row subquery re-execution") {
     val p = plan("q171_exists_correlated")
