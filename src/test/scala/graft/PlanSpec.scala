@@ -1303,6 +1303,18 @@ class PlanSpec extends SparkSpec {
     assert(p185.contains("partial"), "no map-side combine in novelty aggs")
   }
 
+  test("q172 phrase match rides a broadcast (1-row phrase), never a " +
+      "corpus-wide contains scan; q178 prefix sum is window-free") {
+    val p172 = plan("q172_phrase_search")
+    assert(p172.contains("BroadcastHashJoin"),
+      s"phrase match lost its broadcast:\n${p172.take(800)}")
+    assert(!p172.toLowerCase.contains("contains("),
+      s"corpus-wide contains scan in the plan:\n${p172.take(800)}")
+    val p178 = plan("q178_pps_sample")
+    assert(!p178.contains("Window"),
+      s"pps prefix sum fell back to a window:\n${p178.take(800)}")
+  }
+
   test("q171 correlated EXISTS/NOT EXISTS decorrelates to semi + anti " +
       "hash joins — no nested-loop, no per-row subquery re-execution") {
     val p = plan("q171_exists_correlated")
