@@ -718,6 +718,49 @@ object QueriesRel {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin))
+             |WHERE o_custkey = 42 ORDER BY o_orderkey""".stripMargin)),
+
+    // J14 null-skew-safe LEFT OUTER join — the production fix for the
+    // most common real-world join skew: a nullable foreign key (here a
+    // synthesized "guest checkout": every 7th order carries no customer)
+    // where EVERY null row hashes to ONE reducer in a plain shuffled
+    // outer join. The null-split rewrite routes null-keyed rows AROUND
+    // the join entirely (they can never match — append them with null
+    // dim columns) and shuffles only non-null keys; results are
+    // IDENTICAL to the naive join, which is exactly what the oracle
+    // replays (a plain LEFT JOIN on the same CASE key). At 100 TB a 10 %
+    // null rate is a guaranteed single-task straggler without this; AQE
+    // skew-split mitigates but still shuffles the null tuples. Money
+    // sums via the exact-decimal moneySum contract; null segment keyed
+    // '(none)' so cross-engine NULL ordering never enters the sort.
+    Q("q186_null_skew_join",
+      (s, d) => {
+        val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+          when(col("o_custkey") % 7 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("cust_k"))
+        val c = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        val matched = o.filter(col("cust_k").isNotNull)
+          .join(c, col("cust_k") === col("c_custkey"), "left")
+          .select(col("o_totalprice"), col("c_mktsegment"))
+        val bypass = o.filter(col("cust_k").isNull)
+          .select(col("o_totalprice"),
+            lit(null).cast("string").as("c_mktsegment"))
+        matched.unionByName(bypass)
+          .groupBy(coalesce(col("c_mktsegment"), lit("(none)"))
+            .as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            Scalars.moneySum(col("o_totalprice")).as("revenue"))
+          .orderBy("segment")
+      },
+      Some(s"""WITH o AS (
+              |  SELECT o_orderkey, o_totalprice,
+              |    CASE WHEN o_custkey % 7 = 0 THEN NULL
+              |         ELSE o_custkey END AS cust_k
+              |  FROM orders)
+              |SELECT coalesce(c.c_mktsegment, '(none)') AS segment,
+              |  CAST(count(*) AS BIGINT) AS n_orders,
+              |  ${Scalars.moneySumSql("o.o_totalprice")} AS revenue
+              |FROM o LEFT JOIN customer c ON c.c_custkey = o.cust_k
+              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1021,7 +1021,72 @@ object QueriesTime {
              |  quantile_cont(lat_s, 0.9) FROM pu
              |UNION ALL SELECT CAST(0.99 AS DOUBLE),
              |  quantile_cont(lat_s, 0.99) FROM pu
-             |ORDER BY q""".stripMargin))
+             |ORDER BY q""".stripMargin)),
+
+    // T29 last-touch attribution — per purchase day, how many purchases
+    // have a click by the same user within the preceding 7 days (and
+    // the attach rate): the marketing-attribution report every event
+    // warehouse serves, and the one-sided as-of join (T13) in its
+    // merge form. Determinism: streams are merged and ordered by
+    // (ts, kind, event_id) — a same-instant click sorts BEFORE the
+    // purchase, so at-or-before is inclusive and the tiebreak is total.
+    // The running "last click ts" is an associative running MAX over
+    // the merged stream — no join, no per-purchase probe.
+    // Scale shape: one user-partitioned window over the narrow merged
+    // (user, ts, kind, id) projection (per-user state, the T13/q165
+    // merge-form precedent — facts and touches share ONE user_id
+    // shuffle and never pair up), then a partial+final agg to
+    // days-many rows. Integer epoch-ns math only.
+    Q("q187_last_touch_attribution",
+      (s, d) => {
+        val ev = events(s, d)
+        val merged = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), lit(0).as("kind"),
+            col("event_id"))
+          .unionByName(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), lit(1).as("kind"),
+              col("event_id")))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("kind"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        merged
+          .withColumn("last_click",
+            max(when(col("kind") === 0, col("ts"))).over(w))
+          .filter(col("kind") === 1)
+          .select(Scalars.longDiv("ts", NsPerDay).as("day"),
+            when(col("last_click").isNotNull &&
+              col("ts") - col("last_click") <= 604800000000000L, 1L)
+              .otherwise(0L).as("att"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_purchases"), sum(col("att"))
+            .as("n_attributed"))
+          .select(col("day"), col("n_purchases"), col("n_attributed"),
+            expr("(1000000 * n_attributed) DIV n_purchases")
+              .as("attach_ppm"))
+          .orderBy("day")
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id, epoch_ns(ts) AS tsn,
+             |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+             |    event_id
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |lc AS (
+             |  SELECT user_id, tsn, kind,
+             |    max(CASE WHEN kind = 0 THEN tsn END) OVER (
+             |      PARTITION BY user_id ORDER BY tsn, kind, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS last_click
+             |  FROM m)
+             |SELECT tsn // 86400000000000 AS day,
+             |  CAST(count(*) AS BIGINT) AS n_purchases,
+             |  CAST(sum(CASE WHEN last_click IS NOT NULL
+             |    AND tsn - last_click <= 604800000000000
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+             |  CAST((1000000 * sum(CASE WHEN last_click IS NOT NULL
+             |    AND tsn - last_click <= 604800000000000
+             |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS attach_ppm
+             |FROM lc WHERE kind = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.
