@@ -761,6 +761,54 @@ object QueriesRel {
               |  CAST(count(*) AS BIGINT) AS n_orders,
               |  ${Scalars.moneySumSql("o.o_totalprice")} AS revenue
               |FROM o LEFT JOIN customer c ON c.c_custkey = o.cust_k
-              |GROUP BY 1 ORDER BY 1""".stripMargin))
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S10 external JDBC dimension source, driver-visible: the topics
+    // work-list read every reference pipeline starts from
+    // (s3_rankings_collector.py:129-142, rankings_generator.py:117-129 —
+    // asyncpg/SQLAlchemy over Postgres `topics_to_schedule`), realized as
+    // REAL `spark.read.jdbc` against embedded Derby seeded
+    // deterministically from the nation parquet (sources/JdbcSource
+    // .topicsDbFromNation), so the DuckDB oracle derives the identical
+    // topic rows from the same parquet with the same key arithmetic —
+    // full rows+schema+hash gate on the jdbc path, not just a unit test.
+    // The read exercises BOTH jdbc scale levers: the range-partitioned
+    // parallel scan (one BETWEEN query per partition — the distributed
+    // replacement for the reference's LIMIT/OFFSET paging) and predicate
+    // pushdown (the status/tracked/freshness filters ship INTO the
+    // database as SQL — PlanSpec pins PushedFilters on the JDBC scan).
+    // Scale shape: a topics table is dimension-sized, so numPartitions
+    // stays small (each partition = one DB connection; hundreds would
+    // dos the database) and the result rides a broadcast into the
+    // customer fact agg — the fact side never shuffles on the dim key.
+    Q("q188_jdbc_topics",
+      (s, d) => {
+        val conn = graft.sources.JdbcSource.topicsDbFromNation(s, d)
+        val topics = graft.sources.JdbcSource.readPartitioned(
+            s, conn, "topics_to_schedule",
+            partitionColumn = "id", lowerBound = 0L, upperBound = 25L,
+            numPartitions = 4)
+          .filter(col("status") === "processed" && col("tracked") &&
+            col("last_update_timestamp") > 2003L)
+          // Derby uppercases unqualified identifiers; re-alias so output
+          // column names match the oracle's lowercase (§7.5 alias rule)
+          .select(col("id").cast("long").as("id"), col("topic").as("topic"))
+        customer(s, d)
+          .join(broadcast(topics), col("c_nationkey") === col("id"))
+          .groupBy(col("topic"))
+          .agg(count(lit(1)).as("n_cust"),
+            Scalars.moneySum(col("c_acctbal")).as("acct_total"))
+          .orderBy("topic")
+      },
+      Some(s"""WITH topics AS (
+              |  SELECT n_nationkey AS id, n_name AS topic FROM nation
+              |  WHERE (n_nationkey % 4) <> 0   -- status = 'processed'
+              |    AND (n_nationkey % 5) <> 0   -- tracked
+              |    AND (2000 + n_nationkey) > 2003),
+              |c AS (SELECT c_nationkey, c_acctbal FROM customer)
+              |SELECT t.topic, CAST(count(*) AS BIGINT) AS n_cust,
+              |  ${Scalars.moneySumSql("c.c_acctbal")} AS acct_total
+              |FROM c JOIN topics t ON t.id = c.c_nationkey
+              |GROUP BY t.topic ORDER BY t.topic""".stripMargin))
   )
 }

@@ -1370,6 +1370,52 @@ object QueriesText {
       },
       None),
 
+    // X82 cross-modal caption↔image consistency audit — the pairing
+    // check a multimodal training pipeline runs before trusting
+    // (image, caption) rows: the caption leg PARSES each caption's
+    // declared attributes (regexp_extract — codegen, text side), the
+    // image leg RECOVERS the same attributes from decoded pixels
+    // (ops/Multimodal.gridAttributes — per-partition ImageIO decode,
+    // only narrow (id, int, int) rows leave the seam), and the audit
+    // joins the two modalities on doc_id and flags disagreement.
+    // Corpus: one grid PNG per doc_id < 300 plus a generated caption
+    // describing its measurable content; ids with id % 7 == 3 get a
+    // caption generated from id+1's content — the planted swapped-
+    // caption mismatch class. PNG is lossless, so pixel-derived and
+    // id-derived attributes agree EXACTLY for honest pairs; a planted
+    // mismatch escapes only if id and id+1 coincidentally share both
+    // attributes (1/64 × 1/8 per attribute pair — verify_local replays
+    // the splitmix64 truth function in python and checks the flag
+    // row-exactly, coincidences included).
+    // No SQL oracle (DuckDB cannot decode PNG); bounds-gated like
+    // q131–q133. Scale shape: both legs are narrow projections of one
+    // (blob, caption) table — column pruning sends blobs only through
+    // the decode seam and text only through the parser; the join is
+    // doc_id-keyed co-shuffle of two already-narrow sides; pixels and
+    // captions never meet in one row until reduced to ints.
+    Q("q189_caption_consistency",
+      (s, d) => {
+        import graft.ops.Multimodal
+        val ids = documents(s, d).filter(col("doc_id") < 300)
+          .select("doc_id")
+        val corpus = Multimodal.captionedImageCorpus(ids)
+        val img = Multimodal.gridAttributes(
+          corpus.select(col("doc_id"), col("blob")))
+        val cap = corpus.select(col("doc_id"),
+          regexp_extract(col("caption"), "brightest cell (\\d+)", 1)
+            .cast("int").as("cap_bright"),
+          regexp_extract(col("caption"), "mean bucket (\\d+)", 1)
+            .cast("int").as("cap_bucket"))
+        cap.join(img, "doc_id")
+          .select(col("doc_id"), col("cap_bright"), col("img_bright"),
+            col("cap_bucket"), col("img_bucket"),
+            when(col("cap_bright") === col("img_bright") &&
+              col("cap_bucket") === col("img_bucket"), 1)
+              .otherwise(0).as("consistent"))
+          .orderBy("doc_id")
+      },
+      None),
+
     // X20 TF-IDF top terms: per-doc argmax of tf·idf, aggregated to
     // (lang, term) → how many docs each term dominates. Raw-idf form
     // (score = tf·N/df, no log): tf·N stays under 2^53 so the division
@@ -2914,7 +2960,16 @@ object QueriesText {
     // squares are ALL-INTEGER (DECIMAL(38,0) accumulation — a double
     // sum would be accumulation-order-dependent); cosine scale-
     // invariance means centroid division by n cancels, so the SUM
-    // vector stands in for the centroid exactly. The one double step —
+    // vector stands in for the centroid exactly. OUTPUT BOUND: the
+    // final dot→BIGINT cast is exact only while |dot| < 2⁶³ ≈ 9.2e18.
+    // With 64 dims and |qv| ≤ 1000, |sv| ≤ n·1000 per (label, dim)
+    // (n = rows per label) so |dot| ≤ 64·(n_a·1000)·(n_b·1000) =
+    // 6.4e7·n_a·n_b, which breaches 2⁶³ only once n_a·n_b > 1.4e11 —
+    // i.e. ~3.8e5 rows PER LABEL balanced — ~190× the sf1 per-label
+    // population (~2 000). Past it Spark's non-ANSI cast NULLs silently while
+    // DuckDB errors — widen the output column to DECIMAL (or string)
+    // and cast only the ppm if label populations ever approach that.
+    // The one double step —
     // signed cos² ppm = ±floor(1e6·dot²/(naa·nbb)) — divides identical
     // exact integers cast to identical doubles in both engines.
     // Scale shape: corpus-sized work is ONE scan + a 64-way posexplode

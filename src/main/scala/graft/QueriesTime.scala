@@ -785,28 +785,13 @@ object QueriesTime {
     // active day), so the query is reproducible, not wall-clock-bound.
     // Scale shape: corpus-sized work ends at the dailyCounts
     // partial+final agg (shared with q162's monitor and its streaming
-    // twin); the 1-row reference and the 28-row decay table ride
-    // broadcasts; the weighted rollup is one more partial+final agg
-    // over users×(≤28) rows. No window anywhere.
+    // twin — and itself the streaming fold of THIS query, see
+    // decayFromDaily / StreamingSpec T24s); the 1-row reference and
+    // the 28-row decay table ride broadcasts; the weighted rollup is
+    // one more partial+final agg over users×(≤28) rows. No window
+    // anywhere.
     Q("q168_decay_score",
-      (s, d) => {
-        import s.implicits._
-        val daily = dailyCounts(events(s, d))
-        val ref = daily.agg(max(col("day")).as("rd"))
-        val decay = Iterator.iterate(1000000L)(v => v * 9L / 10L)
-          .take(28).zipWithIndex
-          .map { case (v, k) => (k.toLong, v) }.toSeq
-          .toDF("age", "decay_ppm")
-        daily.crossJoin(broadcast(ref))
-          .withColumn("age", col("rd") - col("day"))
-          .filter(col("age") < 28)
-          .join(broadcast(decay), "age")
-          .groupBy("user_id")
-          .agg(sum(col("n")).as("n_recent"),
-            count(lit(1)).as("days_active"),
-            sum(col("n") * col("decay_ppm")).as("score_ppm"))
-          .orderBy("user_id")
-      },
+      (s, d) => decayFromDaily(dailyCounts(events(s, d))),
       Some("""WITH RECURSIVE decay(age, dp) AS (
              |  SELECT CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
              |  UNION ALL
@@ -979,10 +964,12 @@ object QueriesTime {
     // measures HOW LONG): per converting user, seconds from first
     // signup to the first purchase at-or-after it, then exact
     // p50/p90/p99 over those latencies. Latencies are integer seconds
-    // (epoch-ns DIV 1e9 — the longDiv contract), so the percentile
-    // values land on integers or exact .5 midpoints — no rounding
-    // step, no cross-engine float drift (exactPercentiles' vlo==vhi
-    // short-circuit covers the discrete-tie case).
+    // (epoch-ns DIV 1e9 — the longDiv contract). 0.9/0.99 are NOT
+    // exactly-representable doubles and need not be: both engines
+    // parse the same literal to the same double and interpolate with
+    // the same weighted form — exactPercentiles documents the
+    // empirical bit-identity measurement (16k non-tie cells, 0
+    // mismatches); its vlo==vhi short-circuit covers discrete ties.
     // Scale shape: two argmin/argmax-form partial aggs (first signup /
     // first qualifying purchase per user — never a per-user window
     // over raw events), one user-keyed join, then
@@ -1099,6 +1086,35 @@ object QueriesTime {
       ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     ev.groupBy(col("user_id"), Scalars.longDiv("ts", NsPerDay).as("day"))
       .agg(count(lit(1)).as("n"))
+
+  /** T24 post-agg stage of q168: decay-weighted recency rollup over the
+    * (user_id, day, n) table. Exposed separately because [[dailyCounts]]
+    * is also the STREAMING fold of the decay score (complete-mode agg
+    * over micro-batches; `StreamingSpec` T24s pins streamed-vs-batch
+    * equality — the count is associative, so the sink table equals the
+    * batch agg exactly and this stage is deterministic on top of it).
+    * Runs on users×active-days input, never corpus-sized.
+    */
+  private[graft] def decayFromDaily(
+      daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val ref = daily.agg(max(col("day")).as("rd"))
+    val decay = Iterator.iterate(1000000L)(v => v * 9L / 10L)
+      .take(28).zipWithIndex
+      .map { case (v, k) => (k.toLong, v) }.toSeq
+      .toDF("age", "decay_ppm")
+    daily.crossJoin(broadcast(ref))
+      .withColumn("age", col("rd") - col("day"))
+      .filter(col("age") < 28)
+      .join(broadcast(decay), "age")
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_recent"),
+        count(lit(1)).as("days_active"),
+        sum(col("n") * col("decay_ppm")).as("score_ppm"))
+      .orderBy("user_id")
+  }
 
   /** T22 post-agg stage of q162: strictly-preceding RANGE baseline +
     * all-integer spike test over the (user_id, day, n) table. Runs on

@@ -364,9 +364,22 @@ object Multimodal {
     * binary column" since the testdata blobs are text bytes.
     */
   def syntheticImageCorpus(ids: DataFrame, twinOffset: Long): DataFrame = {
+    val base = gridImages(ids)
+    val twins = resizeImage(base, 36, 24)
+      .select((col("doc_id") + twinOffset).as("doc_id"), col("blob"))
+    base.unionByName(twins)
+  }
+
+  /** The base grid-image render shared by [[syntheticImageCorpus]] (which
+    * adds resize twins for the phash near-dup tier) and the cross-modal
+    * caption corpus (which adds captions): one 48×32 PNG per id, encoded
+    * through the real ImageIO codec. Byte-identical to what
+    * syntheticImageCorpus always produced — same render loop, same encode.
+    */
+  def gridImages(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    val base = ids.select(col("doc_id").cast("long")).as[Long]
+    ids.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val img = new java.awt.image.BufferedImage(
@@ -388,9 +401,102 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "blob")
-    val twins = resizeImage(base, 36, 24)
-      .select((col("doc_id") + twinOffset).as("doc_id"), col("blob"))
-    base.unionByName(twins)
+  }
+
+  // ---- cross-modal caption↔image consistency (X82) -------------------------
+
+  /** Ground-truth grid attributes computed from the ID (the caption
+    * generator's source, NOT the image leg's): brightest cell index (ties
+    * broken to the lowest index) and mean-luminance bucket
+    * (⌊⌊Σcells/64⌋/32⌋ ∈ [0,8)). The image leg must recover the same two
+    * numbers from DECODED PIXELS ([[gridAttributes]]) — PNG is lossless,
+    * so agreement is exact, and any caption planted from a DIFFERENT id is
+    * detectable unless that other id coincidentally shares both
+    * attributes (the verify gate replays this truth function in python
+    * and accounts for exactly those coincidences).
+    */
+  def gridTruth(id: Long): (Int, Int) = {
+    var best = 0
+    var bestV = -1
+    var sum = 0L
+    var cell = 0
+    while (cell < 64) {
+      val v = (mix64(id * 64L + cell) & 0xff).toInt
+      if (v > bestV) { bestV = v; best = cell }
+      sum += v
+      cell += 1
+    }
+    (best, ((sum / 64L) / 32L).toInt)
+  }
+
+  /** Caption-paired image corpus with planted mismatches: each id gets its
+    * grid PNG plus an English caption DESCRIBING the image's measurable
+    * content ("brightest cell", "mean bucket") — except ids where
+    * `id % 7 == 3`, whose caption is generated from id+1's content: the
+    * planted cross-modal mismatch class (caption swapped/corrupted during
+    * pairing — the defect a consistency audit exists to catch). Captions
+    * are pure functions of ids, so the planted set is exactly replayable
+    * by the verify gate.
+    */
+  def captionedImageCorpus(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val captions = ids.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val src = if (id % 7 == 3) id + 1 else id
+          val (bright, bucket) = gridTruth(src)
+          (id, s"synthetic grid photo: brightest cell $bright, " +
+            s"mean bucket $bucket")
+        }
+      }
+      .toDF("doc_id", "caption")
+    gridImages(ids).join(captions, "doc_id")
+  }
+
+  /** The image leg of the consistency audit: per-partition PNG decode →
+    * the same two attributes as [[gridTruth]], derived ONLY from pixels
+    * (per-cell integer mean over its 6×4 block; total-pixel-sum bucket —
+    * ⌊⌊24·Σcells/1536⌋/32⌋ ≡ ⌊⌊Σcells/64⌋/32⌋ exactly, both integer
+    * divisions). Narrow (id, int, int) rows leave the seam; pixels never
+    * shuffle. Undecodable blobs are dropped (the quarantine contract of
+    * [[decodeImage]]).
+    */
+  def gridAttributes(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          readImage(bytes).map { img =>
+            var best = 0
+            var bestV = -1L
+            var total = 0L
+            var cell = 0
+            while (cell < 64) {
+              val x0 = (cell % 8) * 6
+              val y0 = (cell / 8) * 4
+              var s = 0L
+              var dy = 0
+              while (dy < 4) {
+                var dx = 0
+                while (dx < 6) {
+                  s += (img.getRGB(x0 + dx, y0 + dy) & 0xff)
+                  dx += 1
+                }
+                dy += 1
+              }
+              val v = s / 24L // cells are flat, but derive via the mean
+              if (v > bestV) { bestV = v; best = cell }
+              total += s
+              cell += 1
+            }
+            (id, best, ((total / 1536L) / 32L).toInt)
+          }
+        }
+      }
+      .toDF("doc_id", "img_bright", "img_bucket")
   }
 
   /** Feature extraction: 16-bin byte histogram, L1-normalized to a

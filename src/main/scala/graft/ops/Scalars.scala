@@ -135,21 +135,26 @@ object Scalars {
   /** Composite (sig, doc_id) sort key for GlobalRank's double-typed rank
     * path: sig·2³¹ + doc_id, with doc_id recovered downstream by % 2³¹.
     * Exactness window: the rank machinery casts the key to double, so the
-    * pack is exact only while sig·2³¹ + doc_id < 2⁵³ (sig ≤ ~4.1e6 — ppm
-    * signals and token counts qualify) AND doc_id ∈ [0, 2³¹). The doc_id
-    * bound is enforced PER ROW via assert_true because violation is
-    * otherwise silent: both the rank order and the recovered doc_id
-    * corrupt, with no error. Testdata stays inside the bound only by
-    * construction (tools/scale_testdata.py shifts ids by copy·STRIDE=1e8;
-    * FACTOR ≥ 22 breaches 2³¹ — see the STRIDE note there), and a real
-    * corpus has no cap at all — this guard turns that assumption into an
-    * error instead of wrong answers.
+    * pack is exact only while sig·2³¹ + doc_id < 2⁵³, i.e. sig ∈ [0, 2²²)
+    * (2²² = 4 194 304 — ppm signals and token counts qualify) AND
+    * doc_id ∈ [0, 2³¹). BOTH bounds are enforced PER ROW via assert_true
+    * because violation is otherwise silent: both the rank order and the
+    * recovered doc_id corrupt, with no error (an oversized sig — e.g. a
+    * >4.1M-token doc — would corrupt just as silently as an oversized
+    * doc_id). Testdata stays inside the doc_id bound only by construction
+    * (tools/scale_testdata.py shifts ids by copy·STRIDE=1e8; FACTOR ≥ 23
+    * breaches 2³¹ — see the STRIDE note there), and a real corpus has no
+    * cap at all — this guard turns that assumption into an error instead
+    * of wrong answers.
     */
   def packId(sig: Column, docId: Column): Column = {
     val guard = coalesce(
-      assert_true(docId >= 0 && docId < lit(2147483648L),
-        lit("Scalars.packId: doc_id outside [0, 2^31) silently corrupts " +
-          "the packed rank key — re-key or widen the radix")).cast("long"),
+      assert_true(
+        docId >= 0 && docId < lit(2147483648L) &&
+          sig >= 0 && sig < lit(4194304L),
+        lit("Scalars.packId: doc_id outside [0, 2^31) or sig outside " +
+          "[0, 2^22) silently corrupts the packed rank key — re-key or " +
+          "widen the radix")).cast("long"),
       lit(0L))
     sig * lit(2147483648L) + docId + guard
   }

@@ -181,4 +181,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got == (0L until 60L).map(i => (i, i + 100000L)),
       s"pairs mismatch: ${got.take(5)}...")
   }
+
+  test("X82 cross-modal consistency: pixel-derived attributes equal the " +
+    "id-derived truth; planted caption swaps are flagged exactly") {
+    import spark.implicits._
+    val ids = spark.range(0, 140).toDF("doc_id")
+    // image leg alone: decoded pixels must reproduce gridTruth exactly
+    // (PNG is lossless — any drift here is a decode/arithmetic bug)
+    val attrs = Multimodal.gridAttributes(Multimodal.gridImages(ids))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(attrs.size == 140)
+    (0L until 140L).foreach { i =>
+      assert(attrs(i) == Multimodal.gridTruth(i),
+        s"pixel attrs of $i = ${attrs(i)} != truth ${Multimodal.gridTruth(i)}")
+    }
+    // full audit: consistent == 0 exactly where the planted swap changed
+    // an attribute (a swap between coincidentally-identical attribute
+    // pairs is correctly reported consistent — replay the truth)
+    val audit = Queries.byName("q189_caption_consistency")
+      .build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(audit.nonEmpty)
+    audit.foreach { case (id, flag) =>
+      val src = if (id % 7 == 3) id + 1 else id
+      val expect =
+        if (Multimodal.gridTruth(src) == Multimodal.gridTruth(id)) 1 else 0
+      assert(flag == expect, s"doc $id: consistent=$flag, expected $expect")
+    }
+    assert(audit.count(_._2 == 0) > 0, "no planted mismatch flagged")
+  }
 }

@@ -166,6 +166,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
   }
 
+  test("q188 jdbc topics: predicates push INTO the database, the scan " +
+    "parallelizes over key ranges, and the dimension broadcasts") {
+    val p = plan("q188_jdbc_topics")
+    assert(p.contains("JDBCRelation"), s"no jdbc scan in plan:\n$p")
+    // status/tracked/freshness filters must ship to the database as SQL
+    // (the jdbc analog of parquet pushdown), not run in Spark after a
+    // full-table fetch. The toString truncates the filter list, so pin
+    // the two predicates that render before the cut.
+    assert(p.contains("PushedFilters") &&
+      p.toLowerCase.contains("equalto(tracked,true)") &&
+      p.toLowerCase.contains("last_update_timestamp"),
+      s"topic predicates not pushed into the database:\n$p")
+    // the range-partitioned parallel read (one BETWEEN query per
+    // partition) replaces driver-side LIMIT/OFFSET paging
+    assert(p.contains("numPartitions=4"),
+      s"jdbc scan is not range-partitioned:\n$p")
+    // dimension-sized topics broadcast; the customer fact never
+    // shuffles on the join key
+    assert(p.contains("BroadcastHashJoin"),
+      s"topics dim did not broadcast:\n$p")
+  }
+
   test("q31 date-window filter reaches the scan") {
     val p = plan("q31_date_window")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),

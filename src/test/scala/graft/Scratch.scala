@@ -30,16 +30,25 @@ object Scratch {
     def compileMs: Long =
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1000000
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional comma-separated name filter (substring match), repeat count:
+    //   runMain graft.Scratch q185,q167 3
+    val filter = args.headOption.map(_.split(',').toSeq)
+    val reps = if (args.length > 1) args(1).toInt else 1
+    val picked = Queries.all.filter(q =>
+      filter.forall(_.exists(q.name.contains)))
     val rows = mutable.ArrayBuffer[(String, Double, Double, Long)]()
-    Queries.all.foreach { q =>
-      val st0 = stageTime.get(); val c0 = compileMs
-      val t0 = System.nanoTime()
-      try q.build(spark, d).count() catch { case _: Throwable => }
-      val wall = (System.nanoTime() - t0) / 1e9
-      rows += ((q.name, wall, (stageTime.get() - st0) / 1000.0, compileMs - c0))
+    (1 to reps).foreach { rep =>
+      picked.foreach { q =>
+        val st0 = stageTime.get(); val c0 = compileMs
+        val t0 = System.nanoTime()
+        try q.build(spark, d).count() catch { case _: Throwable => }
+        val wall = (System.nanoTime() - t0) / 1e9
+        rows += ((s"${q.name}#$rep", wall,
+          (stageTime.get() - st0) / 1000.0, compileMs - c0))
+      }
     }
-    rows.sortBy(-_._2).take(12).foreach { case (n, w, s, c) =>
+    rows.sortBy(-_._2).take(24).foreach { case (n, w, s, c) =>
       println(f"PROFILE $n wall=$w%.2f stage=$s%.2f janinoMs=$c")
     }
     println(f"PROFILE_TOTAL wall=${rows.map(_._2).sum}%.1f " +

@@ -211,6 +211,28 @@ class StreamingSpec extends SparkSpec {
       "streaming-folded spike gate diverges from the batch form")
   }
 
+  test("T24s twin: complete-mode streaming daily counts equal the batch " +
+    "agg — the decay score folds incrementally over micro-batches") {
+    val in = mkTmp("decaystream")
+    val ev = Tables.events(spark, sf) // ts already normalized to epoch-ns
+    ev.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = QueriesTime.dailyCounts(stream)
+      .writeStream.format("memory").queryName("decay_twin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    val streamed = QueriesTime.decayFromDaily(
+      spark.table("decay_twin").localCheckpoint(true))
+      .collect().map(_.toString)
+    val batch = Queries.byName("q168_decay_score").build(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming-folded decay score diverges from the batch form")
+  }
+
   test("T8: streaming tumbling-window agg matches the batch date_trunc form") {
     import spark.implicits._
     val in = mkTmp("events_json")

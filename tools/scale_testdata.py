@@ -39,9 +39,10 @@ FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # that (FACTOR-1)*STRIDE never overflows int64 or even int32 domains that
 # downstream arithmetic might cast through.
 # BOUND: Scalars.packId (the q160/q169 composite rank key) requires
-# doc_id < 2^31 ≈ 2.147e9 — FACTOR >= 22 breaches it ((22-1)*STRIDE =
-# 2.1e9 plus the base id). packId raise_error's per row rather than
-# corrupt silently, but keep FACTOR <= 21 here.
+# doc_id < 2^31 ≈ 2.147e9 — FACTOR >= 23 breaches it ((23-1)*STRIDE =
+# 2.2e9 plus the base id; FACTOR = 22 tops out at ~2.1006e9, still
+# inside). packId raise_error's per row rather than corrupt silently,
+# but keep FACTOR <= 22 here.
 STRIDE = 100_000_000
 
 # Per-table int64 key columns to shift per copy. Tables absent from this

@@ -321,6 +321,61 @@ if os.path.isdir(q133):
     else:
         bounds_checked.append("q133_video_scene_dedup")
 
+# q189 (cross-modal caption↔image consistency): DuckDB cannot decode PNG,
+# but the corpus construction IS the oracle and is replayable here exactly:
+# captions derive from splitmix64 grid attributes of src = id+1 when
+# id % 7 == 3 (the planted swap) else id; the image leg recovers the same
+# attributes from lossless-PNG pixels. So every output cell — both
+# attribute pairs AND the consistent flag, coincidental swap-matches
+# included — is recomputable in python and checked row-exactly.
+M64 = (1 << 64) - 1
+
+
+def _mix64(z):
+    z = (z + 0x9E3779B97F4A7C15) & M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return z ^ (z >> 31)
+
+
+def _grid_truth(i):
+    vals = [_mix64((i * 64 + c) & M64) & 0xFF for c in range(64)]
+    best = max(range(64), key=lambda c: (vals[c], -c))  # first max wins
+    return best, (sum(vals) // 64) // 32
+
+
+q189 = f"{out}/q189_caption_consistency"
+if os.path.isdir(q189):
+    got = con.execute(
+        "SELECT doc_id, cap_bright, img_bright, cap_bucket, img_bucket,"
+        " consistent FROM "
+        f"read_parquet('{q189}/*.parquet') ORDER BY doc_id").fetchall()
+    base = [r[0] for r in con.execute(
+        "SELECT doc_id FROM documents WHERE doc_id < 300"
+        " ORDER BY doc_id").fetchall()]
+    bad = []
+    if [r[0] for r in got] != base:
+        bad.append(f"doc_id set: got {len(got)} rows vs {len(base)} expected")
+    flagged = 0
+    for doc_id, cb, ib, cq, iq, cons in got:
+        src = doc_id + 1 if doc_id % 7 == 3 else doc_id
+        eb, eq = _grid_truth(src)          # caption leg truth
+        tb, tq = _grid_truth(doc_id)       # image leg truth
+        exp_cons = 1 if (eb, eq) == (tb, tq) else 0
+        if (cb, cq) != (eb, eq):
+            bad.append(f"doc {doc_id}: caption attrs ({cb},{cq}) != ({eb},{eq})")
+        elif (ib, iq) != (tb, tq):
+            bad.append(f"doc {doc_id}: image attrs ({ib},{iq}) != ({tb},{tq})")
+        elif cons != exp_cons:
+            bad.append(f"doc {doc_id}: consistent={cons}, expected {exp_cons}")
+        flagged += 1 - cons
+    if got and flagged == 0:
+        bad.append("no planted mismatch flagged")
+    if bad:
+        fails.append(("q189_caption_consistency", "; ".join(bad[:5])))
+    else:
+        bounds_checked.append("q189_caption_consistency")
+
 for name in sorted(set(os.path.basename(d) for d in glob.glob(f"{out}/q*"))):
     if name not in oracle and name not in bounds_checked:
         skips.append(name)
