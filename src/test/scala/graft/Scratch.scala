@@ -30,6 +30,36 @@ object Scratch {
     def compileMs: Long =
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1000000
+    // "cc" mode: quantify the iterative-tier per-round barrier floor —
+    // run star-contraction on graphs needing different round counts and
+    // report wall-per-round (VERDICT r10 item #4 measurement).
+    if (args.headOption.contains("cc")) {
+      import spark.implicits._
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      // warm the machinery once
+      graft.ops.ConnectedComponents.labelStar(
+        Seq((1L, 2L)).toDF("src", "dst"))._2
+      (1 to 3).foreach { rep =>
+        // path graph: worst case, O(log n) rounds
+        val path = spark.range(0, 20000)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val (r1, t1) = time(
+          graft.ops.ConnectedComponents.labelStar(path)._2)
+        // pre-stars: converges in minimum rounds
+        val star = spark.range(0, 20000)
+          .select((col("id") % 100).as("src"),
+            (col("id") + 1000000).as("dst"))
+        val (r2, t2) = time(
+          graft.ops.ConnectedComponents.labelStar(star)._2)
+        println(f"CCFLOOR#$rep path rounds=$r1 wall=$t1%.2f | " +
+          f"star rounds=$r2 wall=$t2%.2f | " +
+          f"per-round=${(t1 - t2) / (r1 - r2)}%.3f s")
+      }
+      spark.stop(); return
+    }
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional comma-separated name filter (substring match), repeat count:
     //   runMain graft.Scratch q185,q167 3
