@@ -1509,7 +1509,54 @@ object QueriesCuration {
            |    ELSE -((1000000 * -$num) // $den)
            |  END AS BIGINT) AS kappa_ppm
            |FROM m""".stripMargin
-      })
+      }),
+
+    // X85 deterministic proportional-stride interleave — the RNG-free
+    // training-order mixer: each doc's position key is r·N DIV n_s
+    // (r = 0-based rank within source, n_s = source size, N = corpus),
+    // the systematic-sampling stride (X78's Madow construction turned
+    // from selection into ORDERING), so reading docs by position key
+    // interleaves every source proportionally — no source ever clumps,
+    // every prefix of the training order is a proportional mix (the
+    // property epoch-hash shuffling X33 gives only in expectation, made
+    // deterministic). Audited per (source, quartile of the key space):
+    // counts must be flat at n_s/4 ± 1 — the invariant spec pins the
+    // spread; this query dumps the audit table.
+    // Scale shape: within-source ranks via ops/GlobalRank (range-
+    // partition + prefix counts — never a per-source window, one source
+    // can be 10 TB); n_s and N ride broadcasts; the position key and
+    // quartile are map-side integer math; the audit is one partial+
+    // final agg to sources×4 rows. r·4·N ≤ N² < 2⁶³ for N < 3e9 docs
+    // (document the bound; a 100 TB corpus of ≥33 KB docs fits).
+    Q("q193_interleaved_mix",
+      (s, d) => {
+        val docs = documents(s, d).select(col("source"), col("doc_id"))
+        val ranked = GlobalRank
+          .perGroupRank(docs, col("source"), col("doc_id"))
+          .select(col("g").as("source"), col("v").cast("long").as("doc_id"),
+            col("rank").as("r"))
+        val ns = docs.groupBy("source").agg(count(lit(1)).as("n_s"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(ns), "source")
+          .crossJoin(broadcast(n))
+          .select(col("source"),
+            expr("((r * n) DIV n_s) * 4 DIV n").as("quartile"))
+          .groupBy("source", "quartile")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("source", "quartile")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT source, doc_id,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY doc_id) - 1 AS BIGINT) AS r,
+             |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+             |      AS n_s,
+             |    CAST(count(*) OVER () AS BIGINT) AS n
+             |  FROM documents)
+             |SELECT source,
+             |  CAST(((r * n) // n_s) * 4 // n AS BIGINT) AS quartile,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

@@ -40,7 +40,7 @@ object QueriesText {
 
   private[graft] def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def cosine(a: Column, b: Column): Column =
+  private[graft] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Embeddings with the L2 norm materialized through an exchange. Without
@@ -86,10 +86,10 @@ object QueriesText {
   /** DuckDB rendition of the same computation (1-based list indexing; 64-dim
     * vectors per FIXTURES.md §B). Summation order matches Spark's aggregate.
     */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, 65), i -> " +
       s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-  private def cosSql(a: String, b: String): String =
+  private[graft] def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** From-scratch IVF build + top-3 search (fixed first-10 centroids) —
@@ -97,7 +97,7 @@ object QueriesText {
     * fold's per-vector assignment is split-invariant, so both declared
     * forms must reproduce exactly this result.
     */
-  private lazy val ivfOracleSql: String =
+  private[graft] lazy val ivfOracleSql: String =
     s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
        |               FROM embeddings WHERE vec_id < 10),
        |scoredcells AS (
@@ -126,20 +126,20 @@ object QueriesText {
        |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
 
   // ---- minhash constants (shared with the DuckDB oracle) -----------------
-  private val MinhashAB = Seq((2971L, 1129L), (3511L, 2029L),
+  private[graft] val MinhashAB = Seq((2971L, 1129L), (3511L, 2029L),
     (4111L, 3037L), (5519L, 4073L))
-  private val P = Scalars.HashP
+  private[graft] val P = Scalars.HashP
 
   /** DuckDB token hash identical to Scalars.tokenHash. */
-  private def tokSql(w: String): String =
+  private[graft] def tokSql(w: String): String =
     s"(('0x' || substr(md5($w), 1, 15))::BIGINT)"
-  private def mhSql(w: String, a: Long, b: Long): String =
+  private[graft] def mhSql(w: String, a: Long, b: Long): String =
     s"(($a * (${tokSql(w)} % $P) + $b) % $P)"
 
-  private def minhashSqlExpr(a: Long, b: Long): String =
+  private[graft] def minhashSqlExpr(a: Long, b: Long): String =
     s"CAST(list_aggregate(list_transform(hs, h -> (($a * h + $b) % $P)), " +
       s"'min') AS BIGINT)"
-  private val tokenHashesSql =
+  private[graft] val tokenHashesSql =
     s"list_transform(ws, w -> (${tokSql("w")} % $P))"
 
   /** Relational MinHash signatures: explode shingles, hash each once, one
@@ -227,7 +227,7 @@ object QueriesText {
         concat_ws("-", lit("b0"), col("h0"), col("h1")),
         concat_ws("-", lit("b1"), col("h2"), col("h3")))).as("band_key"))
 
-  private def minhashSigs(docs: DataFrame): DataFrame = {
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame = {
     val mins = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"h$i")
     }
@@ -253,7 +253,7 @@ object QueriesText {
   /** DuckDB rendition of Scalars.shingles3 (range() is stop-exclusive, so
     * range(1, len-1) = 1..len-2, matching Spark's inclusive sequence).
     */
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """(CASE WHEN len(str_split(text, ' ')) >= 3
       |  THEN list_distinct(list_transform(
       |    range(1, len(str_split(text, ' ')) - 1),
@@ -332,7 +332,7 @@ object QueriesText {
   /** DuckDB twin of [[bm25Scored]]: CTE chain ending in
     * `bm25(doc_id, terms_hit, score_fp)`. Callers prepend `WITH`.
     */
-  private lazy val bm25SqlCtes: String =
+  private[graft] lazy val bm25SqlCtes: String =
     """base AS (SELECT doc_id, str_split(text, ' ') AS toks
       |             FROM documents),
       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -476,2849 +476,13 @@ object QueriesText {
       |  FROM bg JOIN model USING (pair)
       |  GROUP BY doc_id)""".stripMargin
 
-  val all: Seq[Q] = Seq(
-
-    // X1 exact dedup: content-hash groupBy, keep min doc_id per hash.
-    // Shuffles 32-byte sha2 keys, never document bodies.
-    Q("q40_text_dedup",
-      (s, d) => {
-        val w = Window.partitionBy("h").orderBy("doc_id")
-        documents(s, d)
-          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("doc_id")
-          .orderBy("doc_id")
-      },
-      Some("""SELECT min(doc_id) AS doc_id FROM documents
-             |GROUP BY text ORDER BY doc_id""".stripMargin)),
-
-    // X3 brute-force cosine top-k: broadcast the query set, stream the
-    // corpus once; per-query top-5 via row_number (SURVEY.md W1 pattern).
-    Q("q41_cosine_topk",
-      (s, d) => {
-        val e = withNorm(embeddings(s, d))
-        val q = e.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_nrm"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-          .withColumn("cos",
-            dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("q_id"), col("rn"), col("vec_id"),
-            round(col("cos"), 6).as("cos_sim"))
-          .orderBy("q_id", "rn")
-      },
-      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
-              |           FROM embeddings WHERE vec_id < 3),
-              |pairs AS (
-              |  SELECT q_id, vec_id,
-              |    ${cosSql("embedding", "q_emb")} AS cos
-              |  FROM embeddings, q WHERE vec_id <> q_id),
-              |scored AS (
-              |  SELECT q_id, vec_id, cos,
-              |    row_number() OVER (PARTITION BY q_id
-              |      ORDER BY cos DESC, vec_id ASC) AS rn
-              |  FROM pairs)
-              |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
-              |       round(cos, 6) AS cos_sim
-              |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
-
-    // X4 text stats: per-language counts and means.
-    Q("q42_text_stats",
-      (s, d) => documents(s, d)
-        .select(col("lang"), col("n_chars"),
-          size(split(col("text"), " ")).as("n_words"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("cnt"),
-          round(avg("n_chars"), 2).as("avg_chars"),
-          round(avg("n_words"), 2).as("avg_words"))
-        .orderBy("lang"),
-      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
-             |  round(avg(n_chars), 2) AS avg_chars,
-             |  round(avg(len(str_split(text, ' '))), 2) AS avg_words
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
-
-    // Language-ID heuristic: stopword-hit ratio over an inline English
-    // stopword list (n-gram/stopword heuristic per the north star).
-    Q("q43_lang_id",
-      (s, d) => {
-        val stops = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
-        documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("words"))
-          .select(col("doc_id"),
-            size(col("words")).as("n_words"),
-            size(filter(col("words"), w => array_contains(stops, w)))
-              .as("n_stop"))
-          .withColumn("stop_ratio",
-            round(col("n_stop").cast("double") / col("n_words"), 4))
-          .withColumn("lang_guess",
-            when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("unk")))
-          .orderBy("doc_id")
-      },
-      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS ws
-             |           FROM documents)
-             |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
-             |  CAST(len(list_filter(ws, w -> list_contains(
-             |    ['the','a','of','and','to','in'], w))) AS INT) AS n_stop,
-             |  round(CAST(len(list_filter(ws, w -> list_contains(
-             |    ['the','a','of','and','to','in'], w))) AS DOUBLE)
-             |    / len(ws), 4) AS stop_ratio,
-             |  CASE WHEN round(CAST(len(list_filter(ws, w -> list_contains(
-             |    ['the','a','of','and','to','in'], w))) AS DOUBLE)
-             |    / len(ws), 4) >= 0.05 THEN 'en' ELSE 'unk' END AS lang_guess
-             |FROM t ORDER BY doc_id""".stripMargin)),
-
-    // Quality scoring: length / alpha-ratio / word-count composite.
-    Q("q44_quality_score",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"),
-          length(col("text")).as("n_chars_m"),
-          size(split(col("text"), " ")).as("n_words"),
-          (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double") /
-            length(col("text"))).as("alpha_ratio_raw"))
-        .select(col("doc_id"), col("n_chars_m"), col("n_words"),
-          round(col("alpha_ratio_raw"), 4).as("alpha_ratio"),
-          round(least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5 +
-            col("alpha_ratio_raw") * 0.5, 4).as("quality"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  CAST(length(text) AS INT) AS n_chars_m,
-             |  CAST(len(str_split(text, ' ')) AS INT) AS n_words,
-             |  round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
-             |    AS DOUBLE) / length(text), 4) AS alpha_ratio,
-             |  round(least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0,
-             |    1.0) * 0.5 +
-             |    (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
-             |     AS DOUBLE) / length(text)) * 0.5, 4) AS quality
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // Token counting: whitespace tokens + BPE-ish regex tokens + chars/4.
-    Q("q45_token_count",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).as("ws_tokens"),
-          size(expr(
-            "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
-            .as("re_tokens"),
-          ceil(col("n_chars").cast("double") / 4.0).cast("long")
-            .as("est_bpe"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  CAST(len(str_split(text, ' ')) AS INT) AS ws_tokens,
-             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-             |    AS INT) AS re_tokens,
-             |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // Document fingerprint: md5 over the sorted distinct vocabulary —
-    // rolling-hash-style content signature, identical in both engines.
-    Q("q46_fingerprint",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"),
-          sort_array(array_distinct(split(col("text"), " "))).as("vocab"))
-        .select(col("doc_id"),
-          md5(array_join(col("vocab"), ",")).as("fp"),
-          size(col("vocab")).as("n_uniq"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  md5(array_to_string(list_sort(list_distinct(
-             |    str_split(text, ' '))), ',')) AS fp,
-             |  CAST(len(list_distinct(str_split(text, ' '))) AS INT) AS n_uniq
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // X2 MinHash signatures (4 hash fns over the 3-shingle set) — per-row,
-    // no shuffle; the deterministic md5-based hash family is replayed
-    // exactly by the oracle. fanOut: the signature math dominates the scan,
-    // so lift to full core parallelism (Tables.fanOut scaladoc).
-    Q("q47_minhash_sig",
-      (s, d) => minhashSigs(documents(s, d)).orderBy("doc_id"),
-      Some {
-        val hsSel = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
-          s"  ${minhashSqlExpr(a, b)} AS h$i"
-        }.mkString(",\n")
-        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t)
-           |SELECT doc_id,
-           |$hsSel
-           |FROM th ORDER BY doc_id""".stripMargin
-      }),
-
-    // X2 LSH banding: 2 bands × 2 hashes; candidate pairs share a band key.
-    // This equi-join on (band, key) is the 100 TB near-dup path — no O(n²).
-    // Shingle features keep band buckets small (see Scalars.shingles3).
-    Q("q53_minhash_band_pairs",
-      (s, d) => bandPairs(documents(s, d)).orderBy("a_id", "b_id"),
-      Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
-        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig)
-           |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |WHERE a.doc_id < b.doc_id
-           |ORDER BY a_id, b_id""".stripMargin
-      }),
-
-    // n-gram (word-set) Jaccard similarity on a bounded id range — at scale
-    // this runs on q53's candidate pairs instead of all pairs.
-    Q("q48_ngram_jaccard",
-      (s, d) => {
-        val dd = documents(s, d).filter(col("doc_id") < 60)
-          .select(col("doc_id"),
-            array_distinct(split(col("text"), " ")).as("ws"))
-        val a = dd.select(col("doc_id").as("a_id"), col("ws").as("a_ws"))
-        val b = dd.select(col("doc_id").as("b_id"), col("ws").as("b_ws"))
-        a.join(broadcast(b), col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            size(array_intersect(col("a_ws"), col("b_ws"))).as("inter"),
-            size(col("a_ws")).as("na"), size(col("b_ws")).as("nb"))
-          .withColumn("jaccard",
-            round(col("inter").cast("double") /
-              (col("na") + col("nb") - col("inter")), 4))
-          .filter(col("jaccard") >= 0.8)
-          .select("a_id", "b_id", "jaccard")
-          .orderBy("a_id", "b_id")
-      },
-      Some("""WITH dd AS (SELECT doc_id, list_distinct(str_split(text, ' '))
-             |              AS ws FROM documents WHERE doc_id < 60),
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    len(list_intersect(a.ws, b.ws)) AS inter,
-             |    len(a.ws) AS na, len(b.ws) AS nb
-             |  FROM dd a JOIN dd b ON a.doc_id < b.doc_id)
-             |SELECT a_id, b_id,
-             |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
-             |FROM pairs
-             |WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.8
-             |ORDER BY a_id, b_id""".stripMargin)),
-
-    // SimHash (16-bit) over the word set with the shared token hash.
-    Q("q49_simhash",
-      (s, d) => {
-        // Relational simhash: explode word hashes, one partial+final hash
-        // aggregation with 16 simple bit-sum measures, then reassemble the
-        // bits. No array-lambda mega-expressions (their generated code is
-        // large enough that first-run interpreted execution dominates), and
-        // the explode→groupBy shape is exactly how this scales on a
-        // cluster: map-side combine keeps the shuffle at one row per doc.
-        val bitSums = (0 until 16).map { b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)).as(s"s$b")
-        }
-        val sim = (0 until 16).map { b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)
-        }.reduce(_ + _)
-        fanOut(documents(s, d))
-          .select(col("doc_id"),
-            explode(array_distinct(split(col("text"), " "))).as("w"))
-          .select(col("doc_id"), Scalars.tokenHash(col("w")).as("h"))
-          .groupBy("doc_id")
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), sim.as("simhash"))
-          .orderBy("doc_id")
-      },
-      Some {
-        def bitSumSql(b: Int): String =
-          s"list_sum(list_transform(hs, h -> CASE WHEN " +
-            s"((h >> $b) & 1) = 1 THEN 1 ELSE -1 END))"
-        val sim = (0 until 16).map { b =>
-          s"(CASE WHEN ${bitSumSql(b)} > 0 THEN ${1L << b} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH t AS (SELECT doc_id, list_distinct(str_split(text, ' '))
-           |             AS ws FROM documents),
-           |th AS (SELECT doc_id, list_transform(ws, w -> ${tokSql("w")})
-           |         AS hs FROM t)
-           |SELECT doc_id, CAST($sim AS BIGINT) AS simhash
-           |FROM th ORDER BY doc_id""".stripMargin
-      }),
-
-    // Embedding-cosine near-dup pairs on a bounded id range (the synthetic
-    // vectors are near-orthogonal, so the demo threshold is 0.35; at scale
-    // the q51 LSH bucket join prunes the pair space first).
-    Q("q50_embed_neardup",
-      (s, d) => {
-        val e = withNorm(embeddings(s, d).filter(col("vec_id") < 200))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_e"),
-          col("nrm").as("a_n"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_e"),
-          col("nrm").as("b_n"))
-        a.join(broadcast(b), col("a_id") < col("b_id"))
-          .withColumn("cos",
-            dot(col("a_e"), col("b_e")) / (col("a_n") * col("b_n")))
-          .filter(col("cos") >= 0.35)
-          .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
-          .orderBy("a_id", "b_id")
-      },
-      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-              |           WHERE vec_id < 200),
-              |pairs AS (
-              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-              |    ${cosSql("a.embedding", "b.embedding")} AS cos
-              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-              |SELECT a_id, b_id, round(cos, 6) AS cos_sim
-              |FROM pairs WHERE cos >= 0.35 ORDER BY a_id, b_id""".stripMargin)),
-
-    // ANN via sign-LSH buckets: bucket = sign bits of the first 8 dims;
-    // candidates share a bucket (equi-join), then exact cosine re-rank.
-    Q("q51_ann_lsh",
-      (s, d) => {
-        val bucket = (0 until 8).map { j =>
-          when(element_at(col("embedding"), j + 1) > 0f, lit(1 << j))
-            .otherwise(0)
-        }.reduce(_ + _)
-        val e = withNorm(embeddings(s, d))
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            bucket.as("bucket"))
-        val q = e.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_nrm"), col("bucket"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        e.join(broadcast(q), Seq("bucket"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos",
-            dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("q_id"), col("rn"), col("vec_id"),
-            round(col("cos"), 6).as("cos_sim"))
-          .orderBy("q_id", "rn")
-      },
-      Some {
-        val bSql = (0 until 8).map { j =>
-          s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH e AS (SELECT vec_id, embedding, ($bSql) AS bucket
-           |           FROM embeddings),
-           |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
-           |      FROM e WHERE vec_id < 3),
-           |pairs AS (
-           |  SELECT q.q_id, e.vec_id,
-           |    ${cosSql("e.embedding", "q.q_emb")} AS cos
-           |  FROM e JOIN q ON e.bucket = q.bucket
-           |  WHERE e.vec_id <> q.q_id),
-           |scored AS (
-           |  SELECT q_id, vec_id, cos, row_number() OVER (
-           |    PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
-           |  FROM pairs)
-           |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
-           |       round(cos, 6) AS cos_sim
-           |FROM scored WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin
-      }),
-
-    // ANN via IVF: coarse quantization against a fixed centroid set (the
-    // first 10 vectors — deterministic and oracle-replayable in DuckDB,
-    // which cannot replay a Lloyd fit), then exact re-rank within the
-    // query's cell. The PRODUCTION quantizer is ops/KMeans: deterministic
-    // farthest-point-init spherical Lloyd on a bounded sample, plus
-    // multi-probe assignment (KMeansIvfSpec proves recall >= this
-    // stand-in on centroid-disjoint queries and the nprobe dial above
-    // it). The cell assignment is one pass over the corpus against
-    // broadcast centroids; search cost scales with cell size, not corpus
-    // size. Built through pipelines/AnnIndexPipeline's stage functions —
-    // the same code the incremental fold (q117) uses, so the one-shot and
-    // maintained forms cannot drift.
-    Q("q54_ann_ivf",
-      (s, d) => {
-        import graft.pipelines.AnnIndexPipeline
-        val e = embeddings(s, d)
-        val ix = AnnIndexPipeline.AnnIndex(
-          AnnIndexPipeline.assign(e, AnnIndexPipeline.centroids(e)))
-        AnnIndexPipeline.search(ix, col("vec_id") < 3, 3)
-      },
-      Some(ivfOracleSql)),
-
-    // X29 incremental ANN-index maintenance — the daily-ingest form of
-    // q54, and the ANN twin of q112's incremental dedup index: the corpus
-    // arrives as 3 batches (vec_id mod 3), each assigned against the FIXED
-    // broadcast centroid set and appended to the persisted index; the
-    // existing index is never read, so per-batch cost is O(batch × k).
-    // Search serves from the folded index. Assignment is per-vector
-    // independent, so the fold is bit-identical to the from-scratch build —
-    // the oracle IS q54's from-scratch SQL, and AnnIndexSpec gates the
-    // append-only/no-index-scan plan shape.
-    Q("q117_incremental_ann",
-      (s, d) => {
-        import graft.pipelines.AnnIndexPipeline
-        AnnIndexPipeline.search(
-          AnnIndexPipeline.foldBatches(embeddings(s, d), 3),
-          col("vec_id") < 3, 3)
-      },
-      Some(ivfOracleSql)),
-
-    // X30 semantic decontamination — the embedding-space complement of
-    // q87's n-gram form: corpus documents whose embedding lands within
-    // cosine τ of ANY held-out eval vector are contamination. The eval
-    // set is a benchmark suite: FIXED SIZE by nature (label 0 within the
-    // original id range stands in for it) — it does NOT grow with the
-    // corpus, which is what keeps the comparison O(corpus), and small
-    // enough to broadcast. Candidates are CELL-BLOCKED through the same
-    // fixed coarse quantizer the ANN index uses (X29): the corpus×eval
-    // comparison is an equi-join on cell, never all-pairs, and per-doc
-    // work is the (bounded) eval occupancy of its own cell. Cell blocking
-    // is a recall dial, not exactness: a cross-cell near-pair is missed
-    // by design (multi-probe / the q51 LSH union is the knob) — the
-    // oracle replays the same blocked rule, so the DECLARED decision is
-    // cross-engine exact. Output: the contaminated docs with hit count
-    // and peak similarity, vec_id-unique total order.
-    Q("q118_semantic_decontam",
-      (s, d) => {
-        import graft.pipelines.AnnIndexPipeline
-        val e = embeddings(s, d)
-        val a = AnnIndexPipeline.assign(e, AnnIndexPipeline.centroids(e))
-        val eval = a.filter(col("label") === 0 && col("vec_id") < 500)
-          .select(col("cell"), col("embedding").as("t_emb"),
-            col("nrm").as("t_nrm"))
-        a.filter(col("label") =!= 0)
-          .join(broadcast(eval), Seq("cell"))
-          .withColumn("cos",
-            dot(col("embedding"), col("t_emb")) / (col("nrm") * col("t_nrm")))
-          .filter(col("cos") >= 0.25)
-          .groupBy("vec_id")
-          .agg(count(lit(1)).as("n_hits"),
-            round(max(col("cos")), 6).as("max_cos"))
-          .orderBy("vec_id")
-      },
-      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
-              |               FROM embeddings WHERE vec_id < 10),
-              |scoredcells AS (
-              |  SELECT e.vec_id, e.embedding, e.label, c.c_id,
-              |    row_number() OVER (PARTITION BY e.vec_id
-              |      ORDER BY ${dotSql("e.embedding", "c.c_emb")} DESC,
-              |               c.c_id ASC) AS crn
-              |  FROM embeddings e CROSS JOIN cents c),
-              |assigned AS (
-              |  SELECT vec_id, embedding, label, c_id AS cell
-              |  FROM scoredcells WHERE crn = 1),
-              |ev AS (SELECT cell, embedding AS t_emb FROM assigned
-              |       WHERE label = 0 AND vec_id < 500),
-              |hits AS (
-              |  SELECT a.vec_id,
-              |    ${cosSql("a.embedding", "ev.t_emb")} AS cos
-              |  FROM assigned a JOIN ev ON a.cell = ev.cell
-              |  WHERE a.label <> 0)
-              |SELECT vec_id, count(*) AS n_hits,
-              |       round(max(cos), 6) AS max_cos
-              |FROM hits WHERE cos >= 0.25
-              |GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
-
-    // X31 SemDeDup — corpus-level semantic dedup, the embedding-space
-    // member of the dedup family (q40 exact, q53/q75 MinHash, q49 SimHash,
-    // q48 n-gram, q97 span): embeddings mutually within cosine τ form one
-    // semantic cluster; its min-vec_id member is the kept representative.
-    // The cluster-then-dedup recipe: candidates are blocked on (coarse IVF
-    // cell × 4-bit sign sub-bucket), so pairwise work is bounded by block
-    // occupancy — the cell count is the scale knob (grow k with the corpus
-    // and occupancy stays flat; measured max 35 at sf0.1), never all-pairs
-    // (q50's bounded-slice pairwise generalized to the whole corpus). The
-    // sign sub-bucket keeps mixed cells from degrading to within-cell n²;
-    // identical vectors always co-block, so τ=1 duplicates are never
-    // missed whatever the blocking resolution.
-    // Blocking is a recall dial exactly as in q118 (multi-probe is the
-    // knob); the oracle replays the same blocked rule, so the declared
-    // decision is cross-engine exact. Edges feed the same closure the
-    // MinHash tier uses (O(log n) rounds, edge list materialized once);
-    // the per-vector verdict is one corpus-sized left join against the
-    // paired-docs-sized label table.
-    Q("q119_semantic_dedup",
-      (s, d) => {
-        // Exact-dedup FIRST (the real pipeline order): semantic work runs
-        // over DISTINCT contents only, then the verdict fans back out
-        // through the copy→representative mapping. Identical vectors are
-        // always mutually τ-duplicates in the same block, so a copy group
-        // expands its representative's component verbatim — the output is
-        // bit-identical to running the closure on the full corpus, but
-        // pairwise+closure cost is INVARIANT to copy multiplicity (the
-        // sf1 scaled corpus is 10 exact copies: without this, every
-        // within-block pair count inflates ×copies²; measured 8.1 s → the
-        // uniq form tracks the distinct-content corpus instead). The
-        // mapping shuffle keys on xxhash64(embedding) FIRST, then the
-        // embedding itself: the 8 B hash is a pure function of the 256 B
-        // array it prefixes, so the grouping is bit-identical (no
-        // collision risk — hash-equal-but-distinct rows still split on
-        // the second key), while the window sort compares the array only
-        // on hash-equal rows instead of on every comparison.
-        val e = embeddings(s, d)
-        val wCopy = Window.partitionBy(
-          xxhash64(col("embedding")), col("embedding"))
-        val mapping = e.select(col("vec_id"), col("embedding"))
-          .withColumn("rep_id", min(col("vec_id")).over(wCopy))
-        val reps = mapping.filter(col("vec_id") === col("rep_id"))
-          .select(col("vec_id"), col("embedding"))
-        val labels = graft.ops.ConnectedComponents
-          .labelMinProp(semanticEdges(reps))
-          .withColumnRenamed("v", "rep_id")
-        mapping.join(labels, Seq("rep_id"), "left")
-          .select(col("vec_id"),
-            coalesce(col("component"), col("rep_id")).as("cluster"),
-            (coalesce(col("component"), col("rep_id")) === col("vec_id"))
-              .as("is_kept"))
-          .orderBy("vec_id")
-      },
-      Some {
-        val sign = (0 until 4).map { j =>
-          s"(CASE WHEN a.embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH RECURSIVE
-           |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
-           |          FROM embeddings WHERE vec_id < 10),
-           |scoredcells AS (
-           |  SELECT a.vec_id, a.embedding, c.c_id, ($sign) AS sub,
-           |    row_number() OVER (PARTITION BY a.vec_id
-           |      ORDER BY ${dotSql("a.embedding", "c.c_emb")} DESC,
-           |               c.c_id ASC) AS crn
-           |  FROM embeddings a CROSS JOIN cents c),
-           |blocked AS (
-           |  SELECT vec_id, embedding, c_id AS cell, sub
-           |  FROM scoredcells WHERE crn = 1),
-           |pairs AS (
-           |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-           |  FROM blocked a JOIN blocked b
-           |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-           |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.30),
-           |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-           |          UNION SELECT b_id, a_id FROM pairs),
-           |verts AS (SELECT DISTINCT src AS v FROM edges),
-           |reach(v, r) AS (
-           |  SELECT v, v FROM verts
-           |  UNION
-           |  SELECT e.dst, reach.r FROM reach JOIN edges e
-           |    ON e.src = reach.v),
-           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
-           |SELECT emb.vec_id,
-           |       coalesce(c.component, emb.vec_id) AS cluster,
-           |       (coalesce(c.component, emb.vec_id) = emb.vec_id)
-           |         AS is_kept
-           |FROM embeddings emb LEFT JOIN comp c ON c.v = emb.vec_id
-           |ORDER BY emb.vec_id""".stripMargin
-      }),
-
-    // X1c end-to-end near-dup prune: the q53 LSH candidate pairs applied as
-    // a dedup decision — drop every doc that appears as the larger id of a
-    // candidate pair (keep-first policy), then report the per-language kept
-    // counts. This is the full 100 TB dedup flow: signature → band join →
-    // anti-join, with no pairwise scan outside the candidate set.
-    Q("q75_near_dup_prune",
-      (s, d) => {
-        val sigs = minhashSigs(documents(s, d))
-        val bands = sigs.select(col("doc_id"),
-          explode(array(
-            concat_ws("-", lit("b0"), col("h0"), col("h1")),
-            concat_ws("-", lit("b1"), col("h2"), col("h3")))).as("band_key"))
-        val a = bands.select(col("doc_id").as("a_id"), col("band_key"))
-        val b = bands.select(col("doc_id").as("b_id"), col("band_key"))
-        val drop = a.join(b, Seq("band_key"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("b_id").as("doc_id")).distinct()
-        documents(s, d)
-          .join(drop, Seq("doc_id"), "left_anti")
-          .groupBy("lang")
-          .agg(count(lit(1)).as("n_kept"))
-          .orderBy("lang")
-      },
-      Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
-        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |drop AS (SELECT DISTINCT b.doc_id
-           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id)
-           |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
-           |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drop)
-           |GROUP BY lang ORDER BY lang""".stripMargin
-      }),
-
-    // X1d dedup CLUSTER transitive closure: near-dup relations chain
-    // (A~B, B~C with A,C never band-colliding), so cluster-level dedup
-    // labels every paired doc with its connected component
-    // (ops/ConnectedComponents.labelMinProp: min-label propagation,
-    // O(diameter) shuffle rounds, no collect — measured ~2x cheaper than
-    // the star-contraction default on dense near-dup graphs, whose
-    // diameter is tiny at any corpus size; it fail-fasts rather than
-    // under-merging if that assumption ever breaks, and labelStar is the
-    // O(log n)-rounds fallback). Output = cluster-size histogram.
-    // Oracle replays the closure with a recursive CTE.
-    // Bench profile: ~40% is the one-time pair generation (q53's shared
-    // pipeline), the rest is per-round scheduling over EDGE-LIST-sized
-    // (not corpus-sized) shuffles — rounds are bounded by cluster
-    // diameter, which is tiny for near-dup graphs at any corpus size.
-    Q("q92_dedup_components",
-      (s, d) => {
-        // standalone per driver contract: fresh closure. The shared-
-        // materialization form (one closure, many consumers) is
-        // pipelines/DedupPipeline.run — same stage functions.
-        val docs = documents(s, d)
-        graft.pipelines.DedupPipeline.sizeHistogram(
-          graft.pipelines.DedupPipeline.labels(docs))
-      },
-      Some {
-        s"""WITH RECURSIVE
-           |$closureSqlCtes,
-           |sizes AS (SELECT component, count(*) AS csize
-           |          FROM comp GROUP BY component)
-           |SELECT CAST(csize AS BIGINT) AS csize,
-           |       CAST(count(*) AS BIGINT) AS n_clusters
-           |FROM sizes GROUP BY csize ORDER BY csize""".stripMargin
-      }),
-
-    // X1e cluster-representative dedup — the step the closure feeds:
-    // q92 labels clusters, THIS keeps exactly one survivor per cluster
-    // (longest text wins, doc_id tiebreak; docs in no pair survive as
-    // their own cluster via the left join — q75's anti-join shape).
-    // Window is partitioned by cluster (high-cardinality key),
-    // rn=1 planned as WindowGroupLimit → map-side prune, the exchange
-    // carries O(1) rows per cluster (plan-gated). Oracle replays closure
-    // (recursive CTE) + argmax window.
-    Q("q93_cluster_representatives",
-      (s, d) => {
-        // standalone per driver contract: fresh closure (see q92 note;
-        // the amortized form is pipelines/DedupPipeline.run).
-        val docs = documents(s, d)
-        graft.pipelines.DedupPipeline.representatives(docs,
-          graft.pipelines.DedupPipeline.labels(docs))
-      },
-      Some {
-        s"""WITH RECURSIVE
-           |$closureSqlCtes,
-           |lab AS (
-           |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
-           |         d.n_chars
-           |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id)
-           |SELECT cluster, doc_id, n_chars FROM (
-           |  SELECT cluster, doc_id, n_chars,
-           |         row_number() OVER (PARTITION BY cluster
-           |           ORDER BY n_chars DESC, doc_id ASC) AS rn
-           |  FROM lab) WHERE rn = 1 ORDER BY cluster""".stripMargin
-      }),
-
-    // X46 cluster-size-weighted SOFT dedup sampling — the D4/SemDeDup-family
-    // alternative to hard dedup (q93 keeps ONE survivor per cluster): every
-    // member of an n-doc near-dup cluster is kept with probability 1/n, so
-    // each distinct content contributes ~1 expected doc while intra-cluster
-    // variety (crawl timestamps, mirrors, near-variants) survives
-    // proportionally. Weights are exact ppm fixed point (1e6 DIV csize);
-    // the keep decision is the X11 deterministic content-hash rule, NOT
-    // rand() — reproducible across runs/partitionings, point-answerable
-    // per doc. Output = per-source raw docs, summed weight (the effective
-    // post-sampling corpus size in ppm-docs), and the realized keep count.
-    // Scale shape: labels come from the PERSISTED dedup index
-    // (DedupPipeline.cachedFold — the q115/q128 maintained-artifact
-    // contract; fold-vs-scratch bit-identity is spec-pinned), so the
-    // weighting pays one labels join, never a closure rebuild; cluster
-    // sizes via a window over the cluster label — 8-byte keys, O(1) rows
-    // per cluster partition — then a partial agg over sources-many
-    // groups; nothing pairwise, nothing collected.
-    Q("q135_soft_dedup_sample",
-      (s, d) => {
-        val docs = documents(s, d)
-        val labels = graft.pipelines.DedupPipeline.cachedFold(s, d).labels
-        val labeled = docs
-          .join(labels, docs("doc_id") === labels("v"), "left")
-          .withColumn("cluster", coalesce(col("component"), col("doc_id")))
-        val wc = Window.partitionBy("cluster")
-        labeled
-          .withColumn("csize", count(lit(1)).over(wc))
-          .withColumn("w_ppm", expr("1000000L DIV csize"))
-          .withColumn("kept",
-            pmod(Scalars.tokenHash(
-              concat(lit("soft:"), col("doc_id").cast("string"))),
-              lit(1000000L)) < col("w_ppm"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("w_ppm").as("eff_ppm"),
-            sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
-          .orderBy("source")
-      },
-      Some {
-        val keepHash = "(('0x' || substr(md5('soft:' || " +
-          "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)"
-        s"""WITH RECURSIVE
-           |$closureSqlCtes,
-           |lab AS (
-           |  SELECT d.doc_id, d.source,
-           |         coalesce(c.component, d.doc_id) AS cluster
-           |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id),
-           |wgt AS (
-           |  SELECT doc_id, source,
-           |         1000000 // (count(*) OVER (PARTITION BY cluster))
-           |           AS w_ppm
-           |  FROM lab),
-           |k AS (
-           |  SELECT source, w_ppm,
-           |         CASE WHEN $keepHash < w_ppm THEN 1 ELSE 0 END AS kept
-           |  FROM wgt)
-           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           |       CAST(sum(w_ppm) AS BIGINT) AS eff_ppm,
-           |       CAST(sum(kept) AS BIGINT) AS kept_docs
-           |FROM k GROUP BY source ORDER BY source""".stripMargin
-      }),
-
-    // X27 incremental dedup — the index-maintenance form of q92: the corpus
-    // arrives as 3 batches; each batch is shingled ONCE, joined against the
-    // persisted (doc_id, band_key) index, and only components touched by a
-    // new edge are re-closed (pipelines/DedupPipeline.addBatch). The final
-    // labels are bit-identical to the from-scratch closure — which is
-    // exactly what the oracle replays (q92's recursive CTE over the FULL
-    // corpus). At 100 TB this is the daily-ingest shape: per-day cost
-    // tracks the batch, not the corpus. The fold itself is a first-touch
-    // LayoutCache artifact (DedupPipeline.cachedFold): the index is built
-    // once per corpus dir and every consumer (this dump, q115, q128)
-    // reads the persisted tables — the maintained-index production shape.
-    Q("q112_incremental_dedup",
-      (s, d) => graft.pipelines.DedupPipeline
-        .cachedFold(s, d).labels.orderBy("v"),
-      Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
-        s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id),
-           |edges AS (
-           |  SELECT a_id AS src, b_id AS dst FROM pairs
-           |  UNION
-           |  SELECT b_id, a_id FROM pairs),
-           |verts AS (SELECT DISTINCT src AS v FROM edges),
-           |reach(v, r) AS (
-           |  SELECT v, v FROM verts
-           |  UNION
-           |  SELECT e.dst, reach.r FROM reach JOIN edges e
-           |    ON e.src = reach.v),
-           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
-           |SELECT v, component FROM comp ORDER BY v""".stripMargin
-      }),
-
-    // X28 per-batch dedup verdict — the decision the incremental index
-    // (q112) exists to serve daily: after folding the corpus's batches,
-    // which docs of the LAST batch are novel vs duplicates of anything
-    // older? One batch-sized left join against the maintained labels (no
-    // closure re-run); kept iff the doc IS its cluster's min-id label or
-    // was never paired. The labels come from the SAME persisted
-    // LayoutCache artifact q112 dumps (DedupPipeline.cachedFold), so in
-    // steady state this query is exactly what it claims to be in
-    // production: one batch-sized join against maintained labels — no
-    // fold re-run, no corpus re-shingle (PlanSpec-gated). Oracle replays
-    // the from-scratch closure and the same keep rule.
-    Q("q115_batch_verdict",
-      (s, d) => {
-        val docs = documents(s, d)
-        val idx = graft.pipelines.DedupPipeline.cachedFold(s, d)
-        graft.pipelines.DedupPipeline.batchVerdict(idx.labels,
-          docs.filter(pmod(col("doc_id"), lit(3)) === 2))
-      },
-      Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
-        s"""WITH RECURSIVE
-           |t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id),
-           |edges AS (
-           |  SELECT a_id AS src, b_id AS dst FROM pairs
-           |  UNION
-           |  SELECT b_id, a_id FROM pairs),
-           |verts AS (SELECT DISTINCT src AS v FROM edges),
-           |reach(v, r) AS (
-           |  SELECT v, v FROM verts
-           |  UNION
-           |  SELECT e.dst, reach.r FROM reach JOIN edges e
-           |    ON e.src = reach.v),
-           |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
-           |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
-           |       (c.component IS NULL OR c.component = d.doc_id) AS is_novel
-           |FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
-           |WHERE d.doc_id % 3 = 2
-           |ORDER BY d.doc_id""".stripMargin
-      }),
-
-    // Multimodal plumbing: opaque binary column + typed metadata. The
-    // "decode" is a deterministic fake (real image/audio libs are absent —
-    // see ops/Multimodal.scala for the mapPartitions decode seam).
-    Q("q52_binary_meta",
-      (s, d) => documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("blob"))
-        .select(col("doc_id"),
-          length(col("blob")).as("n_bytes"),
-          pmod(length(col("blob")), lit(640)).as("fake_width"),
-          pmod(length(col("blob")) * 7, lit(480)).as("fake_height"),
-          md5(col("blob")).as("content_hash"))
-        .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-             |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INT)
-             |    AS fake_width,
-             |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INT)
-             |    AS fake_height,
-             |  md5(text) AS content_hash
-             |FROM documents ORDER BY doc_id""".stripMargin)),
-
-    // X43 perceptual image near-dup (pHash) — the MULTIMODAL member of
-    // the dedup family: resize/re-encode copies that exact byte hashing
-    // (q52's md5) can never pair. Corpus: deterministic synthetic PNGs
-    // (one per doc_id < 200) plus a bilinear-resized re-encoded twin per
-    // image at id+100000 (ops/Multimodal.syntheticImageCorpus — real
-    // ImageIO codecs end-to-end; the renderer stands in for an image
-    // binary column, the testdata blobs being text bytes). Pipeline:
-    // per-partition decode → 32×32 DCT pHash (8-byte hash is all that
-    // shuffles, never pixels) → 4×16-bit Hamming-band equi-join (X2d's
-    // SimHash shape; any pair within distance 3 shares a band by
-    // pigeonhole — deterministic recall at the declared threshold) →
-    // exact bit_count filter. Measured separation on this corpus: twins
-    // ≤2 bits, unrelated ≥16 — the threshold sits in a 14-bit margin.
-    // No SQL oracle (DuckDB cannot decode PNG or replay the DCT);
-    // verify_local bounds-checks the CONSTRUCTION invariant instead:
-    // the output must be exactly {(id, id+100000)} over the base ids,
-    // each with dist ≤ 3 (same class as q106's sketch-guarantee check).
-    Q("q131_phash_neardup",
-      (s, d) => {
-        import graft.ops.Multimodal
-        val ids = documents(s, d).filter(col("doc_id") < 200)
-          .select("doc_id")
-        val corpus = Multimodal.syntheticImageCorpus(ids, 100000L)
-        Multimodal.phashNearDup(Multimodal.perceptualHash(corpus), 3)
-          .orderBy("a_id", "b_id")
-      },
-      None),
-
-    // X44 audio near-dup — the AUDIO member of the dedup family:
-    // resampled/re-encoded clips that byte hashing can never pair.
-    // Corpus: deterministic two-voice synthetic score per id, encoded as
-    // real WAV (javax.sound — the JDK's own RIFF codec), plus a planted
-    // twin at id+100000: the same clip linear-resampled 8 kHz → 5.512 kHz
-    // and re-encoded. Pipeline: per-partition WAV decode → 64-bit
-    // chromaprint-family fingerprint (Goertzel band energies over 32
-    // duration-fraction slices, sign-of-cross-voice-comparison bits —
-    // gain- and resample-invariant; only the 8-byte fingerprint ever
-    // shuffles) → the X2d/X43 4×16-bit Hamming-band equi-join → exact
-    // bit_count ≤ 3 (pigeonhole ⇒ deterministic recall). Measured
-    // separation over 200 ids: twins drift 0 bits, unrelated ≥ 13.
-    // No SQL oracle (DuckDB cannot decode WAV or replay Goertzel);
-    // verify_local bounds-checks the construction invariant: output ==
-    // exactly {(id, id+100000)}, dist ∈ [0,3] (q131's check class).
-    Q("q132_audio_neardup",
-      (s, d) => {
-        import graft.ops.MultimodalAv
-        val ids = documents(s, d).filter(col("doc_id") < 150)
-          .select("doc_id")
-        val corpus = MultimodalAv.syntheticAudioCorpus(ids, 100000L)
-        MultimodalAv.hammingNearDup(
-          MultimodalAv.audioFingerprints(corpus), "doc_id", "afp", 3)
-          .orderBy("a_id", "b_id")
-      },
-      None),
-
-    // X45 video scene dedup — the VIDEO member: clips sharing scenes
-    // under re-encode/resize, via real multi-frame containers (animated
-    // GIF through ImageIO's sequence codec — palette quantization, LZW).
-    // Corpus: 6-frame clip per id + a planted twin at id+100000 with
-    // every frame bilinear-resized to 3/4 and the clip re-encoded.
-    // Pipeline: per-partition frame sampling (every 2nd frame) → per-
-    // frame DCT pHash (X43's hash; 8-byte rows leave the seam, frames
-    // never shuffle) → Hamming-band equi-join on frame hashes → exact
-    // bit_count ≤ 3 → matched frames counted per clip pair, pairs with
-    // ≥ 2 shared scenes survive. Twin frames measure ≤ 2 bits except one
-    // frame in 360 at 4 (GIF palette quantization on top of the resize),
-    // unrelated ≥ 16 — the ≥2-of-3 scene threshold is exactly why real
-    // scene-overlap detectors don't require every frame to re-match.
-    // No SQL oracle (no GIF/DCT in DuckDB); verify_local checks the
-    // construction invariant: output == planted pairs, frames_matched
-    // ∈ [2, 3].
-    Q("q133_video_scene_dedup",
-      (s, d) => {
-        import graft.ops.MultimodalAv
-        val ids = documents(s, d).filter(col("doc_id") < 120)
-          .select("doc_id")
-        val corpus = MultimodalAv.syntheticVideoCorpus(ids, 100000L)
-        MultimodalAv.sceneDupPairs(
-          MultimodalAv.sampleFrameHashes(corpus, 2), 3, 2)
-          .orderBy("a_id", "b_id")
-      },
-      None),
-
-    // X82 cross-modal caption↔image consistency audit — the pairing
-    // check a multimodal training pipeline runs before trusting
-    // (image, caption) rows: the caption leg PARSES each caption's
-    // declared attributes (regexp_extract — codegen, text side), the
-    // image leg RECOVERS the same attributes from decoded pixels
-    // (ops/Multimodal.gridAttributes — per-partition ImageIO decode,
-    // only narrow (id, int, int) rows leave the seam), and the audit
-    // joins the two modalities on doc_id and flags disagreement.
-    // Corpus: one grid PNG per doc_id < 300 plus a generated caption
-    // describing its measurable content; ids with id % 7 == 3 get a
-    // caption generated from id+1's content — the planted swapped-
-    // caption mismatch class. PNG is lossless, so pixel-derived and
-    // id-derived attributes agree EXACTLY for honest pairs; a planted
-    // mismatch escapes only if id and id+1 coincidentally share both
-    // attributes (1/64 × 1/8 per attribute pair — verify_local replays
-    // the splitmix64 truth function in python and checks the flag
-    // row-exactly, coincidences included).
-    // No SQL oracle (DuckDB cannot decode PNG); bounds-gated like
-    // q131–q133. Scale shape: both legs are narrow projections of one
-    // (blob, caption) table — column pruning sends blobs only through
-    // the decode seam and text only through the parser; the join is
-    // doc_id-keyed co-shuffle of two already-narrow sides; pixels and
-    // captions never meet in one row until reduced to ints.
-    Q("q189_caption_consistency",
-      (s, d) => {
-        import graft.ops.Multimodal
-        val ids = documents(s, d).filter(col("doc_id") < 300)
-          .select("doc_id")
-        val corpus = Multimodal.captionedImageCorpus(ids)
-        val img = Multimodal.gridAttributes(
-          corpus.select(col("doc_id"), col("blob")))
-        val cap = corpus.select(col("doc_id"),
-          regexp_extract(col("caption"), "brightest cell (\\d+)", 1)
-            .cast("int").as("cap_bright"),
-          regexp_extract(col("caption"), "mean bucket (\\d+)", 1)
-            .cast("int").as("cap_bucket"))
-        cap.join(img, "doc_id")
-          .select(col("doc_id"), col("cap_bright"), col("img_bright"),
-            col("cap_bucket"), col("img_bucket"),
-            when(col("cap_bright") === col("img_bright") &&
-              col("cap_bucket") === col("img_bucket"), 1)
-              .otherwise(0).as("consistent"))
-          .orderBy("doc_id")
-      },
-      None),
-
-    // X20 TF-IDF top terms: per-doc argmax of tf·idf, aggregated to
-    // (lang, term) → how many docs each term dominates. Raw-idf form
-    // (score = tf·N/df, no log): tf·N stays under 2^53 so the division
-    // is a single correctly-rounded IEEE op — bit-identical in any
-    // engine, unlike ln() whose last ulp is libm-dependent and could
-    // flip a near-tie argmax. Ranking is unchanged for fixed tf
-    // (1/df and ln(N/df) are both monotone decreasing in df).
-    // Scale: tf and df are both partial+final aggs over the exploded
-    // token stream (read once); tf⋈df co-shuffles on tok (vocab-sized
-    // right side — AQE broadcasts it when small, shuffle-joins when a
-    // 100 TB corpus makes the vocab huge); N joins in as a broadcast
-    // scalar; the argmax is rn=1 over doc_id → WindowGroupLimit prunes
-    // map-side, so the window exchange carries O(1) rows per doc.
-    Q("q103_tfidf_topterms",
-      (s, d) => {
-        val docs = documents(s, d)
-        val toks = docs.select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("tok"))
-        val tf = toks.groupBy("doc_id", "lang", "tok")
-          .agg(count(lit(1)).as("tf"))
-        // df rides the tf aggregate: tf's grouped output IS the distinct
-        // (doc, tok) set, so document frequency is one more partial+final
-        // count over it — the raw token stream is exploded and shuffled
-        // ONCE, not twice (a second full distinct() pass costs another
-        // corpus-sized shuffle at 100 TB).
-        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        val n = docs.agg(count(lit(1)).as("n_total"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("tok").asc)
-        tf.join(dfreq, "tok")
-          .crossJoin(broadcast(n))
-          .withColumn("score",
-            (col("tf") * col("n_total")).cast("double") / col("df"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .groupBy("lang", "tok")
-          .agg(count(lit(1)).as("n_docs"))
-          .select(col("lang"), col("tok").as("top_term"), col("n_docs"))
-          .orderBy(col("lang"), col("n_docs").desc, col("top_term"))
-      },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS tok
-             |  FROM documents),
-             |tf AS (
-             |  SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
-             |  FROM toks GROUP BY 1, 2, 3),
-             |dfreq AS (
-             |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-             |  FROM toks GROUP BY 1),
-             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total
-             |      FROM documents),
-             |scored AS (
-             |  SELECT tf.doc_id, tf.lang, tf.tok,
-             |    CAST(tf.tf * n.n_total AS DOUBLE) / dfreq.df AS score
-             |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
-             |top AS (
-             |  SELECT doc_id, lang, tok, row_number() OVER (
-             |    PARTITION BY doc_id
-             |    ORDER BY score DESC, tok ASC) AS rn
-             |  FROM scored)
-             |SELECT lang, tok AS top_term,
-             |  CAST(count(*) AS BIGINT) AS n_docs
-             |FROM top WHERE rn = 1
-             |GROUP BY 1, 2 ORDER BY lang, n_docs DESC, top_term"""
-        .stripMargin)),
-
-    // X21 sketch heavy hitters — approximate token frequencies through the
-    // mergeable Count-Min aggregate (ops/CountMin): aggregation state is
-    // O(depth·width) regardless of vocabulary, the scale path when the
-    // exact (token → count) map no longer fits an executor. Output joins
-    // the estimate against the exact count so over-count is visible;
-    // no-oracle by design (the sketch hash is Scala-side Murmur3 —
-    // q08b-style; CmsSpec property-tests est ≥ exact, the ε·N ceiling,
-    // and partition invariance of the merged sketch). The candidate probe
-    // runs over the vocab-sized exact agg — explicitly not the hot path;
-    // the corpus-wide pass is the sketch aggregation itself.
-    Q("q106_cms_heavy_hitters",
-      (s, d) => {
-        import s.implicits._
-        import graft.ops.{CountMin, CountMinAggregator}
-        val toks = documents(s, d)
-          .select(explode(split(col("text"), " ")).as("value")).as[String]
-        // one aggregate row (64 KiB of counters) to the driver — the same
-        // contract as any agg result, not a corpus collect.
-        val sketch = toks
-          .select(new CountMinAggregator().toColumn).head()
-        val exact = toks.groupBy("value")
-          .agg(count(lit(1)).as("exact_n")).as[(String, Long)]
-        exact.map { case (tok, n) =>
-          (tok, n, CountMin.estimate(sketch, tok))
-        }.toDF("tok", "exact_n", "est_n")
-          .orderBy(col("est_n").desc, col("tok").asc)
-          .limit(20)
-      },
-      None),
-
-    // X26 ANN via product quantization — the memory-bound tier above IVF
-    // (ops/ProductQuantizer): 64-dim float vectors (256 B) become 8-byte
-    // codes, ADC search is table lookups over the code scan with
-    // per-partition top-k pruning, and the exact cosine re-rank runs only
-    // on the 20-candidate shortlist. At 10^11 vectors the codes fit in
-    // executor memory while raw vectors don't — the billion-scale recipe
-    // (Jégou et al. 2011 / FAISS IVF-PQ). No-oracle by design (DuckDB
-    // cannot replay the Lloyd fit); PqSpec pins the ADC identity
-    // (adc == ||q − decode(code)||² to 1e-9), code partition-stability,
-    // and a 0.93 recall gate on the clustered fixture; verify_local
-    // bounds recall ≥ 2/3 vs brute force at EVERY sf. Codebook k=64 and
-    // shortlist 64: the first draft's k=16/20 passed at sf0.01 (500
-    // vectors) but read recall 4/9 on sf0.1's 5 000 distinct
-    // near-random vectors — 4-bit subcodes can't separate a
-    // concentrated distance distribution; 6 bits + a deeper re-rank
-    // shortlist restore ≥ 2/3 at all scales for ~0.6 s at sf0.1 (the
-    // recall-vs-cost dial every PQ deployment tunes).
-    Q("q110_ann_pq",
-      (s, d) => {
-        import graft.ops.ProductQuantizer
-        val e = embeddings(s, d)
-        val model = ProductQuantizer.fit(e, col("vec_id"),
-          col("embedding"), dim = 64, m = 8, k = 64, iters = 5,
-          seed = 11L)
-        val codes = ProductQuantizer.encode(e, col("vec_id"),
-          col("embedding"), model)
-        val qs = e.filter(col("vec_id") < 3).collect().map { r =>
-          (r.getLong(0),
-            r.getSeq[Float](1).map(_.toDouble).toArray)
-        }.toSeq
-        val shortlist = ProductQuantizer.adcTopK(codes, model, qs,
-          topK = 64).select("q_id", "vec_id")
-        val en = withNorm(e)
-        val q = en.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_nrm"))
-        val wTop = Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        shortlist.join(en, "vec_id").join(broadcast(q), "q_id")
-          .withColumn("cos",
-            dot(col("embedding"), col("q_emb")) /
-              (col("nrm") * col("q_nrm")))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 3)
-          .select(col("q_id"), col("rn"), col("vec_id"),
-            round(col("cos"), 6).as("cos_sim"))
-          .orderBy("q_id", "rn")
-      },
-      None),
-
-    // X35 BM25 query-relevance scoring — the RANKED-retrieval member of
-    // the text tier (q103 scores terms within a doc; BM25 scores docs
-    // against a QUERY — the relevance signal curation pipelines use to
-    // mine domain-specific training data from a crawl). Semantics are the
-    // rational-idf BM25 variant (k1=6/5, b=3/4, the log in Robertson's
-    // idf replaced by its rational argument (N−df+½)/(df+½) — monotone in
-    // df, so per-term ordering is classic BM25): with L = Σ dl (so
-    // dl/avgdl = dl·N/L), the term score is the exact integer ratio
-    //   22·tf·L·(2N−2df+1) / ((10·tf·L + 3·L + 9·dl·N)·(2df+1)),
-    // both sides < 2^63 at every tested sf. Cross-engine discipline: each
-    // term score is floor-quantized to 1e-9 fixed point (floor of IEEE
-    // ops both engines execute identically — the Scalars.round2 lesson),
-    // so the per-doc SUM is an exact BIGINT — accumulation-order-free
-    // where a double sum of raw scores would flip low bits at sf1.
-    // Scale shape: the token stream is filtered to the query's terms
-    // IMMEDIATELY after tokenization — the corpus-wide shuffle carries
-    // only query-term postings (the inverted-index access pattern,
-    // relationally), never the vocabulary; dl is map-only arithmetic; N,
-    // L, df are one scalar agg + one 3-row agg, both broadcast back. At
-    // 100 TB per-query cost is O(postings of the query terms), the same
-    // asymptotics as a Lucene/ES query, with no index build required.
-    Q("q123_bm25_relevance",
-      (s, d) => bm25Scored(s, d)
-        .orderBy(col("score_fp").desc, col("doc_id").asc)
-        .limit(20),
-      Some(s"""WITH $bm25SqlCtes
-             |SELECT doc_id, terms_hit, score_fp
-             |FROM bm25
-             |ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin)),
-
-    // X47 hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009)
-    // — the fusion step every modern retrieval/data-mining stack runs over
-    // its lexical and dense legs: BM25 (q123's exact fixed-point scorer,
-    // shared implementation) and embedding cosine (query-by-example,
-    // vec_id 0, self excluded) each produce a top-20 ranking; RRF fuses
-    // them as Σ 1/(60+rank) over the union. Rank contributions are exact
-    // integers (1e9 DIV (60+r)) so fusion involves no IEEE arithmetic —
-    // only the two legs' internal orderings (both already cross-engine
-    // deterministic: BM25 is all-integer; cosine ordering is q41's proven
-    // discipline). Docs absent from a leg contribute 0 (standard RRF).
-    // Scale shape: each leg reduces via TakeOrderedAndProject (distributed
-    // per-partition top-k + driver merge of K rows — never a global sort);
-    // rank assignment and the full-outer fusion run on 2×20 rows. At
-    // 100 TB the cost is the two legs' scans — BM25 touches only
-    // query-term postings, cosine streams codes/vectors once — and the
-    // fusion itself is constant-sized.
-    Q("q134_rrf_hybrid",
-      (s, d) => {
-        val wl = Window.orderBy(col("score_fp").desc, col("doc_id").asc)
-        val lex = bm25Scored(s, d)
-          .orderBy(col("score_fp").desc, col("doc_id").asc).limit(20)
-          .withColumn("r_lex", row_number().over(wl))
-          .select(col("doc_id"), col("r_lex"))
-        val e = withNorm(embeddings(s, d))
-        val qv = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-        val wd = Window.orderBy(col("cos").desc, col("doc_id").asc)
-        val dense = e.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(qv))
-          .withColumn("cos",
-            dot(col("embedding"), col("q_emb")) /
-              (col("nrm") * col("q_nrm")))
-          .select(col("vec_id").as("doc_id"), col("cos"))
-          .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
-          .withColumn("r_dense", row_number().over(wd))
-          .select(col("doc_id"), col("r_dense"))
-        lex.join(dense, Seq("doc_id"), "full_outer")
-          .withColumn("rrf_fp",
-            coalesce(expr("1000000000L DIV (60 + CAST(r_lex AS BIGINT))"),
-              lit(0L)) +
-            coalesce(expr("1000000000L DIV (60 + CAST(r_dense AS BIGINT))"),
-              lit(0L)))
-          .orderBy(col("rrf_fp").desc, col("doc_id").asc)
-          .limit(10)
-      },
-      Some(s"""WITH $bm25SqlCtes,
-              |lex AS (SELECT doc_id, r_lex FROM (
-              |  SELECT doc_id, CAST(row_number() OVER (
-              |    ORDER BY score_fp DESC, doc_id ASC) AS INT) AS r_lex
-              |  FROM bm25) WHERE r_lex <= 20),
-              |qv AS (SELECT embedding AS q_emb FROM embeddings
-              |       WHERE vec_id = 0),
-              |denseall AS (
-              |  SELECT vec_id AS doc_id,
-              |    ${cosSql("embedding", "q_emb")} AS cos
-              |  FROM embeddings, qv WHERE vec_id <> 0),
-              |dense AS (SELECT doc_id, r_dense FROM (
-              |  SELECT doc_id, CAST(row_number() OVER (
-              |    ORDER BY cos DESC, doc_id ASC) AS INT) AS r_dense
-              |  FROM denseall) WHERE r_dense <= 20),
-              |fused AS (
-              |  SELECT coalesce(l.doc_id, de.doc_id) AS doc_id,
-              |         l.r_lex, de.r_dense,
-              |         CAST(coalesce(1000000000 // (60 + l.r_lex), 0) +
-              |              coalesce(1000000000 // (60 + de.r_dense), 0)
-              |           AS BIGINT) AS rrf_fp
-              |  FROM lex l FULL OUTER JOIN dense de
-              |    ON l.doc_id = de.doc_id)
-              |SELECT doc_id, r_lex, r_dense, rrf_fp
-              |FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10"""
-        .stripMargin)),
-
-    // X50 per-source dataset card — the datasheet every released corpus
-    // ships (Gebru et al. 2021 "Datasheets for Datasets"; the FineWeb/
-    // Dolma model cards): one panel per source with volume (docs, ws
-    // tokens), quality (mean of q44's score as exact ppm fixed point —
-    // floor(1e6·q) per doc, integer sum, integer mean: no accumulation-
-    // order-dependent double mean), exact-duplicate density (docs whose
-    // full text recurs corpus-wide, ppm), and near-dup cluster membership
-    // density (docs paired in the maintained dedup index, ppm). The
-    // card is the downstream consumer every curation stage feeds.
-    // Scale shape: ONE corpus scan computes all per-doc measures
-    // map-side; the recurrence flag is a window over the 32-byte sha2
-    // (never raw text through the exchange — q40's lesson); membership
-    // is one left join against the PERSISTED index labels
-    // (cachedFold — no closure rebuild, plan-gated); the rollup is a
-    // partial agg over sources-many groups.
-    Q("q138_dataset_card",
-      (s, d) => {
-        val qd = documents(s, d).select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"),
-          floor(lit(1e6) *
-            (least(size(split(col("text"), " ")).cast("double") / 100.0,
-              lit(1.0)) * 0.5 +
-             length(regexp_replace(col("text"), "[^a-z]", ""))
-               .cast("double") / length(col("text")) * 0.5)).as("q_fp"),
-          sha2(col("text"), 256).as("t_h"))
-        val wd = Window.partitionBy("t_h")
-        val labels = graft.pipelines.DedupPipeline.cachedFold(s, d).labels
-          .select(col("v").as("doc_id"), lit(1).as("cl"))
-        qd.withColumn("n_copy", count(lit(1)).over(wd))
-          .join(labels, Seq("doc_id"), "left")
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("n_tok").as("n_tokens"),
-            sum("q_fp").as("q_sum"),
-            sum(when(col("n_copy") >= 2, 1L).otherwise(0L)).as("dup_docs"),
-            sum(when(col("cl").isNotNull, 1L).otherwise(0L))
-              .as("clustered_docs"))
-          .select(col("source"), col("n_docs"), col("n_tokens"),
-            expr("q_sum DIV n_docs").as("mean_q_ppm"),
-            expr("(1000000L * dup_docs) DIV n_docs").as("dup_ppm"),
-            expr("(1000000L * clustered_docs) DIV n_docs")
-              .as("clustered_ppm"))
-          .orderBy("source")
-      },
-      Some {
-        val qFp = "CAST(floor(1e6 * (" +
-          "least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)" +
-          " * 0.5 + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))" +
-          " AS DOUBLE) / length(text)) * 0.5)) AS BIGINT)"
-        s"""WITH RECURSIVE
-           |$closureSqlCtes,
-           |qd AS (
-           |  SELECT doc_id, source,
-           |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
-           |    $qFp AS q_fp,
-           |    count(*) OVER (PARTITION BY text) AS n_copy
-           |  FROM documents),
-           |m AS (
-           |  SELECT qd.*, CASE WHEN c.v IS NULL THEN 0 ELSE 1 END AS cl
-           |  FROM qd LEFT JOIN comp c ON c.v = qd.doc_id)
-           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           |  CAST(sum(q_fp) // count(*) AS BIGINT) AS mean_q_ppm,
-           |  CAST((1000000 * sum(CASE WHEN n_copy >= 2 THEN 1 ELSE 0 END))
-           |    // count(*) AS BIGINT) AS dup_ppm,
-           |  CAST((1000000 * sum(cl)) // count(*) AS BIGINT)
-           |    AS clustered_ppm
-           |FROM m GROUP BY source ORDER BY source""".stripMargin
-      }),
-
-    // X65 quality × duplication contingency — the evidence table behind
-    // the "dedup before or after the quality filter?" pipeline-ordering
-    // decision (and the sanity check on the quality score itself): per
-    // 0.1-wide quality bin (X50's exact fixed-point formula), document
-    // count and the fraction belonging to a near-dup cluster in the
-    // MAINTAINED index, as exact ppm. If duplication concentrates in low
-    // bins, the quality filter already removes most duplicates and dedup
-    // can run on the survivors (cheaper); flat rates mean dedup must run
-    // first or the filter keeps whole duplicate families.
-    // Scale shape: score + bin are map-side over one corpus scan;
-    // membership is one left join against the PERSISTED index labels
-    // (cachedFold — no closure rebuild); the rollup is a partial agg to
-    // ~10 bins. Nothing pairwise, nothing windowed.
-    Q("q153_quality_dup_matrix",
-      (s, d) => {
-        val qd = documents(s, d).select(col("doc_id"),
-          floor(lit(1e6) *
-            (least(size(split(col("text"), " ")).cast("double") / 100.0,
-              lit(1.0)) * 0.5 +
-             length(regexp_replace(col("text"), "[^a-z]", ""))
-               .cast("double") / length(col("text")) * 0.5)).as("q_fp"))
-          .withColumn("bin", expr("q_fp DIV 100000L"))
-        val labels = graft.pipelines.DedupPipeline.cachedFold(s, d).labels
-          .select(col("v").as("doc_id"), lit(1).as("cl"))
-        qd.join(labels, Seq("doc_id"), "left")
-          .groupBy("bin")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("cl").isNotNull, 1L).otherwise(0L))
-              .as("n_clustered"))
-          .withColumn("clustered_ppm",
-            expr("(1000000L * n_clustered) DIV n_docs"))
-          .select("bin", "n_docs", "n_clustered", "clustered_ppm")
-          .orderBy("bin")
-      },
-      Some {
-        val qFp = "CAST(floor(1e6 * (" +
-          "least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)" +
-          " * 0.5 + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))" +
-          " AS DOUBLE) / length(text)) * 0.5)) AS BIGINT)"
-        s"""WITH RECURSIVE
-           |$closureSqlCtes,
-           |qd AS (
-           |  SELECT doc_id, $qFp // 100000 AS bin
-           |  FROM documents),
-           |m AS (
-           |  SELECT qd.bin, CASE WHEN c.v IS NULL THEN 0 ELSE 1 END AS cl
-           |  FROM qd LEFT JOIN comp c ON c.v = qd.doc_id)
-           |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
-           |  CAST(sum(cl) AS BIGINT) AS n_clustered,
-           |  CAST((1000000 * sum(cl)) // count(*) AS BIGINT)
-           |    AS clustered_ppm
-           |FROM m GROUP BY bin ORDER BY bin""".stripMargin
-      }),
-
-    // X48 tokenizer vocabulary coverage / OOV rate — the tokenizer-fit
-    // audit run before training: fix a vocabulary (here the corpus's own
-    // top-64 tokens by (freq DESC, token ASC) — the deterministic stand-in
-    // for a shipped tokenizer's vocab file) and report, per source, the
-    // fraction of token occurrences falling outside it, as exact ppm fixed
-    // point. High OOV in a source means the tokenizer fragments its text
-    // into bytes/unknowns — the signal used to re-weight or re-train.
-    // Scale shape (q103's read-once discipline): the token stream is
-    // exploded and aggregated ONCE into (source, tok) counts — partial
-    // map-side combine, vocab×sources-bounded output; the vocab is its
-    // tok-marginal (one more partial agg) reduced via TakeOrdered (never a
-    // global sort) and re-joined BROADCAST (64 rows) onto the same
-    // aggregate, which Spark reuses (ReusedExchange, plan-gated) — the
-    // corpus is scanned and shuffled exactly once.
-    Q("q136_vocab_coverage",
-      (s, d) => {
-        // (source, tok) counts materialized ONCE (localCheckpoint stands in
-        // for the production parquet write of the aggregate, as in
-        // DedupPipeline.run): both the vocab fit and the coverage probe
-        // read the vocab×sources-sized table — the corpus token stream is
-        // exploded and aggregated exactly once (plan-gated: the declared
-        // plan contains no second corpus explode).
-        val st = documents(s, d)
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy("source", "tok").agg(count(lit(1)).as("n"))
-          .localCheckpoint(true)
-        val vocab = st.groupBy("tok").agg(sum("n").as("freq"))
-          .orderBy(col("freq").desc, col("tok").asc).limit(64)
-          .select(col("tok"), lit(1).as("iv"))
-        st.join(broadcast(vocab), Seq("tok"), "left")
-          .groupBy("source")
-          .agg(sum("n").as("n_tok"),
-            sum(when(col("iv").isNull, col("n")).otherwise(0L))
-              .as("oov_tok"))
-          .withColumn("oov_ppm", expr("(1000000L * oov_tok) DIV n_tok"))
-          .orderBy("source")
-      },
-      Some("""WITH st AS (
-             |  SELECT source, tok, CAST(count(*) AS BIGINT) AS n
-             |  FROM (SELECT source, unnest(str_split(text, ' ')) AS tok
-             |        FROM documents)
-             |  GROUP BY 1, 2),
-             |vocab AS (SELECT tok FROM (
-             |  SELECT tok, CAST(row_number() OVER (
-             |    ORDER BY sum(n) DESC, tok ASC) AS INT) AS rk
-             |  FROM st GROUP BY tok) WHERE rk <= 64),
-             |cov AS (
-             |  SELECT st.source, st.n,
-             |         CASE WHEN v.tok IS NULL THEN st.n ELSE 0 END AS oov
-             |  FROM st LEFT JOIN vocab v ON v.tok = st.tok)
-             |SELECT source, CAST(sum(n) AS BIGINT) AS n_tok,
-             |       CAST(sum(oov) AS BIGINT) AS oov_tok,
-             |       CAST((1000000 * sum(oov)) // sum(n) AS BIGINT)
-             |         AS oov_ppm
-             |FROM cov GROUP BY source ORDER BY source""".stripMargin)),
-
-    // X36 BPE merge-pair mining — the statistic the byte-pair-encoding
-    // tokenizer-training loop maximizes each iteration (Sennrich et al.
-    // 2016): over the corpus, the frequency of every adjacent symbol pair
-    // inside words, weighted by word frequency; the argmax pair becomes
-    // the next merge. Graded here is the first iteration's pair table
-    // (symbol alphabet = raw characters), which is also the expensive one
-    // — later iterations run on the same shape with a rewritten symbol
-    // column. The pipeline placement: tokenizer training runs over the
-    // SAME corpus the curation pipeline just deduped, so this is a
-    // first-class curation-output consumer.
-    // Scale shape — dedup-before-expensive-work (q119's composition,
-    // applied to words): pair extraction runs over the DISTINCT word
-    // table (vocabulary-sized, Heaps'-law sublinear in the corpus), each
-    // word weighted by its corpus frequency — never over the token
-    // stream. Two exchanges total: the word-frequency agg (partial count
-    // map-side, fixed ~word-sized keys) and the pair agg (partial sum,
-    // 2-char keys, alphabet²-bounded cardinality). Both shrink before
-    // they shuffle; nothing pairwise, no window. At 100 TB the token
-    // explode is the only corpus-proportional stage and it is map-only
-    // into a combiner.
-    Q("q124_bpe_pair_mining",
-      (s, d) => {
-        val words = fanOut(documents(s, d))
-          .select(explode(split(col("text"), " ")).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-        words
-          .filter(length(col("word")) >= 2)
-          .select(col("freq"), explode(
-            expr("transform(sequence(1, length(word) - 1), " +
-              "i -> substring(word, i, 2))")).as("pair"))
-          .groupBy("pair").agg(sum("freq").as("merge_count"))
-          .orderBy(col("merge_count").desc, col("pair").asc)
-          .limit(20)
-      },
-      Some("""WITH words AS (
-             |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-             |  FROM (SELECT unnest(str_split(text, ' ')) AS word
-             |        FROM documents)
-             |  GROUP BY 1),
-             |pairs AS (
-             |  SELECT freq, unnest(list_transform(
-             |    range(1, length(word)),
-             |    i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
-             |  FROM words WHERE length(word) >= 2)
-             |SELECT pair, CAST(sum(freq) AS BIGINT) AS merge_count
-             |FROM pairs GROUP BY 1
-             |ORDER BY merge_count DESC, pair LIMIT 20""".stripMargin)),
-
-    // X37 n-gram LM fluency scoring — the perplexity-style quality signal
-    // (CCNet/Gopher filter on a small LM's score; Wenzek et al. 2020).
-    // The learned-model complement DIFFERENT from q120 (hashing-trick
-    // classifier: per-token weights, no context) and q123 (BM25: scores
-    // docs against a query): here the model is a bigram transition table
-    // TRAINED ON THE CORPUS ITSELF in the same job, and each doc is
-    // scored by its mean transition probability — repeated/templated text
-    // scores high, token-salad scores low. Semantics kept exact:
-    // P(r|l) = c(l,r)/c(l·) as the BIGINT fixed point (1e9·c12) DIV c1
-    // (integer floor division, no libm, no IEEE accumulation), so the
-    // per-doc sum Σ tf·p_fp is an exact BIGINT — q123's discipline.
-    // Scale shape: THREE aggs and ONE equi-join, nothing pairwise —
-    // (1) per-doc bigram tf (the only corpus-proportional explode,
-    // map-only into a combiner); (2) model c12 = Σ tf derived FROM the tf
-    // table (q103's df-from-tf lesson — one corpus explode total, the
-    // exchange is reused); (3) c1 = Σ c12 over the left token
-    // (vocab-sized input). The scoring join (doc bigrams ⋈ model) is an
-    // equi-join on the pair string — vocab²-bounded model side, SMJ at
-    // scale, never a nested loop; the model is NOT collected or
-    // broadcast-by-hand because at 100 TB it outgrows the driver.
-    Q("q125_lm_score",
-      (s, d) => bigramDocScores(s, d).orderBy("doc_id"),
-      Some(s"""WITH $bigramScoreSqlCtes
-             |SELECT doc_id, n_bigrams, score_fp
-             |FROM lmsc ORDER BY doc_id""".stripMargin)),
-
-    // X56 CCNet-style per-language fluency bucketing (Wenzek et al. 2020):
-    // docs split into head/middle/tail TERTILES of the LM score WITHIN
-    // their language — the standard curation move that keeps perplexity
-    // comparable across languages instead of letting high-resource
-    // languages crowd out the head. Score = q144's length-normalized mean
-    // bigram probability (score_fp DIV n_bigrams — exact BIGINT, q125's
-    // fixed point). Bucketing is BY VALUE: every doc with the same
-    // (lang, avg_fp) lands in the same bucket (ties never straddle a
-    // boundary, so the result is independent of any tie order), with the
-    // boundary rule 3·n_before < n / < 2n over docs strictly better.
-    // Scale shape — NO corpus-sized window anywhere: (1) per-doc scores
-    // (q125's three aggs + one equi-join); (2) aggregate to the DISTINCT
-    // (lang, avg_fp) value table; (3) cumulative doc counts over that
-    // table via ops/GlobalRank.prefixSum on the composite key
-    // lidx·2^32 + (2^32−1−avg_fp) — range-partitioned, every stage
-    // parallel (the q86 primitive); (4) per-lang offsets from the
-    // languages-cardinality totals table via a tiny non-equi self-join
-    // (no window, no index collect); (5) rollup to (lang, bucket).
-    Q("q144_ccnet_buckets",
-      (s, d) => {
-        import graft.ops.GlobalRank
-        val scored = bigramDocScores(s, d)
-          .withColumn("avg_fp", expr("score_fp DIV n_bigrams"))
-          .join(documents(s, d).select("doc_id", "lang"), "doc_id")
-        // materialized ONCE (localCheckpoint = the production write of the
-        // per-language score-distribution table): the prefix sum (an RDD
-        // subtree that cannot share exchanges), the per-lang totals, and
-        // the final bucket join all read this value table — the corpus is
-        // scored exactly once. Cardinality is value-space-bounded
-        // (≤ distinct avg_fp values), never corpus-sized.
-        val byVal = scored.groupBy("lang", "avg_fp")
-          .agg(count(lit(1)).as("n_v"), sum("n_bigrams").as("vol"))
-          .localCheckpoint(true)
-        val langs = byVal.select("lang").distinct()
-        val langIdx = langs.as("a")
-          .join(langs.as("b"), col("b.lang") < col("a.lang"), "left")
-          .groupBy(col("a.lang").as("lang"))
-          .agg(count(col("b.lang")).as("lidx"))
-        val keyed = byVal.join(broadcast(langIdx), "lang")
-          .withColumn("key",
-            expr("lidx * 4294967296L + (4294967295L - avg_fp)"))
-        val ps = GlobalRank.prefixSum(keyed, col("key"), col("n_v"))
-          .select(col("k"), col("cum_before"))
-        val totals = keyed.groupBy("lang", "lidx")
-          .agg(sum("n_v").as("n"))
-        val offsets = totals.as("a")
-          .join(totals.as("b"), col("b.lidx") < col("a.lidx"), "left")
-          .groupBy(col("a.lang").as("lang"), col("a.n").as("n"))
-          .agg(coalesce(sum(col("b.n")), lit(0L)).as("off"))
-        keyed.join(ps, col("key") === col("k"))
-          .join(broadcast(offsets), "lang")
-          .withColumn("n_before", col("cum_before") - col("off"))
-          .withColumn("bucket",
-            when(col("n_before") * 3 < col("n"), "head")
-              .when(col("n_before") * 3 < col("n") * 2, "middle")
-              .otherwise("tail"))
-          .groupBy("lang", "bucket")
-          .agg(sum("n_v").as("n_docs"), sum("vol").as("n_bigrams"),
-            min("avg_fp").as("min_fp"), max("avg_fp").as("max_fp"))
-          .orderBy("lang", "bucket")
-      },
-      Some(s"""WITH $bigramScoreSqlCtes,
-             |sc AS (
-             |  SELECT l2.doc_id, dd.lang, l2.n_bigrams,
-             |         l2.score_fp // l2.n_bigrams AS avg_fp
-             |  FROM lmsc l2 JOIN documents dd USING (doc_id)),
-             |v AS (
-             |  SELECT lang, avg_fp, CAST(count(*) AS BIGINT) AS n_v,
-             |         CAST(sum(n_bigrams) AS BIGINT) AS vol
-             |  FROM sc GROUP BY 1, 2),
-             |w AS (
-             |  SELECT lang, avg_fp, n_v, vol,
-             |    CAST(sum(n_v) OVER (PARTITION BY lang) AS BIGINT) AS n,
-             |    CAST(coalesce(sum(n_v) OVER (PARTITION BY lang
-             |      ORDER BY avg_fp DESC ROWS BETWEEN UNBOUNDED PRECEDING
-             |      AND 1 PRECEDING), 0) AS BIGINT) AS n_before
-             |  FROM v)
-             |SELECT lang,
-             |  CASE WHEN 3 * n_before < n THEN 'head'
-             |       WHEN 3 * n_before < 2 * n THEN 'middle'
-             |       ELSE 'tail' END AS bucket,
-             |  CAST(sum(n_v) AS BIGINT) AS n_docs,
-             |  CAST(sum(vol) AS BIGINT) AS n_bigrams,
-             |  CAST(min(avg_fp) AS BIGINT) AS min_fp,
-             |  CAST(max(avg_fp) AS BIGINT) AS max_fp
-             |FROM w GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin)),
-
-    // X40 split-leakage audit — the check every train/val/test split needs
-    // AFTER near-dup detection: a pair of near-duplicate documents whose
-    // members land in different hash-split partitions (q85's rule) leaks
-    // evaluation content into training. Candidates come from the SAME LSH
-    // band index the dedup tier maintains (bandPairs — never pairwise),
-    // so the audit is: candidate pairs ⋈ split labels, keep straddlers.
-    // Scale: the banded candidate set is duplicate-density-sized (tiny
-    // relative to the corpus), so it broadcasts to the split-label join —
-    // the corpus itself is scanned once for labels (a narrow doc_id
-    // projection; the split is a pure content-hash function, q85) and
-    // never shuffled. Candidates probe the PERSISTED band index
-    // (DedupPipeline.cachedFold — the same LayoutCache artifact q112
-    // dumps and q115 consumes), so the audit is the incremental form it
-    // documents: NO corpus re-shingle anywhere in the plan (PlanSpec
-    // gate); per-audit cost is the index self-join + one narrow label
-    // scan.
-    Q("q128_split_leakage",
-      (s, d) => {
-        val splits = documents(s, d).select(col("doc_id"),
-          when(QueriesCuration.bucket("split:") < 80, "train")
-            .when(QueriesCuration.bucket("split:") < 90, "val")
-            .otherwise("test").as("split"))
-        val pairs = bandPairsFrom(
-          graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
-        splits.select(col("doc_id").as("a_id"), col("split").as("a_split"))
-          .join(broadcast(pairs), Seq("a_id"))
-          .join(splits.select(col("doc_id").as("b_id"),
-            col("split").as("b_split")), Seq("b_id"))
-          .filter(col("a_split") =!= col("b_split"))
-          .select("a_id", "b_id", "a_split", "b_split")
-          .orderBy("a_id", "b_id")
-      },
-      Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
-        val splitCase =
-          s"""CASE WHEN ${QueriesCuration.bucketSql("split:")} < 80
-             |     THEN 'train'
-             |     WHEN ${QueriesCuration.bucketSql("split:")} < 90
-             |     THEN 'val' ELSE 'test' END""".stripMargin
-        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id),
-           |sp AS (SELECT doc_id, $splitCase AS split FROM documents)
-           |SELECT p.a_id, p.b_id, sa.split AS a_split, sb.split AS b_split
-           |FROM pairs p
-           |JOIN sp sa ON sa.doc_id = p.a_id
-           |JOIN sp sb ON sb.doc_id = p.b_id
-           |WHERE sa.split <> sb.split
-           |ORDER BY a_id, b_id""".stripMargin
-      }),
-
-    // X51 edit-distance verification stage — the PRECISION pass of the
-    // canonical two-stage fuzzy-dedup pipeline (LSH recall → exact
-    // verification; the structure every production near-dup system runs:
-    // band candidates are probabilistic, so each surviving pair is
-    // CONFIRMED by an exact character-level similarity before any doc is
-    // dropped). Candidates come from the PERSISTED band index
-    // (DedupPipeline.cachedFold — the X27 maintained-artifact contract,
-    // same as q128/q135/q138: no corpus re-shingle); verification is
-    // Spark's codegen'd levenshtein on the pair's two texts, normalized
-    // as exact ppm fixed point (1e6·(maxlen−dist) DIV maxlen — no IEEE
-    // division in a declared result). Pairs at ≥0.9 are verified dups;
-    // at sf0.01 this keeps 25 of 27 candidates and rejects exactly the 2
-    // band false-positives (sim ≈ 0.3) — the filter earning its place.
-    // Scale shape: cost = O(distinct unequal CONTENT pairs) · O(len²) —
-    // never corpus-pairwise, and invariant to exact-copy multiplicity
-    // (editSims computes each distinct content pair once and fans the
-    // verdict back out through the (doc → sha2) tags; measured at sf1
-    // this is ~250k ID pairs but ~270 levenshtein calls). At 100 TB the
-    // verification stage tracks near-duplicate content density, not
-    // corpus size and not copy counts — the production cost model.
-    Q("q139_editdist_verify",
-      (s, d) => editSims(s, d)
-        .filter(col("sim_ppm") >= 900000L)
-        .orderBy("a_id", "b_id"),
-      Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
-        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id),
-           |v AS (
-           |  SELECT p.a_id, p.b_id,
-           |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
-           |    CAST(greatest(len(da.text), len(db.text)) AS BIGINT)
-           |      AS max_len
-           |  FROM pairs p
-           |  JOIN documents da ON da.doc_id = p.a_id
-           |  JOIN documents db ON db.doc_id = p.b_id)
-           |SELECT a_id, b_id, edit_dist, max_len,
-           |  CAST((1000000 * (max_len - edit_dist)) // max_len AS BIGINT)
-           |    AS sim_ppm
-           |FROM v
-           |WHERE (1000000 * (max_len - edit_dist)) // max_len >= 900000
-           |ORDER BY a_id, b_id""".stripMargin
-      }),
-
-    // X57 dedup-threshold Pareto sweep — the curve a dedup run consults
-    // BEFORE fixing the similarity cutoff (the q139 verification stage's
-    // 0.9 is a choice, not a law): per 0.05-wide similarity bin, candidate
-    // pairs in the bin, plus — keyed on each LOSER doc's best similarity
-    // (keep-first rule: the larger doc_id of a pair is the one a dedup at
-    // that threshold drops) — docs removed, cumulative from the strictest
-    // bin down, and the corpus fraction that removal represents in exact
-    // ppm. "Cut at 0.90 removes 4.6% of docs" read directly off the
-    // result. Similarity is q139's exact character-level fixed point.
-    // Scale shape: candidates come from the PERSISTED band index
-    // (cachedFold — no corpus re-shingle) and BROADCAST into two narrow
-    // text probes (q139's shape); verification cost tracks DUPLICATE
-    // DENSITY; the ~20-row bin table is MATERIALIZED (q142's precedent)
-    // so the cumulative windows provably never see doc-sized input.
-    Q("q145_dedup_threshold_sweep",
-      (s, d) => {
-        val sims = editSims(s, d)
-          .withColumn("bin", expr("sim_ppm DIV 50000L"))
-        val pairBins = sims.groupBy("bin")
-          .agg(count(lit(1)).as("n_pairs"))
-        val loserBins = sims.groupBy("b_id")
-          .agg(max("sim_ppm").as("best"))
-          .withColumn("bin", expr("best DIV 50000L"))
-          .groupBy("bin").agg(count(lit(1)).as("n_docs"))
-        val nTot = documents(s, d).agg(count(lit(1)).as("n_corpus"))
-        val bins = pairBins.join(loserBins, Seq("bin"), "full_outer")
-          .select(col("bin"),
-            coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
-          .localCheckpoint(true)
-        val wCum = Window.orderBy(col("bin").desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        bins
-          .withColumn("thr_ppm", (col("bin") * 50000L).cast("long"))
-          .withColumn("cum_pairs", sum("n_pairs").over(wCum))
-          .withColumn("cum_docs_removed", sum("n_docs").over(wCum))
-          .crossJoin(broadcast(nTot))
-          .withColumn("removed_ppm",
-            expr("(1000000L * cum_docs_removed) DIV n_corpus"))
-          .select("thr_ppm", "n_pairs", "n_docs", "cum_pairs",
-            "cum_docs_removed", "removed_ppm")
-          .orderBy("thr_ppm")
-      },
-      Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
-        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id),
-           |sv AS (
-           |  SELECT p.a_id, p.b_id,
-           |    (1000000 * (greatest(len(da.text), len(db.text)) -
-           |       levenshtein(da.text, db.text))) //
-           |      greatest(len(da.text), len(db.text)) AS sim_ppm
-           |  FROM pairs p
-           |  JOIN documents da ON da.doc_id = p.a_id
-           |  JOIN documents db ON db.doc_id = p.b_id),
-           |pb AS (SELECT sim_ppm // 50000 AS bin,
-           |         CAST(count(*) AS BIGINT) AS n_pairs
-           |       FROM sv GROUP BY 1),
-           |lb AS (SELECT best // 50000 AS bin,
-           |         CAST(count(*) AS BIGINT) AS n_docs
-           |       FROM (SELECT b_id, max(sim_ppm) AS best
-           |             FROM sv GROUP BY 1) GROUP BY 1),
-           |nb AS (SELECT coalesce(pb.bin, lb.bin) AS bin,
-           |         CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
-           |         CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
-           |       FROM pb FULL JOIN lb ON pb.bin = lb.bin),
-           |c AS (SELECT bin, n_pairs, n_docs,
-           |    CAST(sum(n_pairs) OVER (ORDER BY bin DESC
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |      AS BIGINT) AS cum_pairs,
-           |    CAST(sum(n_docs) OVER (ORDER BY bin DESC
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           |      AS BIGINT) AS cum_docs
-           |  FROM nb),
-           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus
-           |      FROM documents)
-           |SELECT CAST(bin * 50000 AS BIGINT) AS thr_ppm, n_pairs, n_docs,
-           |  cum_pairs, cum_docs AS cum_docs_removed,
-           |  CAST((1000000 * cum_docs) // n_corpus AS BIGINT)
-           |    AS removed_ppm
-           |FROM c CROSS JOIN n ORDER BY thr_ppm""".stripMargin
-      }),
-
-    // X58 cross-source shingle-overlap matrix — the contamination /
-    // redundancy audit BETWEEN corpus sources (which crawls duplicate
-    // which, which curated set is already inside the web dump): for every
-    // source pair, the EXACT count of shared distinct 3-word shingles and
-    // the exact Jaccard in ppm fixed point. The pairwise-sources member of
-    // the dedup family: q122 sketches audience overlap (KMV, approximate,
-    // events); this is exact, content-granular, and the deliverable is the
-    // sources×sources matrix a mixing decision (q137) consults.
-    // Scale shape — nothing doc-pairwise, nothing source-pairwise over
-    // docs: one corpus shingle pass (q47's posexplode+lead window, per-doc
-    // partitions), ONE corpus-sized exchange to distinct (source, hash),
-    // then per-shingle source sets via collect_set BOUNDED by the source
-    // catalog (20 here; dataset catalogs are human-curated cardinality),
-    // pair expansion as a map-side double explode of those bounded arrays
-    // (≤ C(|sources|,2) rows per shingle), and a sources²-sized rollup.
-    // Sizes broadcast back. At 100 TB the only heavy stages are the scan
-    // and the (source, hash) distinct — both embarrassingly parallel.
-    Q("q146_source_overlap",
-      (s, d) => {
-        // ONE corpus pipeline feeds everything: the pair expansion keeps
-        // the DIAGONAL (src_a = src_b), whose count per source is exactly
-        // that source's distinct-shingle total — so intersection counts
-        // AND set sizes come out of a single sources²-bounded aggregate,
-        // materialized once (localCheckpoint = the production write of
-        // the overlap matrix, q137's precedent); the corpus is provably
-        // scanned once (the declared plan carries no file scan at all).
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val mat = fanOut(documents(s, d))
-          .select(col("doc_id"), col("source"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("source"),
-            (Scalars.tokenHash(
-              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
-          .distinct()
-          .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
-          .select(explode(col("ss")).as("src_a"), col("ss"))
-          .select(col("src_a"), explode(col("ss")).as("src_b"))
-          .filter(col("src_a") <= col("src_b"))
-          .groupBy("src_a", "src_b").agg(count(lit(1)).as("cnt"))
-          .localCheckpoint(true)
-        val sz = mat.filter(col("src_a") === col("src_b"))
-        mat.filter(col("src_a") < col("src_b"))
-          .withColumnRenamed("cnt", "inter")
-          .join(broadcast(sz.select(col("src_a"),
-            col("cnt").as("sz_a"))), Seq("src_a"))
-          .join(broadcast(sz.select(col("src_b"),
-            col("cnt").as("sz_b"))), Seq("src_b"))
-          .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
-          .withColumn("jac_ppm", expr("(1000000L * inter) DIV uni"))
-          .select("src_a", "src_b", "inter", "uni", "jac_ppm")
-          .orderBy("src_a", "src_b")
-      },
-      Some(s"""WITH t AS (SELECT source, $shinglesSql AS ws
-             |           FROM documents),
-             |th AS (SELECT source, unnest($tokenHashesSql) AS h FROM t),
-             |sh AS (SELECT DISTINCT source, h FROM th),
-             |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-             |       FROM sh GROUP BY 1),
-             |i AS (SELECT a.source AS src_a, b.source AS src_b,
-             |        CAST(count(*) AS BIGINT) AS inter
-             |      FROM sh a JOIN sh b
-             |        ON a.h = b.h AND a.source < b.source
-             |      GROUP BY 1, 2)
-             |SELECT src_a, src_b, inter,
-             |  CAST(za.n + zb.n - inter AS BIGINT) AS uni,
-             |  CAST((1000000 * inter) // (za.n + zb.n - inter) AS BIGINT)
-             |    AS jac_ppm
-             |FROM i
-             |JOIN sz za ON za.source = i.src_a
-             |JOIN sz zb ON zb.source = i.src_b
-             |ORDER BY src_a, src_b""".stripMargin)),
-
-    // X60 containment verification — the ASYMMETRIC member of the
-    // two-stage fuzzy-dedup family (Broder 1997 distinguishes resemblance
-    // from CONTAINMENT): Jaccard and edit-similarity (q139) both miss the
-    // doc-inside-doc case (a page quoting another wholesale, a chunk
-    // re-crawled inside a larger aggregation — union dominates the ratio),
-    // so each band candidate pair is verified by exact shingle containment
-    // of the SMALLER set: cont_ppm = 1e6·|S(A)∩S(B)| DIV min(|S(A)|,|S(B)|)
-    // — 1e6 exactly when one doc's shingles all occur in the other,
-    // regardless of how much bigger the other is. Exact integer fixed
-    // point; a verdict column applies the 0.9 cutoff without dropping the
-    // audit rows.
-    // Scale shape: candidates come from the PERSISTED band index
-    // (DedupPipeline.cachedFold — no corpus re-shingle for the pair list)
-    // and are BROADCAST; shingle sets are built ONLY for docs appearing in
-    // a candidate pair (broadcast semi-join prunes the corpus scan to
-    // duplicate-density rows before the explode), so the intersection
-    // equi-join on (doc, hash) carries candidate-doc shingles, never
-    // corpus shingles. At 100 TB every post-scan stage tracks duplicate
-    // density — the production verification cost model (q139's, with the
-    // shingle pass replacing the O(len²) edit distance).
-    Q("q147_containment_verify",
-      (s, d) => {
-        // Verification per DISTINCT CONTENT, not per doc (editSims'
-        // copy-invariance discipline): shingle sets are built for one
-        // representative per content appearing in a candidate pair, the
-        // set intersection runs once per distinct UNEQUAL content pair,
-        // equal-content pairs short-circuit to full containment, and
-        // the verdict fans back out through the (doc → content) tags.
-        val hashed = documents(s, d).select(col("doc_id"), col("text"),
-          sha2(col("text"), 256).as("ch"))
-        val pairs = bandPairsFrom(
-          graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
-        val withA = hashed
-          .select(col("doc_id").as("a_id"), col("ch").as("ca"))
-          .join(broadcast(pairs), Seq("a_id"))
-        val ab = hashed
-          .select(col("doc_id").as("b_id"), col("ch").as("cb"))
-          .join(broadcast(withA), Seq("b_id"))
-        val pcs = ab.select(col("ca").as("ch"))
-          .union(ab.select(col("cb"))).distinct()
-        val wch = Window.partitionBy("ch").orderBy("doc_id")
-        val w = Window.partitionBy("ch").orderBy("pos")
-        val sh = fanOut(hashed.join(broadcast(pcs), Seq("ch"))
-          .withColumn("rn", row_number().over(wch))
-          .filter(col("rn") === 1)
-          .select(col("ch"), col("text")))
-          .select(col("ch"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("ch"),
-            (Scalars.tokenHash(
-              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
-          .distinct()
-          .localCheckpoint(true)
-        val sz = sh.groupBy("ch").agg(count(lit(1)).as("n"))
-        val cp = ab.filter(col("ca") =!= col("cb"))
-          .select("ca", "cb").distinct()
-        val inter = sh.select(col("ch").as("ca"), col("h"))
-          .join(broadcast(cp), Seq("ca"))
-          .join(sh.select(col("ch").as("cb"), col("h")), Seq("cb", "h"))
-          .groupBy("ca", "cb").agg(count(lit(1)).as("i"))
-        ab
-          .join(broadcast(sz.select(col("ch").as("ca"),
-            col("n").as("sz_a"))), Seq("ca"))
-          .join(broadcast(sz.select(col("ch").as("cb"),
-            col("n").as("sz_b"))), Seq("cb"))
-          .join(broadcast(inter), Seq("ca", "cb"), "left")
-          .withColumn("inter",
-            when(col("ca") === col("cb"), col("sz_a"))
-              .otherwise(coalesce(col("i"), lit(0L))))
-          .withColumn("cont_ppm",
-            expr("(1000000L * inter) DIV least(sz_a, sz_b)"))
-          .withColumn("is_dup", (col("cont_ppm") >= 900000L).cast("int"))
-          .select("a_id", "b_id", "inter", "sz_a", "sz_b", "cont_ppm",
-            "is_dup")
-          .orderBy("a_id", "b_id")
-      },
-      Some {
-        def h(i: Int): String = minhashSqlExpr(
-          MinhashAB(i)._1, MinhashAB(i)._2)
-        s"""WITH t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
-           |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
-           |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
-           |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),
-           |bands AS (
-           |  SELECT doc_id, ('b0-' || h0 || '-' || h1) AS band_key FROM sig
-           |  UNION ALL
-           |  SELECT doc_id, ('b1-' || h2 || '-' || h3) AS band_key FROM sig),
-           |pairs AS (
-           |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM bands a JOIN bands b ON a.band_key = b.band_key
-           |  WHERE a.doc_id < b.doc_id),
-           |shu AS (SELECT doc_id, unnest(hs) AS h FROM th),
-           |shd AS (SELECT DISTINCT doc_id, h FROM shu),
-           |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
-           |       FROM shd GROUP BY 1),
-           |i AS (
-           |  SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT) AS inter
-           |  FROM pairs p
-           |  JOIN shd a ON a.doc_id = p.a_id
-           |  JOIN shd b ON b.doc_id = p.b_id AND b.h = a.h
-           |  GROUP BY 1, 2)
-           |SELECT p.a_id, p.b_id,
-           |  CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
-           |  za.n AS sz_a, zb.n AS sz_b,
-           |  CAST((1000000 * coalesce(i.inter, 0)) // least(za.n, zb.n)
-           |    AS BIGINT) AS cont_ppm,
-           |  CAST(CASE WHEN (1000000 * coalesce(i.inter, 0))
-           |    // least(za.n, zb.n) >= 900000 THEN 1 ELSE 0 END AS INT)
-           |    AS is_dup
-           |FROM pairs p
-           |LEFT JOIN i ON i.a_id = p.a_id AND i.b_id = p.b_id
-           |JOIN sz za ON za.doc_id = p.a_id
-           |JOIN sz zb ON zb.doc_id = p.b_id
-           |ORDER BY p.a_id, p.b_id""".stripMargin
-      }),
-
-    // X61 winnowing fingerprints (Schleimer et al. 2003, the MOSS
-    // algorithm) — the GUARANTEE-bearing local fingerprinting scheme the
-    // coarse family (q46 global min-hash fingerprints, q97 fixed 16-token
-    // spans, q127/q129 chunk fingerprints) lacks: from each window of
-    // w=4 consecutive 3-gram rolling hashes keep the minimum (rightmost
-    // on ties — the paper's density rule), which PROVABLY fingerprints
-    // every shared substring of ≥ w+k−1 = 6 tokens while storing ~2/(w+1)
-    // of positions. Docs sharing ≥2 selected fingerprints are local-
-    // overlap candidates. The rightmost-min selection is made relational
-    // (and cross-engine exact) by packing (hash, position) into ONE
-    // BIGINT: key = h·2^20 + (2^20−1−pos) — min(key) over the w-row frame
-    // is min hash THEN max position, and the selected hash is key DIV
-    // 2^20. (pos < 2^20: a 100 TB corpus chunks docs long before 1M
-    // tokens — q127.)
-    // Scale shape: one corpus scan; per-doc windows (frame of 4, doc-
-    // partitioned — never corpus-wide); fingerprints are 8-byte longs, so
-    // the only corpus-sized exchange carries (doc_id, fp). The pair stage
-    // applies MOSS's own boilerplate rule BEFORE joining: a window count
-    // over fp keeps only fingerprints shared by 2..8 docs (df=1 can't
-    // pair; df>8 is boilerplate someone should read, not O(df²) pairs to
-    // emit), so the self-join input is duplicate-density-sized, never
-    // corpus-sized.
-    Q("q149_winnow_fingerprints",
-      (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val wf = Window.partitionBy("doc_id").orderBy("pos")
-          .rowsBetween(Window.currentRow, 3)
-        val wd = Window.partitionBy("doc_id")
-        val wfp = Window.partitionBy("fp")
-        val fps = fanOut(documents(s, d))
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("doc_id"), col("pos"),
-            (Scalars.tokenHash(
-              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
-          .withColumn("max_pos", max("pos").over(wd))
-          .withColumn("min_key",
-            min(col("h") * 1048576L + (lit(1048575L) - col("pos")))
-              .over(wf))
-          .filter(col("pos") <= col("max_pos") - 3)
-          .select(col("doc_id"), expr("min_key DIV 1048576L").as("fp"))
-          .distinct()
-        val shared = fps
-          .withColumn("df", count(lit(1)).over(wfp))
-          .filter(col("df") >= 2 && col("df") <= 8)
-          .select("doc_id", "fp")
-        shared.select(col("doc_id").as("a_id"), col("fp"))
-          .join(shared.select(col("doc_id").as("b_id"), col("fp")),
-            Seq("fp"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared_fps"))
-          .filter(col("shared_fps") >= 2)
-          .orderBy("a_id", "b_id")
-      },
-      Some(s"""WITH t AS (
-             |  SELECT doc_id, str_split(text, ' ') AS toks
-             |  FROM documents),
-             |kg AS (
-             |  SELECT doc_id, i - 1 AS pos,
-             |    (('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
-             |       || toks[i+2]), 1, 15))::BIGINT % $P) AS h
-             |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
-             |  WHERE len(toks) >= 3),
-             |keyed AS (
-             |  SELECT doc_id, pos,
-             |    max(pos) OVER (PARTITION BY doc_id) AS max_pos,
-             |    min(h * 1048576 + (1048575 - pos)) OVER (
-             |      PARTITION BY doc_id ORDER BY pos
-             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS min_key
-             |  FROM kg),
-             |fps AS (
-             |  SELECT DISTINCT doc_id, min_key // 1048576 AS fp
-             |  FROM keyed WHERE pos <= max_pos - 3),
-             |keep AS (
-             |  SELECT fp FROM fps GROUP BY fp
-             |  HAVING count(*) BETWEEN 2 AND 8),
-             |p AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |    CAST(count(*) AS BIGINT) AS shared_fps
-             |  FROM fps a
-             |  JOIN keep k ON k.fp = a.fp
-             |  JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2)
-             |SELECT a_id, b_id, shared_fps FROM p
-             |WHERE shared_fps >= 2 ORDER BY a_id, b_id""".stripMargin)),
-
-    // X64 per-source content novelty — the per-source scalar the q146
-    // overlap MATRIX implies (and the number a mixing decision actually
-    // plugs in): what fraction of a source's distinct 3-shingles occurs
-    // in NO other source (exact ppm)? High novelty = the source
-    // contributes content nothing else covers; low = it's redundant with
-    // the rest of the mix and its q137 weight is buying duplicates.
-    // Scale shape — q146's pipeline with a spread count instead of pair
-    // expansion: one corpus shingle pass (per-doc windows), then ONE
-    // corpus-sized exchange on the shingle hash; the (source, h) dedup
-    // aggregates IN PLACE on that partitioning (hash(h) clusters every
-    // (h, source) pair), the per-hash source-spread is a count window
-    // over h on the SAME partitioning (sort only, no exchange, no join,
-    // groups bounded by the source catalog), and the rollup is
-    // sources-many groups. The corpus is shingled exactly once.
-    Q("q152_source_novelty",
-      (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val sh = fanOut(documents(s, d))
-          .select(col("doc_id"), col("source"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("source"),
-            (Scalars.tokenHash(
-              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
-          .repartition(col("h"))
-          .dropDuplicates("source", "h")
-        sh.withColumn("nsrc",
-            count(lit(1)).over(Window.partitionBy("h")))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_unique"))
-          .withColumn("novelty_ppm",
-            expr("(1000000L * n_unique) DIV n_shingles"))
-          .select("source", "n_shingles", "n_unique", "novelty_ppm")
-          .orderBy("source")
-      },
-      Some(s"""WITH t AS (SELECT source, $shinglesSql AS ws
-             |           FROM documents),
-             |th AS (SELECT source, unnest($tokenHashesSql) AS h FROM t),
-             |sh AS (SELECT DISTINCT source, h FROM th),
-             |sp AS (SELECT h, CAST(count(*) AS BIGINT) AS nsrc
-             |       FROM sh GROUP BY 1)
-             |SELECT source,
-             |  CAST(count(*) AS BIGINT) AS n_shingles,
-             |  CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_unique,
-             |  CAST((1000000 * sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END))
-             |    // count(*) AS BIGINT) AS novelty_ppm
-             |FROM sh JOIN sp USING (h)
-             |GROUP BY source ORDER BY source""".stripMargin)),
-
-    // X62 boilerplate n-gram miner — the REPORT behind every line/span
-    // removal rule (C4 dropped repeated lines, CCNet hashes paragraphs;
-    // both decisions start from "what text recurs across documents?"):
-    // the top-20 5-gram spans by corpus occurrence count among those
-    // appearing in ≥3 DISTINCT docs, with their doc frequency and the
-    // span text — the list a curator reads before writing a removal
-    // pattern (navigation chrome, license headers, templated footers).
-    // Scale shape: one corpus scan + stride-1 5-gram explode (per-doc
-    // lead windows — the q130 machinery); all aggregation keys on the
-    // 8-byte token hash, never the span text (the text rides along as a
-    // min() measure through map-side partial aggs — one string per hash
-    // per partition, not per occurrence); doc frequency is a two-phase
-    // (hash, doc)-distinct count; the report reduces via
-    // TakeOrderedAndProject (per-partition top-k + K-row driver merge,
-    // never a global sort). Hash collisions merge gram groups
-    // identically in both engines (same md5-derived hash), so the
-    // result stays cross-engine exact.
-    Q("q150_boilerplate_ngrams",
-      (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val grams = fanOut(documents(s, d))
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .withColumn("w3", lead("w", 3).over(w))
-          .withColumn("w4", lead("w", 4).over(w))
-          .filter(col("w4").isNotNull)
-          .select(col("doc_id"),
-            concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
-              col("w4")).as("gram"))
-          .withColumn("g", Scalars.tokenHash(col("gram")) % P)
-        val occ = grams.groupBy("g")
-          .agg(count(lit(1)).as("n_occ"), min("gram").as("gram"))
-        val df = grams.select("g", "doc_id").distinct()
-          .groupBy("g").agg(count(lit(1)).as("n_docs"))
-        occ.join(df, Seq("g"))
-          .filter(col("n_docs") >= 3)
-          .select("gram", "n_occ", "n_docs")
-          .orderBy(col("n_occ").desc, col("gram"))
-          .limit(20)
-      },
-      Some(s"""WITH t AS (
-             |  SELECT doc_id, str_split(text, ' ') AS toks
-             |  FROM documents),
-             |g AS (
-             |  SELECT doc_id,
-             |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
-             |      || toks[i+3] || ' ' || toks[i+4] AS gram
-             |  FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
-             |  WHERE len(toks) >= 5),
-             |h AS (
-             |  SELECT doc_id, gram,
-             |    (('0x' || substr(md5(gram), 1, 15))::BIGINT % $P) AS hh
-             |  FROM g),
-             |occ AS (
-             |  SELECT hh, CAST(count(*) AS BIGINT) AS n_occ,
-             |    min(gram) AS gram
-             |  FROM h GROUP BY 1),
-             |df AS (
-             |  SELECT hh, CAST(count(*) AS BIGINT) AS n_docs
-             |  FROM (SELECT DISTINCT hh, doc_id FROM h) GROUP BY 1)
-             |SELECT occ.gram, occ.n_occ, df.n_docs
-             |FROM occ JOIN df ON df.hh = occ.hh
-             |WHERE df.n_docs >= 3
-             |ORDER BY occ.n_occ DESC, occ.gram LIMIT 20""".stripMargin)),
-
-    // X68 near-dup keep-policy audit — the A/B evidence behind the "which
-    // copy do we keep?" dedup decision (pipelines variously keep the
-    // longest, the highest-quality, or an arbitrary-stable member of each
-    // duplicate family): for each of three deterministic policies —
-    // a_longest (n_chars DESC), b_best_quality (X50 fixed-point score
-    // DESC), c_min_id (doc_id ASC), all tie-broken by doc_id — keep one
-    // representative per near-dup cluster of the MAINTAINED index and
-    // report the retained corpus: kept docs, kept tokens, and mean kept
-    // quality (exact integer fixed point). The deltas between rows are
-    // exactly what the policy buys (e.g. b vs c = the quality uplift of
-    // quality-aware keeping at identical doc count).
-    // Scale shape: labels come from the PERSISTED dedup index
-    // (DedupPipeline.cachedFold — the q115/q128/q135 maintained-artifact
-    // contract, no closure rebuild); the doc features + labels join are
-    // materialized ONCE (localCheckpoint = the production write, q137
-    // precedent) and each policy is then ONE partial+final agg per
-    // cluster using max(struct(...)) — the argmax-by-ordered-tuple form:
-    // associative, map-side combinable, no per-cluster window, no
-    // pairwise anything. Three cluster-sized aggs + a 3-row union.
-    Q("q158_keep_policy",
-      (s, d) => {
-        val labels = graft.pipelines.DedupPipeline.cachedFold(s, d).labels
-        val docs = documents(s, d).select(col("doc_id"), col("n_chars"),
-          size(split(col("text"), " ")).cast("long").as("ntok"),
-          floor(lit(1e6) *
-            (least(size(split(col("text"), " ")).cast("double") / 100.0,
-              lit(1.0)) * 0.5 +
-             length(regexp_replace(col("text"), "[^a-z]", ""))
-               .cast("double") / length(col("text")) * 0.5)).as("q_fp"))
-        val labeled = docs
-          .join(labels.select(col("v").as("doc_id"), col("component")),
-            Seq("doc_id"), "left")
-          .withColumn("cluster", coalesce(col("component"), col("doc_id")))
-          .localCheckpoint(true)
-        def pick(policy: String, o1: Column, o2: Column) =
-          labeled.groupBy("cluster")
-            .agg(max(struct(o1.as("o1"), o2.as("o2"),
-              col("q_fp").as("q_fp"), col("ntok").as("ntok"))).as("w"))
-            .agg(count(lit(1)).as("kept_docs"),
-              sum(col("w.ntok")).as("kept_tok"),
-              sum(col("w.q_fp")).as("sum_q"))
-            .select(lit(policy).as("policy"), col("kept_docs"),
-              col("kept_tok"), expr("sum_q DIV kept_docs").as("mean_q_fp"))
-        pick("a_longest", col("n_chars"), -col("doc_id"))
-          .unionAll(pick("b_best_quality", col("q_fp"), -col("doc_id")))
-          .unionAll(pick("c_min_id", -col("doc_id"), lit(0L)))
-          .orderBy("policy")
-      },
-      Some {
-        val qFp = "CAST(floor(1e6 * (" +
-          "least(CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)" +
-          " * 0.5 + (CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))" +
-          " AS DOUBLE) / length(text)) * 0.5)) AS BIGINT)"
-        s"""WITH RECURSIVE
-           |$closureSqlCtes,
-           |docs AS (
-           |  SELECT doc_id, n_chars,
-           |    CAST(len(str_split(text, ' ')) AS BIGINT) AS ntok,
-           |    $qFp AS q_fp
-           |  FROM documents),
-           |lab AS (
-           |  SELECT d.doc_id, d.n_chars, d.ntok, d.q_fp,
-           |    coalesce(c.component, d.doc_id) AS cluster
-           |  FROM docs d LEFT JOIN comp c ON c.v = d.doc_id),
-           |k1 AS (SELECT cluster, q_fp, ntok, row_number() OVER (
-           |    PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC)
-           |    AS rn FROM lab),
-           |k2 AS (SELECT cluster, q_fp, ntok, row_number() OVER (
-           |    PARTITION BY cluster ORDER BY q_fp DESC, doc_id ASC)
-           |    AS rn FROM lab),
-           |k3 AS (SELECT cluster, q_fp, ntok, row_number() OVER (
-           |    PARTITION BY cluster ORDER BY doc_id ASC) AS rn FROM lab),
-           |p1 AS (SELECT 'a_longest' AS policy,
-           |    CAST(count(*) AS BIGINT) AS kept_docs,
-           |    CAST(sum(ntok) AS BIGINT) AS kept_tok,
-           |    CAST(sum(q_fp) // count(*) AS BIGINT) AS mean_q_fp
-           |  FROM k1 WHERE rn = 1),
-           |p2 AS (SELECT 'b_best_quality', CAST(count(*) AS BIGINT),
-           |    CAST(sum(ntok) AS BIGINT),
-           |    CAST(sum(q_fp) // count(*) AS BIGINT)
-           |  FROM k2 WHERE rn = 1),
-           |p3 AS (SELECT 'c_min_id', CAST(count(*) AS BIGINT),
-           |    CAST(sum(ntok) AS BIGINT),
-           |    CAST(sum(q_fp) // count(*) AS BIGINT)
-           |  FROM k3 WHERE rn = 1)
-           |SELECT * FROM p1 UNION ALL SELECT * FROM p2
-           |UNION ALL SELECT * FROM p3 ORDER BY policy""".stripMargin
-      }),
-
-    // X69 hard-negative mining — the contrastive-training data op: for
-    // each anchor vector, the top-k most-SIMILAR vectors carrying a
-    // DIFFERENT label. These near-miss negatives are what make an
-    // embedding model learn fine distinctions (in-batch random
-    // negatives are trivially far); every retrieval/embedding training
-    // pipeline mines them from the corpus it trains on. Same contract
-    // as q41/q118: the anchor set is bounded (|anchors| ≪ corpus) and
-    // BROADCAST, the corpus is scanned once with norms materialized
-    // behind an exchange (computed once per vector, not per pair), the
-    // label disequality rides the broadcast join condition (which also
-    // excludes self — same label), and per-anchor top-k is a window
-    // over anchors-many partitions, never corpus-partitioned. At 100 TB
-    // the corpus side stays a single map-side pass; for anchor sets too
-    // large to broadcast, the q54/q117 IVF cell-blocking is the
-    // escalation path (same re-rank form, cell-bounded candidates).
-    Q("q161_hard_negatives",
-      (s, d) => {
-        val e = embeddings(s, d)
-          .select(col("vec_id"), col("label"), col("embedding"),
-            norm(col("embedding")).as("nrm"))
-          .repartition(col("vec_id"))
-        val q = e.filter(col("vec_id") < 3)
-          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-            col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("vec_id").asc)
-        e.join(broadcast(q), col("label") =!= col("q_label"))
-          .withColumn("cos",
-            dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("q_id"), col("rn"), col("vec_id"),
-            col("label").as("neg_label"), round(col("cos"), 6).as("cos_sim"))
-          .orderBy("q_id", "rn")
-      },
-      Some(s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label,
-              |            embedding AS q_emb
-              |           FROM embeddings WHERE vec_id < 3),
-              |pairs AS (
-              |  SELECT q_id, vec_id, label,
-              |    ${cosSql("embedding", "q_emb")} AS cos
-              |  FROM embeddings, q WHERE label <> q_label),
-              |scored AS (
-              |  SELECT q_id, vec_id, label, cos,
-              |    row_number() OVER (PARTITION BY q_id
-              |      ORDER BY cos DESC, vec_id ASC) AS rn
-              |  FROM pairs)
-              |SELECT q_id, CAST(rn AS INT) AS rn, vec_id,
-              |       label AS neg_label, round(cos, 6) AS cos_sim
-              |FROM scored WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin)),
-
-    // X71 canonical-influence ranking — iterative graph analytics
-    // BEYOND connected components: 5 power iterations of PageRank
-    // (d = 0.85) over the undirected LSH candidate graph (q53's band
-    // pairs), surfacing the most-connected documents of the near-dup
-    // neighborhood as canonical-pick candidates (a graph-centrality
-    // alternative to q158's longest/best-quality keep policies: the
-    // copy every other variant is closest to). Exactness contract: the
-    // whole iteration is INTEGER ppm arithmetic — contribution =
-    // r DIV deg, update = 150000 + (850000·Σcontrib) DIV 1e6 — so five
-    // rounds of float summation (whose accumulation order neither
-    // engine pins) never occur; both engines converge to identical
-    // longs. Scale shape: edges come from the band equi-join (never
-    // pairwise); each iteration is one src equi-join + one dst
-    // partial+final agg — linear in edges, fixed 5 rounds; the edge
-    // table with degrees is localCheckpointed once and reused by all
-    // rounds; top-20 via TakeOrdered, never a global sort.
-    Q("q167_pagerank_canon",
-      (s, d) => {
-        val pairs = contractedPairs(s, d)
-        val edges = pairs
-          .select(col("a_id").as("src"), col("b_id").as("dst"))
-          .unionByName(pairs
-            .select(col("b_id").as("src"), col("a_id").as("dst")))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        val ed = edges.join(deg, "src").localCheckpoint(true)
-        var ranks = deg.select(col("src").as("id"),
-          lit(1000000L).as("r"))
-        for (_ <- 1 to 5) {
-          ranks = ed.join(ranks, col("id") === col("src"))
-            .select(col("dst"), expr("r DIV deg").as("c"))
-            .groupBy("dst").agg(sum(col("c")).as("cs"))
-            .select(col("dst").as("id"),
-              (lit(150000L) + expr("(850000 * cs) DIV 1000000")).as("r"))
-        }
-        ranks.orderBy(col("r").desc, col("id").asc).limit(20)
-          .select(col("id").as("doc_id"), col("r").as("rank_ppm"))
-      },
-      Some {
-        val iters = (1 to 5).map { k =>
-          s"""r$k AS (SELECT e.dst AS id,
-             |  CAST(150000 + (850000 * sum(r${k - 1}.r // e.deg))
-             |    // 1000000 AS BIGINT) AS r
-             |  FROM e JOIN r${k - 1} ON r${k - 1}.id = e.src
-             |  GROUP BY e.dst)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH $contractedPairsSqlCtes,
-           |edges0 AS (SELECT a_id AS src, b_id AS dst FROM pairs
-           |  UNION ALL SELECT b_id, a_id FROM pairs),
-           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-           |  FROM edges0 GROUP BY src),
-           |e AS (SELECT edges0.src AS src, edges0.dst AS dst, deg.deg
-           |  FROM edges0 JOIN deg ON edges0.src = deg.src),
-           |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r
-           |  FROM deg),
-           |$iters
-           |SELECT id AS doc_id, r AS rank_ppm FROM r5
-           |ORDER BY rank_ppm DESC, doc_id ASC LIMIT 20""".stripMargin
-      }),
-
-    // X72 triangle census of the near-dup candidate graph — motif
-    // analytics beyond q92's connected components and q167's
-    // centrality: a node whose neighborhood CLOSES (high local
-    // clustering = triangles/possible wedge pairs) sits in a dense
-    // template family (boilerplate farm, mirror ring — safe to collapse
-    // aggressively), while a high-degree node with NO closure is a hub
-    // stitching unrelated docs (usually an LSH band collision —
-    // collapse would over-merge; q158's keep policies need the
-    // distinction). Exactness: triangle counts and the closure ratio
-    // closure_ppm = 2e6·tri DIV (deg·(deg−1)) are all-integer. Scale
-    // shape: the a<b<c enumeration is TWO equi-joins on node ids over
-    // the contracted edge table (bounded by LSH band collisions, never
-    // corpus-pairwise; the contraction kills the O(copies²) verbatim
-    // cliques) — each triangle is built exactly once from its ordered
-    // vertex triple; per-node counts via explode + partial+final agg;
-    // top-20 via TakeOrdered, never a global sort.
-    Q("q170_triangle_census",
-      (s, d) => {
-        val pairs = contractedPairs(s, d).localCheckpoint(true)
-        val deg = pairs.select(col("a_id").as("node"))
-          .unionByName(pairs.select(col("b_id").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-        val tri = pairs.as("ab")
-          .join(pairs.as("bc"), col("ab.b_id") === col("bc.a_id"))
-          .join(pairs.as("ac"),
-            col("ab.a_id") === col("ac.a_id") &&
-              col("bc.b_id") === col("ac.b_id"))
-          .select(col("ab.a_id").as("x"), col("ab.b_id").as("y"),
-            col("bc.b_id").as("z"))
-        val triN = tri
-          .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-          .groupBy("node").agg(count(lit(1)).as("tri"))
-        deg.join(triN, Seq("node"), "left")
-          .withColumn("tri", coalesce(col("tri"), lit(0L)))
-          .withColumn("closure_ppm", when(col("deg") >= 2,
-            expr("(2000000 * tri) DIV (deg * (deg - 1))"))
-            .otherwise(lit(0L)))
-          .orderBy(col("tri").desc, col("node").asc).limit(20)
-          .select(col("node").as("doc_id"), col("deg"), col("tri"),
-            col("closure_ppm"))
-      },
-      Some(s"""WITH $contractedPairsSqlCtes,
-              |tr AS (
-              |  SELECT ab.a_id AS x, ab.b_id AS y, bc.b_id AS z
-              |  FROM pairs ab
-              |  JOIN pairs bc ON ab.b_id = bc.a_id
-              |  JOIN pairs ac ON ab.a_id = ac.a_id AND bc.b_id = ac.b_id),
-              |nodes AS (SELECT a_id AS node FROM pairs
-              |  UNION ALL SELECT b_id FROM pairs),
-              |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
-              |  FROM nodes GROUP BY node),
-              |tn0 AS (SELECT x AS node FROM tr
-              |  UNION ALL SELECT y FROM tr UNION ALL SELECT z FROM tr),
-              |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
-              |  FROM tn0 GROUP BY node)
-              |SELECT deg.node AS doc_id, deg.deg,
-              |  CAST(coalesce(tn.tri, 0) AS BIGINT) AS tri,
-              |  CAST(CASE WHEN deg.deg >= 2
-              |    THEN (2000000 * coalesce(tn.tri, 0))
-              |      // (deg.deg * (deg.deg - 1))
-              |    ELSE 0 END AS BIGINT) AS closure_ppm
-              |FROM deg LEFT JOIN tn ON tn.node = deg.node
-              |ORDER BY tri DESC, doc_id ASC LIMIT 20""".stripMargin)),
-
-    // X73 positional phrase search — the retrieval primitive behind
-    // "find every document containing this exact phrase": the corpus's
-    // top trigram is mined first (the phrase is DATA-derived for
-    // reproducibility — occurrence count over distinct texts, gram-asc
-    // tiebreak), then every document containing it is reported with its
-    // per-document occurrence count. Both stages consume ONE stride-1
-    // per-doc trigram stream (q150's lead-window machinery) built over
-    // DISTINCT CONTENT and localCheckpointed once; verbatim copies get
-    // their counts back through the content-hash fan-out join (the
-    // copy-invariant rule — at sf1 the stream is 10× smaller than the
-    // corpus). All aggregation keys are the 8-byte md5 token hash (the
-    // gram text rides as a min() measure); the match is a 1-row
-    // broadcast equi-join against the stream — never a corpus-wide
-    // LIKE/contains scan, which cannot use an index and re-reads every
-    // byte of text per phrase.
-    Q("q172_phrase_search",
-      (s, d) => {
-        val withH = documents(s, d).select(col("doc_id"),
-          sha2(col("text"), 256).as("h"))
-        val dtext = documents(s, d).select(col("text")).distinct()
-          .select(sha2(col("text"), 256).as("h"), col("text"))
-        val w = Window.partitionBy("h").orderBy("pos")
-        val grams = fanOut(dtext)
-          .select(col("h"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
-          .withColumn("w1", lead("wd", 1).over(w))
-          .withColumn("w2", lead("wd", 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("h"),
-            concat_ws(" ", col("wd"), col("w1"), col("w2")).as("gram"))
-          .withColumn("g", Scalars.tokenHash(col("gram")) % P)
-          .localCheckpoint(true)
-        val top = grams.groupBy("g")
-          .agg(count(lit(1)).as("n_occ"), min("gram").as("gram"))
-          .orderBy(col("n_occ").desc, col("gram").asc).limit(1)
-        val hits = grams.join(broadcast(top.select("g")), "g")
-          .groupBy("h").agg(count(lit(1)).as("n_occ"))
-        withH.join(hits, "h")
-          .crossJoin(broadcast(top.select("gram")))
-          .select(col("doc_id"), col("gram"), col("n_occ"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH dt AS (SELECT DISTINCT text FROM documents),
-              |t AS (SELECT text, str_split(text, ' ') AS toks FROM dt),
-              |g AS (
-              |  SELECT text,
-              |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
-              |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
-              |  WHERE len(toks) >= 3),
-              |h AS (
-              |  SELECT text, gram,
-              |    (('0x' || substr(md5(gram), 1, 15))::BIGINT % $P) AS gg
-              |  FROM g),
-              |top AS (
-              |  SELECT gg, CAST(count(*) AS BIGINT) AS n_occ,
-              |    min(gram) AS gram
-              |  FROM h GROUP BY 1
-              |  ORDER BY n_occ DESC, gram LIMIT 1),
-              |hits AS (
-              |  SELECT h.text, CAST(count(*) AS BIGINT) AS n_occ
-              |  FROM h JOIN top USING (gg) GROUP BY 1)
-              |SELECT d.doc_id, top.gram, hits.n_occ
-              |FROM documents d
-              |JOIN hits ON hits.text = d.text
-              |CROSS JOIN top
-              |ORDER BY d.doc_id""".stripMargin)),
-
-    // X74 embedding cluster-separation audit — pairwise cosine between
-    // per-label centroid vectors: the check run before trusting labels
-    // (or cluster assignments) for stratified sampling, hard-negative
-    // mining (q161), or SemDeDup cluster pruning (q119) — two labels
-    // whose centroids cosine near ±1 are not separable classes, so
-    // per-label quotas would be double-counting one population.
-    // Exactness contract: each component is quantized to integer
-    // thousandths (floor(e·1000) — float→double cast is exact), so the
-    // per-(label, dim) component sums, the pairwise dot, and the norm
-    // squares are ALL-INTEGER (DECIMAL(38,0) accumulation — a double
-    // sum would be accumulation-order-dependent); cosine scale-
-    // invariance means centroid division by n cancels, so the SUM
-    // vector stands in for the centroid exactly. OUTPUT BOUND: the
-    // final dot→BIGINT cast is exact only while |dot| < 2⁶³ ≈ 9.2e18.
-    // With 64 dims and |qv| ≤ 1000, |sv| ≤ n·1000 per (label, dim)
-    // (n = rows per label) so |dot| ≤ 64·(n_a·1000)·(n_b·1000) =
-    // 6.4e7·n_a·n_b, which breaches 2⁶³ only once n_a·n_b > 1.4e11 —
-    // i.e. ~3.8e5 rows PER LABEL balanced — ~190× the sf1 per-label
-    // population (~2 000). Past it Spark's non-ANSI cast NULLs silently while
-    // DuckDB errors — widen the output column to DECIMAL (or string)
-    // and cast only the ppm if label populations ever approach that.
-    // The one double step —
-    // signed cos² ppm = ±floor(1e6·dot²/(naa·nbb)) — divides identical
-    // exact integers cast to identical doubles in both engines.
-    // Scale shape: corpus-sized work is ONE scan + a 64-way posexplode
-    // absorbed by a map-side partial agg to (labels × dims) rows;
-    // everything after runs on that tiny table (self-join on dim,
-    // labels²-sized output). No per-pair corpus work anywhere.
-    Q("q173_centroid_cosine",
-      (s, d) => {
-        val sums = embeddings(s, d)
-          .select(col("label"),
-            posexplode(col("embedding")).as(Seq("dim", "e")))
-          .select(col("label"), col("dim"),
-            floor(col("e").cast("double") * 1000).cast("long").as("qv"))
-          .groupBy("label", "dim")
-          .agg(sum(col("qv").cast("decimal(38,0)")).as("sv"))
-          .localCheckpoint(true)
-        val n2 = sums.groupBy("label")
-          .agg(sum(col("sv") * col("sv")).as("nn"))
-        val ratio = (lit(1e6) *
-          (col("dot").cast("double") * col("dot").cast("double")) /
-          (col("naa").cast("double") * col("nbb").cast("double")))
-        sums.as("a").join(sums.as("b"),
-            col("a.dim") === col("b.dim") &&
-              col("a.label") < col("b.label"))
-          .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
-          .agg(sum(col("a.sv") * col("b.sv")).as("dot"))
-          .join(n2.select(col("label").as("la"), col("nn").as("naa")),
-            Seq("la"))
-          .join(n2.select(col("label").as("lb"), col("nn").as("nbb")),
-            Seq("lb"))
-          .select(col("la"), col("lb"),
-            col("dot").cast("long").as("dot"),
-            when(col("dot") >= 0, floor(ratio))
-              .otherwise(-floor(ratio)).cast("long").as("cos2_ppm"))
-          .orderBy("la", "lb")
-      },
-      Some("""WITH q AS (
-             |  SELECT label, i AS dim,
-             |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
-             |      AS BIGINT) AS qv
-             |  FROM embeddings,
-             |    unnest(range(1, len(embedding) + 1)) AS u(i)),
-             |s AS (SELECT label, dim, sum(qv) AS sv FROM q GROUP BY 1, 2),
-             |n2 AS (SELECT label, sum(sv * sv) AS nn FROM s GROUP BY 1),
-             |p AS (SELECT a.label AS la, b.label AS lb,
-             |    sum(a.sv * b.sv) AS dot
-             |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
-             |  GROUP BY 1, 2)
-             |SELECT p.la, p.lb, CAST(p.dot AS BIGINT) AS dot,
-             |  CAST(CASE WHEN p.dot >= 0 THEN
-             |    floor(1e6 * (CAST(p.dot AS DOUBLE) * CAST(p.dot AS DOUBLE))
-             |      / (CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)))
-             |  ELSE
-             |    -floor(1e6 * (CAST(p.dot AS DOUBLE) * CAST(p.dot AS DOUBLE))
-             |      / (CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)))
-             |  END AS BIGINT) AS cos2_ppm
-             |FROM p
-             |JOIN n2 na ON na.label = p.la
-             |JOIN n2 nb ON nb.label = p.lb
-             |ORDER BY la, lb""".stripMargin)),
-
-    // X75 EXACT set-similarity self-join via prefix filtering (SSJoin,
-    // Chaudhuri et al. 2006; All-Pairs, Bayardo et al. 2007) — the
-    // exact complement of the probabilistic LSH band path (X2b): every
-    // pair of distinct texts with 3-shingle-set Jaccard ≥ 0.6, with NO
-    // false negatives (the prefix-filter theorem: under any global
-    // token order, two sets with J ≥ τ must share a token among each
-    // side's first |x| − ⌈τ·|x|⌉ + 1 tokens) and no false positives
-    // (exact intersection verify on candidates). LSH trades recall for
-    // speed; this is the audit/ground-truth tier run on samples or on
-    // blocked subsets. All integer: the threshold test is the
-    // ppm-floored Jaccard (equivalent to 5·I ≥ 3·(na+nb−I)).
-    // Scale shape: contract to DISTINCT CONTENT first (text rides one
-    // h-keyed partial agg as a min() measure — the q150 rule); the
-    // candidate join is over PREFIX postings ordered rarest-first
-    // (df asc — the order minimizing candidate count), never all-pairs;
-    // the per-doc rank window is doc-sized; verification joins full
-    // shingle arrays only for candidate ids.
-    Q("q174_setsim_prefix",
-      (s, d) => {
-        val base = documents(s, d)
-          .select(sha2(col("text"), 256).as("hk"), col("doc_id"),
-            col("text"))
-          .groupBy("hk")
-          .agg(min("doc_id").as("id"), min("text").as("text"))
-        val sets = fanOut(base)
-          .select(col("id"),
-            Scalars.shingles3(split(col("text"), " ")).as("sh"))
-          .localCheckpoint(true)
-        val post = sets.select(col("id"), size(col("sh")).as("n"),
-          explode(col("sh")).as("tok"))
-        val dfreq = post.groupBy("tok").agg(count(lit(1)).as("dfreq"))
-        val w = Window.partitionBy("id").orderBy(col("dfreq"), col("tok"))
-        val pref = post.join(dfreq, "tok")
-          .withColumn("rn", row_number().over(w))
-          .filter(expr("rn <= n - (3 * n + 4) DIV 5 + 1"))
-          .select("id", "tok", "rn", "n")
-        // PPJoin candidate pruning (Xiao et al. 2008) on top of the
-        // prefix join: the LENGTH filter (J ≥ 0.6 forces
-        // 5·min(na,nb) ≥ 3·max(na,nb)) and the POSITIONAL filter (the
-        // overlap still reachable past match positions (i, j) is
-        // 1 + min(na−i, nb−j), which must reach the equivalent-overlap
-        // threshold α = ⌈3(na+nb)/8⌉). Measured at sf0.1: 299k → 69k
-        // candidates for the same 25-pair result.
-        val cand = pref.as("a").join(pref.as("b"),
-            col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-              expr("5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)") &&
-              expr("1 + least(a.n - a.rn, b.n - b.rn) >= " +
-                "(3 * (a.n + b.n) + 7) DIV 8"))
-          .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-          .distinct()
-        cand
-          .join(sets.select(col("id").as("a_id"), col("sh").as("sa")),
-            "a_id")
-          .join(sets.select(col("id").as("b_id"), col("sh").as("sb")),
-            "b_id")
-          .select(col("a_id"), col("b_id"),
-            size(array_intersect(col("sa"), col("sb"))).cast("long")
-              .as("i"),
-            size(col("sa")).cast("long").as("na"),
-            size(col("sb")).cast("long").as("nb"))
-          .withColumn("jacc_ppm", expr("(1000000 * i) DIV (na + nb - i)"))
-          .filter(col("jacc_ppm") >= 600000)
-          .select("a_id", "b_id", "jacc_ppm")
-          .orderBy("a_id", "b_id")
-      },
-      Some(s"""WITH dt AS (
-              |  SELECT min(doc_id) AS id, text FROM documents
-              |  GROUP BY text),
-              |sets AS (SELECT id, $shinglesSql AS sh FROM dt),
-              |post AS (SELECT id, unnest(sh) AS tok FROM sets),
-              |dfreq AS (SELECT tok, count(*) AS dfreq FROM post
-              |  GROUP BY tok),
-              |rk AS (
-              |  SELECT post.id, post.tok, row_number() OVER (
-              |    PARTITION BY post.id ORDER BY dfreq.dfreq, post.tok)
-              |    AS rn
-              |  FROM post JOIN dfreq USING (tok)),
-              |sz AS (SELECT id, len(sh) AS n FROM sets),
-              |pref AS (
-              |  SELECT rk.id, rk.tok, rk.rn, sz.n FROM rk JOIN sz USING (id)
-              |  WHERE rn <= n - (3 * n + 4) // 5 + 1),
-              |cand AS (
-              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
-              |  FROM pref a JOIN pref b
-              |    ON a.tok = b.tok AND a.id < b.id
-              |    AND 5 * least(a.n, b.n) >= 3 * greatest(a.n, b.n)
-              |    AND 1 + least(a.n - a.rn, b.n - b.rn)
-              |      >= (3 * (a.n + b.n) + 7) // 8),
-              |v AS (
-              |  SELECT a_id, b_id,
-              |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS i,
-              |    CAST(len(sa.sh) AS BIGINT) AS na,
-              |    CAST(len(sb.sh) AS BIGINT) AS nb
-              |  FROM cand
-              |  JOIN sets sa ON sa.id = cand.a_id
-              |  JOIN sets sb ON sb.id = cand.b_id)
-              |SELECT a_id, b_id,
-              |  CAST((1000000 * i) // (na + nb - i) AS BIGINT) AS jacc_ppm
-              |FROM v WHERE (1000000 * i) // (na + nb - i) >= 600000
-              |ORDER BY a_id, b_id""".stripMargin)),
-
-    // X77 label propagation over the near-dup candidate graph (Raghavan
-    // et al. 2007, 2 synchronous rounds, deterministic majority with
-    // (count DESC, label ASC) tiebreak) — the source-coherence audit of
-    // near-dup communities: seed every node with its source label; if
-    // neighborhoods converge to single source labels, duplication is
-    // intra-source (dedup can shard by source); nodes that FLIP source
-    // are mirror/syndication edges (X58's cross-source matrix at node
-    // granularity). Exactness: counts are integers, the argmax is the
-    // associative min(struct(−cnt, label)) — no window, no
-    // nondeterministic first().
-    // Scale shape: the graph is contracted to one node per DISTINCT
-    // TEXT (the X71/X72 rule); each round is one edge⋈labels equi-join
-    // + two partial+final aggs over the checkpointed edge list — fixed
-    // round count, monotone shuffle volume, q167's cost class.
-    Q("q176_label_propagation",
-      (s, d) => {
-        val pairs = contractedPairs(s, d)
-        val edges = pairs
-          .select(col("a_id").as("src"), col("b_id").as("dst"))
-          .unionByName(pairs
-            .select(col("b_id").as("src"), col("a_id").as("dst")))
-          .localCheckpoint(true)
-        val init = edges.select(col("src").as("id")).distinct()
-          .join(documents(s, d)
-            .select(col("doc_id").as("id"), col("source").as("lbl")),
-            "id")
-          .localCheckpoint(true)
-        def propagate(cur: org.apache.spark.sql.DataFrame) =
-          edges.join(cur.select(col("id").as("dst"), col("lbl")), "dst")
-            .groupBy(col("src"), col("lbl"))
-            .agg(count(lit(1)).as("cnt"))
-            .groupBy(col("src"))
-            .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("lbl")))
-              .as("m"))
-            .select(col("src").as("id"), col("m.lbl").as("lbl"))
-        val fin = propagate(propagate(init))
-        fin.join(init.select(col("id"), col("lbl").as("lbl0")), "id")
-          .groupBy(col("lbl"))
-          .agg(count(lit(1)).as("n_nodes"),
-            sum(when(col("lbl") =!= col("lbl0"), 1L).otherwise(0L))
-              .as("n_converted"))
-          .orderBy("lbl")
-      },
-      Some(s"""WITH $contractedPairsSqlCtes,
-              |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-              |  UNION ALL SELECT b_id, a_id FROM pairs),
-              |init AS (
-              |  SELECT n.id, d.source AS lbl
-              |  FROM (SELECT DISTINCT src AS id FROM edges) n
-              |  JOIN documents d ON d.doc_id = n.id),
-              |c1 AS (SELECT e.src, i.lbl, count(*) AS cnt
-              |  FROM edges e JOIN init i ON i.id = e.dst GROUP BY 1, 2),
-              |l1 AS (SELECT src AS id, lbl FROM (
-              |  SELECT src, lbl, row_number() OVER (PARTITION BY src
-              |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c1)
-              |  WHERE rn = 1),
-              |c2 AS (SELECT e.src, i.lbl, count(*) AS cnt
-              |  FROM edges e JOIN l1 i ON i.id = e.dst GROUP BY 1, 2),
-              |l2 AS (SELECT src AS id, lbl FROM (
-              |  SELECT src, lbl, row_number() OVER (PARTITION BY src
-              |    ORDER BY cnt DESC, lbl ASC) AS rn FROM c2)
-              |  WHERE rn = 1)
-              |SELECT l2.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
-              |  CAST(sum(CASE WHEN l2.lbl != init.lbl THEN 1 ELSE 0 END)
-              |    AS BIGINT) AS n_converted
-              |FROM l2 JOIN init ON init.id = l2.id
-              |GROUP BY l2.lbl ORDER BY l2.lbl""".stripMargin)),
-
-    // X79 mutual nearest-neighbor mining — pairs of vectors that are
-    // each other's top-1 cosine neighbor within their sign-LSH bucket:
-    // the margin-free reciprocal-NN criterion parallel-corpus and
-    // paired-data mining uses (a one-directional NN is often a hub
-    // artifact; mutuality is the cheap symmetric filter). Determinism:
-    // top-1 is (cos DESC, vec_id ASC) — and within a bucket the max-cos
-    // pair is always mutual, so every ≥2-member bucket yields at least
-    // one pair.
-    // Scale shape: contract to DISTINCT VECTORS first (min-id
-    // representative — verbatim embedding copies from exact-dup docs
-    // otherwise make every copy's top-1 its own twin at cos 1.0,
-    // drowning genuine neighbors AND growing bucket pair counts with
-    // copies²: the q119 copy-invariant rule in embedding space;
-    // measured 3.9 s → sf0.1-flat at sf1). Then q51's bucket contract —
-    // candidate pairs exist ONLY within the 8-bit sign bucket
-    // (equi-join, never all-pairs; at production scale the bit-width
-    // dials bucket size down as the corpus grows), norms materialized
-    // once behind the scan; the top-1 window is per-vector over its
-    // bucket-bounded candidates; mutuality is a self-join of the tiny
-    // top-1 table on the reversed id pair.
-    Q("q179_mutual_nn",
-      (s, d) => {
-        val bucket = (0 until 8).map { j =>
-          when(element_at(col("embedding"), j + 1) > 0f, lit(1 << j))
-            .otherwise(0)
-        }.reduce(_ + _)
-        val distinctVecs = embeddings(s, d)
-          .groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
-        val e = withNorm(distinctVecs)
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            bucket.as("bucket"))
-        val cand = e.as("a").join(e.as("b"),
-            col("a.bucket") === col("b.bucket") &&
-              col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("id"), col("b.vec_id").as("nb"),
-            (dot(col("a.embedding"), col("b.embedding")) /
-              (col("a.nrm") * col("b.nrm"))).as("cos"))
-        val w = Window.partitionBy("id")
-          .orderBy(col("cos").desc, col("nb").asc)
-        val top1 = cand.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).select("id", "nb")
-        top1.as("x").join(top1.as("y"),
-            col("x.id") === col("y.nb") && col("x.nb") === col("y.id") &&
-              col("x.id") < col("x.nb"))
-          .select(col("x.id").as("a_id"), col("x.nb").as("b_id"))
-          .orderBy("a_id", "b_id")
-      },
-      Some {
-        val bSql = (0 until 8).map { j =>
-          s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""WITH dv AS (SELECT min(vec_id) AS vec_id, embedding
-           |            FROM embeddings GROUP BY embedding),
-           |e AS (SELECT vec_id, embedding, ($bSql) AS bucket FROM dv),
-           |cand AS (
-           |  SELECT a.vec_id AS id, b.vec_id AS nb,
-           |    ${cosSql("a.embedding", "b.embedding")} AS cos
-           |  FROM e a JOIN e b ON a.bucket = b.bucket
-           |    AND a.vec_id <> b.vec_id),
-           |top1 AS (
-           |  SELECT id, nb FROM (
-           |    SELECT id, nb, row_number() OVER (PARTITION BY id
-           |      ORDER BY cos DESC, nb ASC) AS rn FROM cand)
-           |  WHERE rn = 1)
-           |SELECT x.id AS a_id, x.nb AS b_id
-           |FROM top1 x JOIN top1 y
-           |  ON x.id = y.nb AND x.nb = y.id AND x.id < x.nb
-           |ORDER BY a_id, b_id""".stripMargin
-      }),
-
-    // X81 corpus novelty curve — per ingest batch (the q112 doc_id%3
-    // batch stand-in for daily crawls), the fraction of the batch's
-    // DISTINCT shingles never seen in any earlier batch: the signal a
-    // crawl-ops team watches to decide when a source is mined out
-    // (novelty → 0 means new crawls re-fetch old content; the
-    // batch-axis complement of X64's source-axis novelty). Integer
-    // counts + ppm via DIV.
-    // Scale shape: per-doc shingles are map-side; everything reduces
-    // through ONE exchange keyed on the shingle hash — the (shingle,
-    // batch)-distinct agg and the per-shingle first-batch min both run
-    // on that partitioning (q152's single-exchange contract); the
-    // rollup is batches-many rows. Shingle TEXT never shuffles (8-byte
-    // tokenHash keys, collision-merged identically in both engines).
-    Q("q185_novelty_curve",
-      (s, d) => {
-        // fanOut: local single-row-group parquet scans are 1 task and
-        // the shingle explode is per-row-heavy (the q150/q166 lesson)
-        val byH = fanOut(documents(s, d))
-          .select((col("doc_id") % 3).as("batch"),
-            explode(Scalars.shingles3(split(col("text"), " "))).as("sh"))
-          .select(col("batch"), (Scalars.tokenHash(col("sh")) % P).as("h"))
-          // ONE h-keyed exchange: the ≤3-element batch set per shingle
-          // replaces distinct + first-batch agg + join (3 exchanges)
-          .groupBy("h").agg(collect_set(col("batch")).as("batches"))
-        byH.select(array_min(col("batches")).as("first_batch"),
-            explode(col("batches")).as("batch"))
-          .groupBy("batch")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("first_batch") === col("batch"), 1L)
-              .otherwise(0L)).as("n_new"))
-          .select(col("batch"), col("n_shingles"), col("n_new"),
-            expr("(1000000 * n_new) DIV n_shingles").as("novelty_ppm"))
-          .orderBy("batch")
-      },
-      Some(s"""WITH t AS (
-              |  SELECT doc_id % 3 AS batch, $shinglesSql AS ws
-              |  FROM documents),
-              |sb AS (
-              |  SELECT DISTINCT batch,
-              |    (('0x' || substr(md5(s.sh), 1, 15))::BIGINT % $P) AS h
-              |  FROM t, unnest(ws) AS s(sh)),
-              |f AS (SELECT h, min(batch) AS first_batch FROM sb GROUP BY h)
-              |SELECT sb.batch, CAST(count(*) AS BIGINT) AS n_shingles,
-              |  CAST(sum(CASE WHEN f.first_batch = sb.batch THEN 1
-              |    ELSE 0 END) AS BIGINT) AS n_new,
-              |  CAST((1000000 * sum(CASE WHEN f.first_batch = sb.batch
-              |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
-              |    AS novelty_ppm
-              |FROM sb JOIN f USING (h)
-              |GROUP BY sb.batch ORDER BY sb.batch""".stripMargin))
-  )
+  /** The text extension tier registry — split by family in round 11
+    * (QueriesTextDedup / QueriesTextAnn / QueriesTextAnalysis /
+    * QueriesTextGraphMedia); this object keeps the shared machinery
+    * (hash families, signatures, band joins, contraction, cosine) that
+    * the family files and pipelines/ import. Lazy so object init runs
+    * helpers-first, never re-entering during family construction.
+    */
+  lazy val all: Seq[Q] = QueriesTextDedup.all ++ QueriesTextAnn.all ++
+    QueriesTextAnalysis.all ++ QueriesTextGraphMedia.all
 }

@@ -1073,7 +1073,73 @@ object QueriesTime {
              |    AND tsn - last_click <= 604800000000000
              |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS attach_ppm
              |FROM lc WHERE kind = 1
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T30 event-sequence pattern matching — ClickHouse's sequenceMatch
+    // family (the reference engine exposes sequenceMatch/sequenceCount
+    // as first-class; funnels T12/T20 are its fixed-shape special
+    // cases): per user, the event-type stream ordered by (ts, event_id)
+    // is rendered as a 1-char-per-event string (initials c/e/p/s/v are
+    // distinct for the 5 types) and matched against regex patterns —
+    // 'sp' (purchase immediately after signup), 's[^c]*p' (signup to
+    // purchase with no intervening click), 's.*p' (eventual). Regexes
+    // stay in the dialect intersection of Java regex and RE2 (literals,
+    // '.', '[^x]', '*') so Spark rlike and DuckDB regexp_matches agree
+    // by construction. Match sets nest (adjacent ⊆ clean ⊆ eventual) —
+    // the invariant spec pins it.
+    // Scale shape: ONE partial+final agg builds each user's sequence
+    // (collect_list merges across partials; per-user event counts are
+    // the bounded per-user-state class every window op here shares, 1
+    // byte per event); the three matches are a map-side projection over
+    // users-many rows; the rollup is one more tiny agg unpivoted with
+    // stack(). No window, no join, nothing corpus-sized past the agg.
+    Q("q190_sequence_match",
+      (s, d) => {
+        val seqs = events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ini"))
+          .groupBy("user_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("ini")))),
+            x => x.getField("ini")), "").as("sq"))
+        val m = seqs.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("sq").rlike("sp"), 1L).otherwise(0L))
+            .as("adjacent"),
+          sum(when(col("sq").rlike("s[^c]*p"), 1L).otherwise(0L))
+            .as("clean"),
+          sum(when(col("sq").rlike("s.*p"), 1L).otherwise(0L))
+            .as("eventual"))
+        m.select(expr("stack(3, 'adjacent', adjacent, 'clean', clean, " +
+            "'eventual', eventual) AS (pattern, n_match)"),
+            col("n_users"))
+          .select(col("pattern"), col("n_match"),
+            expr("(1000000 * n_match) DIV n_users").as("match_ppm"))
+          .orderBy("pattern")
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |      ORDER BY epoch_ns(ts), event_id) AS sq
+             |  FROM events GROUP BY user_id),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(CASE WHEN regexp_matches(sq, 'sp')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS adjacent,
+             |    CAST(sum(CASE WHEN regexp_matches(sq, 's[^c]*p')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS clean,
+             |    CAST(sum(CASE WHEN regexp_matches(sq, 's.*p')
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS eventual
+             |  FROM s)
+             |SELECT p.pattern, p.n_match,
+             |  CAST((1000000 * p.n_match) // m.n_users AS BIGINT)
+             |    AS match_ppm
+             |FROM m, (
+             |  SELECT 'adjacent' AS pattern, adjacent AS n_match FROM m
+             |  UNION ALL SELECT 'clean', clean FROM m
+             |  UNION ALL SELECT 'eventual', eventual FROM m) p
+             |ORDER BY p.pattern""".stripMargin))
   )
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.

