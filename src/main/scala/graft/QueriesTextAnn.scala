@@ -646,5 +646,71 @@ object QueriesTextAnn {
            |  ON x.id = y.nb AND x.nb = y.id AND x.id < x.nb
            |ORDER BY a_id, b_id""".stripMargin
       }),
+
+    // X86 int8 embedding-quantization audit — the compression decision
+    // every billion-vector ANN index makes (float32 → int8 per-channel
+    // affine quantization, 4× memory; PQ's X26 cousin with exact
+    // per-value error accounting): per DIMENSION, the corpus min/max,
+    // the derived integer scale, and the worst/mean reconstruction
+    // error — shipped BEFORE swapping the serving index to int8, since
+    // one heavy-tailed channel can blow the recall budget. ALL-INTEGER:
+    // components are milli-quantized exactly (floor(e·1000) — q173's
+    // trick), scale = ceil((max−min)/255) via (max−min+254) DIV 255,
+    // code = (qv−min) DIV scale ∈ [0,255], recon = min + code·scale +
+    // scale DIV 2, so err ≤ scale DIV 2 is a THEOREM the spec asserts —
+    // no float rounding anywhere, both engines replay bit-exactly.
+    // Scale shape: two passes over one posexplode of the embedding
+    // column (per-dim min/max partial agg → 64-row broadcast → map-side
+    // code/err → per-dim max/sum partial agg); nothing corpus-sized
+    // survives either agg; embeddings never shuffle.
+    Q("q194_int8_quant_audit",
+      (s, d) => {
+        val q = embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim0", "e")))
+          .select((col("dim0") + 1).cast("long").as("dim"),
+            floor(col("e").cast("double") * 1000).cast("long").as("qv"))
+        val rng = q.groupBy("dim")
+          .agg(min("qv").as("vmin"), max("qv").as("vmax"))
+          .withColumn("scale",
+            greatest(lit(1L), expr("(vmax - vmin + 254) DIV 255")))
+        q.join(broadcast(rng), "dim")
+          .withColumn("code", expr("(qv - vmin) DIV scale"))
+          .withColumn("err",
+            abs(col("qv") -
+              (col("vmin") + col("code") * col("scale") +
+                expr("scale DIV 2"))))
+          .groupBy("dim")
+          .agg(min("vmin").as("vmin"), min("vmax").as("vmax"),
+            min("scale").as("scale"),
+            max("err").as("max_err"),
+            count(lit(1)).as("n"),
+            sum("err").as("sum_err"))
+          .select(col("dim"), col("vmin"), col("vmax"), col("scale"),
+            col("max_err"),
+            expr("(1000 * sum_err) DIV n").as("mean_err_milli"))
+          .orderBy("dim")
+      },
+      Some("""WITH q AS (
+             |  SELECT CAST(i AS BIGINT) AS dim,
+             |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+             |      AS BIGINT) AS qv
+             |  FROM embeddings,
+             |    unnest(range(1, len(embedding) + 1)) AS u(i)),
+             |rng AS (
+             |  SELECT dim, min(qv) AS vmin, max(qv) AS vmax,
+             |    greatest(1, (max(qv) - min(qv) + 254) // 255) AS scale
+             |  FROM q GROUP BY dim),
+             |coded AS (
+             |  SELECT q.dim, rng.vmin, rng.vmax, rng.scale,
+             |    abs(q.qv - (rng.vmin
+             |      + ((q.qv - rng.vmin) // rng.scale) * rng.scale
+             |      + rng.scale // 2)) AS err
+             |  FROM q JOIN rng ON rng.dim = q.dim)
+             |SELECT dim, min(vmin) AS vmin, min(vmax) AS vmax,
+             |  min(scale) AS scale,
+             |  CAST(max(err) AS BIGINT) AS max_err,
+             |  CAST((1000 * sum(err)) // count(*) AS BIGINT)
+             |    AS mean_err_milli
+             |FROM coded GROUP BY dim ORDER BY dim""".stripMargin)),
   )
 }

@@ -1338,5 +1338,104 @@ object QueriesTextDedup {
              |    - count(DISTINCT canon_h))) // count(DISTINCT raw_h)
              |    AS BIGINT) AS uplift_ppm
              |FROM h GROUP BY source ORDER BY source""".stripMargin)),
+
+    // X87 boilerplate strip accounting — X62 (q150) MINES the shared
+    // 5-grams; this op prices actually REMOVING them: every token
+    // position covered by any boilerplate 5-gram occurrence (df ≥ 3
+    // docs — q150's threshold) is marked, overlapping occurrences
+    // counted once, and the per-source report says how many tokens a
+    // strip pass would delete and how many docs it touches — the
+    // removal-cost audit run before a C4-style cleanup rewrites a
+    // 100 TB corpus. All-integer; the gram set is hash-keyed (the
+    // md5-family hash both engines replay).
+    // Scale shape: grams build map-side behind fanOut with per-doc
+    // lead windows (q150's shape); the mined gram set reduces to a
+    // boilerplate-vocabulary-sized table that BROADCASTS into the
+    // occurrence semi-join (boilerplate vocab is bounded by design —
+    // it is the content that repeats verbatim across docs); coverage
+    // positions explode 5-wide from occurrences only, dedup through
+    // one (doc, pos) distinct, and the rollup is sources-many rows.
+    Q("q195_boilerplate_strip",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = fanOut(documents(s, d))
+          .select(col("source"), col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val grams = toks
+          .withColumn("w1", lead("tok", 1).over(w))
+          .withColumn("w2", lead("tok", 2).over(w))
+          .withColumn("w3", lead("tok", 3).over(w))
+          .withColumn("w4", lead("tok", 4).over(w))
+          .filter(col("w4").isNotNull)
+          .select(col("source"), col("doc_id"), col("pos"),
+            (Scalars.tokenHash(concat_ws(" ", col("tok"), col("w1"),
+              col("w2"), col("w3"), col("w4"))) % QueriesText.P).as("g"))
+        val boiler = grams.select("g", "doc_id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 3)
+          .select("g")
+        val covered = grams
+          .join(broadcast(boiler), "g")
+          .select(col("source"), col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 4)).as("cpos"))
+          .distinct()
+        val perDoc = covered.groupBy("source", "doc_id")
+          .agg(count(lit(1)).as("n_removed"))
+        val totals = toks.groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("doc_id")).as("n_docs"))
+        totals.join(
+            perDoc.groupBy("source")
+              .agg(sum("n_removed").as("n_removed"),
+                count(lit(1)).as("n_docs_touched")),
+            Seq("source"), "left")
+          .select(col("source"), col("n_tokens"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            expr("(1000000 * coalesce(n_removed, 0L)) DIV n_tokens")
+              .as("removal_ppm"),
+            coalesce(col("n_docs_touched"), lit(0L))
+              .as("n_docs_touched"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source, doc_id, str_split(text, ' ') AS toks
+              |  FROM documents),
+              |tok AS (
+              |  SELECT source, doc_id, CAST(i - 1 AS BIGINT) AS pos
+              |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+              |g AS (
+              |  SELECT source, doc_id, CAST(i - 1 AS BIGINT) AS pos,
+              |    (('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+              |      || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]),
+              |      1, 15))::BIGINT % ${QueriesText.P}) AS gh
+              |  FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
+              |  WHERE len(toks) >= 5),
+              |boiler AS (
+              |  SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+              |  GROUP BY gh HAVING count(*) >= 3),
+              |covered AS (
+              |  SELECT DISTINCT g.source, g.doc_id, g.pos + o.k AS cpos
+              |  FROM g JOIN boiler USING (gh),
+              |    unnest(range(0, 5)) AS o(k)),
+              |per_doc AS (
+              |  SELECT source, doc_id, CAST(count(*) AS BIGINT)
+              |    AS n_removed
+              |  FROM covered GROUP BY 1, 2),
+              |tot AS (
+              |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+              |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              |  FROM tok GROUP BY source),
+              |rem AS (
+              |  SELECT source, CAST(sum(n_removed) AS BIGINT)
+              |      AS n_removed,
+              |    CAST(count(*) AS BIGINT) AS n_docs_touched
+              |  FROM per_doc GROUP BY source)
+              |SELECT tot.source, tot.n_tokens,
+              |  coalesce(rem.n_removed, 0) AS n_removed,
+              |  CAST((1000000 * coalesce(rem.n_removed, 0))
+              |    // tot.n_tokens AS BIGINT) AS removal_ppm,
+              |  coalesce(rem.n_docs_touched, 0) AS n_docs_touched
+              |FROM tot LEFT JOIN rem ON rem.source = tot.source
+              |ORDER BY tot.source""".stripMargin)),
   )
 }

@@ -121,6 +121,68 @@ class SequenceCdcMixInvariantSpec extends SparkSpec {
         "uplift arithmetic would be wrong")
   }
 
+  test("q194 int8 quantization: the err <= scale DIV 2 theorem holds on " +
+      "every dimension, codes stay in [0, 255], and one dim recomputes") {
+    val got = Queries.byName("q194_int8_quant_audit").build(spark, sf)
+      .collect()
+    assert(got.length == 64, s"expected 64 dims, got ${got.length}")
+    got.foreach { r =>
+      val (dim, vmin, vmax, scale, maxErr) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(vmin <= vmax, s"dim $dim: min > max")
+      assert(scale >= 1 && (vmax - vmin) <= scale * 255L,
+        s"dim $dim: scale $scale cannot cover [$vmin, $vmax] in 8 bits")
+      assert(maxErr <= scale / 2,
+        s"dim $dim: max_err $maxErr breaks the <= scale DIV 2 theorem")
+    }
+    // driver-side recompute of dim 1
+    val qv = Tables.embeddings(spark, sf)
+      .select(floor(element_at(col("embedding"), 1).cast("double") * 1000)
+        .cast("long").as("qv"))
+      .collect().map(_.getLong(0))
+    val (vmin, vmax) = (qv.min, qv.max)
+    val scale = math.max(1L, (vmax - vmin + 254) / 255)
+    val maxErr = qv.map { v =>
+      val code = (v - vmin) / scale
+      math.abs(v - (vmin + code * scale + scale / 2))
+    }.max
+    val r1 = got.find(_.getLong(0) == 1L).get
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) ==
+      ((vmin, vmax, scale, maxErr)), "dim 1 disagrees with recompute")
+  }
+
+  test("q195 strips exactly the planted shared 5-gram, overlaps counted " +
+      "once, untouched sources report zero") {
+    val got = Queries.byName("q195_boilerplate_strip").build(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nTok, nRem, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nRem >= 0 && nRem <= nTok && ppm >= 0 && ppm <= 1000000L)
+    }
+    // handcrafted: 3 docs share one 5-gram ("b1..b5") with distinct
+    // tails; a 4th doc has no shared gram. Each sharing doc loses
+    // exactly the 5 covered positions; the lone doc loses nothing.
+    val dir = Files.createTempDirectory("strip").toString
+    val gram = "b1 b2 b3 b4 b5"
+    val mk = (id: Long, tail: String) => {
+      val text = s"$gram $tail"
+      (id, text, "en", if (id <= 3) "shared" else "lone",
+        text.length.toLong)
+    }
+    Seq(mk(1, "x1 x2 x3"), mk(2, "y1 y2 y3"), mk(3, "z1 z2 z3"),
+        (4L, "a1 a2 a3 a4 a5 a6 a7 a8", "en", "lone", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hand = Queries.byName("q195_boilerplate_strip").build(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(hand("shared") == ((24L, 15L, 3L)),
+      s"shared source: ${hand("shared")} != (24 tokens, 15 removed, 3 docs)")
+    assert(hand("lone") == ((8L, 0L, 0L)),
+      s"lone source: ${hand("lone")} != (8 tokens, 0 removed, 0 docs)")
+  }
+
   test("q193 quartile counts are flat: sum to n_s, spread <= 1 per source") {
     val got = Queries.byName("q193_interleaved_mix").build(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
