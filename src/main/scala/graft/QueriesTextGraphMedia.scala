@@ -361,5 +361,67 @@ object QueriesTextGraphMedia {
           .orderBy("doc_id")
       },
       None),
+
+    // X88 2-core decomposition of the near-dup candidate graph (fixed
+    // 8-round peel) — the degeneracy view the component/centrality/
+    // closure ops (X18/X71/X72) don't give: nodes surviving iterated
+    // removal of degree-<2 nodes sit on CYCLES of the candidate graph
+    // (mutually corroborated near-dup structure — safe to collapse
+    // aggressively), while peeled nodes hang off trees (single
+    // uncorroborated band collisions — the over-merge risk X72 flags
+    // by closure). DECLARED SEMANTICS: exactly 8 peel rounds — peeling
+    // is idempotent at its fixpoint, so whenever the fixpoint arrives
+    // within 8 rounds (it does at every tested sf; the invariant spec
+    // asserts a 9th peel changes nothing) the result IS the true
+    // 2-core, and both engines compute the identical fixed-round form
+    // by construction (q167's fixed-iteration contract).
+    // Scale shape: graph contracted to one node per DISTINCT TEXT
+    // (the X71 rule); each round = one partial+final degree agg + two
+    // semi-joins over the round's edge list, localCheckpoint'd (the
+    // edge set is referenced twice per round — q92's lineage rule);
+    // edge volume is monotonically non-increasing, so 8 rounds cost
+    // at most 8× one edge pass. No windows, no collect.
+    Q("q196_kcore_peel",
+      (s, d) => {
+        val pairs = contractedPairs(s, d)
+        var e = pairs
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(pairs
+            .select(col("b_id").as("src"), col("a_id").as("dst")))
+          .localCheckpoint(true)
+        for (_ <- 1 to 8) {
+          val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 2)
+            .select(col("src").as("k"))
+          e = e.join(keep, col("src") === col("k"), "left_semi")
+            .join(keep, col("dst") === col("k"), "left_semi")
+            .localCheckpoint(true)
+        }
+        e.groupBy(col("src").as("doc_id"))
+          .agg(count(lit(1)).as("core_deg"))
+          .orderBy("doc_id")
+      },
+      Some {
+        // each round references the previous edge set THREE times (the
+        // degree agg + both endpoint filters); DuckDB inlines plain CTEs,
+        // which would cube the plan per round (3^8 leaf scans — observed
+        // as a too-many-open-files explosion), so every round CTE is
+        // AS MATERIALIZED — evaluated once, exactly like the Spark
+        // side's per-round localCheckpoint
+        val rounds = (1 to 8).map { k =>
+          s"""keep$k AS MATERIALIZED (SELECT src AS n FROM e${k - 1}
+             |  GROUP BY src HAVING count(*) >= 2),
+             |e$k AS MATERIALIZED (SELECT e.src, e.dst FROM e${k - 1} e
+             |  WHERE e.src IN (SELECT n FROM keep$k)
+             |    AND e.dst IN (SELECT n FROM keep$k))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $contractedPairsSqlCtes,
+           |e0 AS MATERIALIZED (
+           |  SELECT a_id AS src, b_id AS dst FROM pairs
+           |  UNION ALL SELECT b_id, a_id FROM pairs),
+           |$rounds
+           |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+           |FROM e8 GROUP BY src ORDER BY doc_id""".stripMargin
+      }),
   )
 }

@@ -183,6 +183,31 @@ class SequenceCdcMixInvariantSpec extends SparkSpec {
       s"lone source: ${hand("lone")} != (8 tokens, 0 removed, 0 docs)")
   }
 
+  test("q196 equals the driver-side TRUE 2-core (peel to fixpoint) — " +
+      "so the fixed 8 rounds reached the fixpoint on this graph") {
+    val got = Queries.byName("q196_kcore_peel").build(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // true 2-core by iterated peel to fixpoint, driver-side
+    val pairs = QueriesText.contractedPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = (pairs ++ pairs.map(p => (p._2, p._1))).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val expect = edges.groupBy(_._1)
+      .map { case (n, es) => n -> es.size.toLong }
+    assert(got == expect,
+      s"2-core mismatch: got ${got.size} nodes, expect ${expect.size}")
+    // the peel removed something (the audit is non-trivial on this data)
+    assert(expect.size < pairs.flatMap(p => Seq(p._1, p._2)).distinct.size
+      || pairs.isEmpty)
+  }
+
   test("q193 quartile counts are flat: sum to n_s, spread <= 1 per source") {
     val got = Queries.byName("q193_interleaved_mix").build(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
