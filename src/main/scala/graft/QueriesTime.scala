@@ -1139,7 +1139,58 @@ object QueriesTime {
              |  SELECT 'adjacent' AS pattern, adjacent AS n_match FROM m
              |  UNION ALL SELECT 'clean', clean FROM m
              |  UNION ALL SELECT 'eventual', eventual FROM m) p
-             |ORDER BY p.pattern""".stripMargin))
+             |ORDER BY p.pattern""".stripMargin)),
+
+    // T31 weekday-seasonality deviation — the SEASONAL complement of
+    // T22's trailing-window spike gate: volume anomalies are judged
+    // against the same-weekday norm (Mondays vs the Monday profile),
+    // not the previous 27 days, so weekly-periodic traffic doesn't
+    // false-positive every peak day and a quiet-day incident isn't
+    // masked by the weekly average. Per (event_type, day): the count,
+    // the weekday, the deviation vs the weekday mean as ppm of the
+    // mean, and a ≥2× flag. All-integer: weekday = epoch-day % 7
+    // (non-negative domain), dev_ppm = 1e6·n·n_days DIV total — no
+    // float mean anywhere.
+    // Scale shape: corpus-sized work ends at ONE (type, day)
+    // partial+final agg (q162's dailyCounts shape at type grain); the
+    // weekday profile is a second agg over that types×days table and
+    // joins back type-and-weekday-keyed (a broadcast at any realistic
+    // type cardinality). No windows.
+    Q("q197_weekday_seasonality",
+      (s, d) => {
+        val daily = events(s, d)
+          .groupBy(col("event_type"),
+            Scalars.longDiv("ts", NsPerDay).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("wd", col("day") % 7)
+        val prof = daily.groupBy("event_type", "wd")
+          .agg(count(lit(1)).as("n_days"), sum("n").as("total"))
+        daily.join(broadcast(prof), Seq("event_type", "wd"))
+          .select(col("event_type"), col("day"), col("wd"), col("n"),
+            expr("(1000000 * n * n_days) DIV total").as("dev_ppm"),
+            when(col("n_days") >= 2 &&
+              expr("n * n_days >= 2 * total"), 1).otherwise(0)
+              .as("spike"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |d2 AS (SELECT *, day % 7 AS wd FROM daily),
+             |prof AS (
+             |  SELECT event_type, wd, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(n) AS BIGINT) AS total
+             |  FROM d2 GROUP BY 1, 2)
+             |SELECT d2.event_type, d2.day, d2.wd, d2.n,
+             |  CAST((1000000 * d2.n * prof.n_days) // prof.total
+             |    AS BIGINT) AS dev_ppm,
+             |  CAST(CASE WHEN prof.n_days >= 2
+             |      AND d2.n * prof.n_days >= 2 * prof.total
+             |    THEN 1 ELSE 0 END AS INT) AS spike
+             |FROM d2 JOIN prof
+             |  ON prof.event_type = d2.event_type AND prof.wd = d2.wd
+             |ORDER BY d2.event_type, d2.day""".stripMargin))
   )
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.

@@ -208,6 +208,37 @@ class SequenceCdcMixInvariantSpec extends SparkSpec {
       || pairs.isEmpty)
   }
 
+  test("q197 judges against the SAME-WEEKDAY norm: a weekly-periodic " +
+      "peak is not a spike, a same-weekday 2x jump is") {
+    val dir = Files.createTempDirectory("season").toString
+    def ev(id: Long, day: Long, n: Int, typ: String) =
+      (0 until n).map(k => (id * 100 + k, day * 86400L + k,
+        1L, typ, 1.0, "{}"))
+    // type A: three Mondays (days 0, 7, 14) with counts 1, 1, 10 —
+    // day 14 is 2.5x the Monday mean (4) -> spike.
+    // type B: weekly-periodic — every Monday 9 events, every Tuesday 3:
+    // no day deviates from ITS weekday norm -> zero spikes (a trailing
+    // baseline would flag every Monday).
+    val rows =
+      ev(1, 0, 1, "A") ++ ev(2, 7, 1, "A") ++ ev(3, 14, 10, "A") ++
+      ev(4, 0, 9, "B") ++ ev(5, 7, 9, "B") ++ ev(6, 14, 9, "B") ++
+      ev(7, 1, 3, "B") ++ ev(8, 8, 3, "B") ++ ev(9, 15, 3, "B")
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Queries.byName("q197_weekday_seasonality").build(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(4), r.getInt(5)))).toMap
+    assert(got(("A", 14L)) == ((2500000L, 1)), s"A day14: ${got(("A", 14L))}")
+    assert(got(("A", 0L))._2 == 0 && got(("A", 7L))._2 == 0)
+    // every B day sits exactly on its weekday mean: dev 1e6, no spike
+    Seq(0L, 7L, 14L, 1L, 8L, 15L).foreach { day =>
+      assert(got(("B", day)) == ((1000000L, 0)),
+        s"B day$day: ${got(("B", day))} — weekly periodicity misflagged")
+    }
+  }
+
   test("q193 quartile counts are flat: sum to n_s, spread <= 1 per source") {
     val got = Queries.byName("q193_interleaved_mix").build(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
