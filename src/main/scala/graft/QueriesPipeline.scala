@@ -54,6 +54,33 @@ object QueriesPipeline {
               |    (h, x) -> (h * 31 + x) % $P) AS BIGINT) AS rhash
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // X8b-native: the SAME rolling-hash fingerprint through the native
+    // codegen Catalyst expression (ops/RollingHashExpression — the
+    // builder-prompt preference ladder made concrete: compose > native
+    // Expression > UDF). One fused call walks the text bytes once,
+    // digests token bytes directly (the top 60 bits of the raw md5 ARE
+    // the first 15 hex digits — no hex-string round trip), and folds in
+    // a register; the declarative q70 pays three array materializations
+    // + interpreted HOF dispatch + a conv() base-16 parse per token.
+    // Bit-identical to q70 by construction (RollingHashExprSpec pins it
+    // on real data + split-semantics edges), so both share ONE DuckDB
+    // oracle. Measured at sf1: see SCALE.md (the q70 linear lower bound
+    // was the md5 count; the native form shaves the interpretation tax).
+    Q("q70b_rolling_hash_native",
+      (s, d) => {
+        graft.ops.RollingHashExpr.register(s)
+        documents(s, d)
+          .select(col("doc_id"),
+            call_function("rolling_hash", col("text")).as("rhash"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(list_reduce(
+              |    list_prepend(0, list_transform(str_split(text, ' '),
+              |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % $P)),
+              |    (h, x) -> (h * 31 + x) % $P) AS BIGINT) AS rhash
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // X1b blocked dedup cluster assignment: blocking key (lang, length
     // bucket) → representative = min doc_id per block; emit non-singleton
     // block members with their representative. At 100 TB this bounds the

@@ -77,6 +77,11 @@ class GraftExtensions
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[RegisteredDomainExpr].getName, "registered_domain"),
       (children: Seq[Expression]) => RegisteredDomainExpr(children.head)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingHashExpr].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHashExpr(children.head)))
     // |a−b| ≤ H theta joins replan as binned equi-joins (never BNLJ);
     // see graft.plans.BandJoinRewrite
     ext.injectOptimizerRule(graft.plans.BandJoinRewrite(_))
