@@ -82,8 +82,22 @@ object Scalars {
     * md5, as a non-negative long. DuckDB equivalent:
     * `('0x' || substr(md5(t), 1, 15))::BIGINT`. Used by minhash/simhash so
     * the DuckDB oracle can replay the exact same hash (SURVEY.md §2.11).
+    *
+    * Since round 12 this routes through the native codegen
+    * [[TokenHashExpr]] (md5 → top 60 bits direct — no hex-string
+    * round-trip; bit-identical by construction, pinned by
+    * TokenHashExprSpec incl. codegen-off). The pre-native declarative
+    * form is kept as [[tokenHashConv]] for the identity spec.
     */
-  def tokenHash(t: Column): Column =
+  def tokenHash(t: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TokenHashExpr(ColumnBridge.expression(t)))
+  }
+
+  /** The declarative (conv ∘ substring ∘ md5) form tokenHash replaced —
+    * retained ONLY as the bit-identity witness in TokenHashExprSpec.
+    */
+  private[graft] def tokenHashConv(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
   /** Universal-hash family over tokenHash, mod a 31-bit prime so products
