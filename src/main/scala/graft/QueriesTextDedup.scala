@@ -927,24 +927,42 @@ object QueriesTextDedup {
     // X62 boilerplate n-gram miner — the REPORT behind every line/span
     // removal rule (C4 dropped repeated lines, CCNet hashes paragraphs;
     // both decisions start from "what text recurs across documents?"):
-    // the top-20 5-gram spans by corpus occurrence count among those
-    // appearing in ≥3 DISTINCT docs, with their doc frequency and the
-    // span text — the list a curator reads before writing a removal
-    // pattern (navigation chrome, license headers, templated footers).
-    // Scale shape: one corpus scan + stride-1 5-gram explode (per-doc
-    // lead windows — the q130 machinery); all aggregation keys on the
-    // 8-byte token hash, never the span text (the text rides along as a
-    // min() measure through map-side partial aggs — one string per hash
-    // per partition, not per occurrence); doc frequency is a two-phase
-    // (hash, doc)-distinct count; the report reduces via
+    // the top-20 5-gram spans by occurrence count over DISTINCT CONTENT
+    // among those appearing in ≥3 distinct CONTENTS, with that content
+    // frequency and the span text — the list a curator reads before
+    // writing a removal pattern (navigation chrome, license headers,
+    // templated footers). Frequency over contents, not doc_ids: exact
+    // copies carry zero evidence that a span is boilerplate (it recurs
+    // because the DOCUMENT recurs), and a replicated corpus would
+    // otherwise promote every gram past any threshold.
+    // Scale shape: contract to one representative per sha2(text) — a
+    // 32-byte-key dropDuplicates, the ONLY full-text shuffle — then one
+    // scan + stride-1 5-gram explode (per-doc lead windows — the q130
+    // machinery); all aggregation keys on the 8-byte token hash, never
+    // the span text (the text rides along as a min() measure through
+    // map-side partial aggs — one string per hash per partition, not
+    // per occurrence); content frequency is a two-phase
+    // (hash, rep-doc)-distinct count; the report reduces via
     // TakeOrderedAndProject (per-partition top-k + K-row driver merge,
     // never a global sort). Hash collisions merge gram groups
     // identically in both engines (same md5-derived hash), so the
     // result stays cross-engine exact.
     Q("q150_boilerplate_ngrams",
       (s, d) => {
+        // COPY-INVARIANT since round 12 (q139/q145/q147 precedent): the
+        // whole mining pass runs over DISTINCT CONTENT — one arbitrary
+        // representative per sha2(text) — so verbatim replication (the
+        // sf1 generator's 10× copies; mirrored shards in a real corpus)
+        // cannot inflate n_occ or satisfy the df ≥ 3 gate by itself.
+        // Which representative wins is invisible: copies have identical
+        // text, hence identical grams. BoilerplateInvariantSpec plants
+        // copies and pins the report unchanged.
         val w = Window.partitionBy("doc_id").orderBy("pos")
-        val grams = fanOut(documents(s, d))
+        val distinctDocs = fanOut(documents(s, d))
+          .select(col("doc_id"), col("text"),
+            sha2(col("text"), 256).as("ck"))
+          .dropDuplicates("ck")
+        val grams = distinctDocs
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
           .withColumn("w1", lead("w", 1).over(w))
@@ -959,16 +977,19 @@ object QueriesTextDedup {
         val occ = grams.groupBy("g")
           .agg(count(lit(1)).as("n_occ"), min("gram").as("gram"))
         val df = grams.select("g", "doc_id").distinct()
-          .groupBy("g").agg(count(lit(1)).as("n_docs"))
+          .groupBy("g").agg(count(lit(1)).as("n_contents"))
         occ.join(df, Seq("g"))
-          .filter(col("n_docs") >= 3)
-          .select("gram", "n_occ", "n_docs")
+          .filter(col("n_contents") >= 3)
+          .select("gram", "n_occ", "n_contents")
           .orderBy(col("n_occ").desc, col("gram"))
           .limit(20)
       },
-      Some(s"""WITH t AS (
-             |  SELECT doc_id, str_split(text, ' ') AS toks
-             |  FROM documents),
+      Some(s"""WITH reps AS (
+             |  SELECT min(doc_id) AS doc_id
+             |  FROM documents GROUP BY sha256(text)),
+             |t AS (
+             |  SELECT d.doc_id, str_split(d.text, ' ') AS toks
+             |  FROM documents d JOIN reps USING (doc_id)),
              |g AS (
              |  SELECT doc_id,
              |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
@@ -984,11 +1005,11 @@ object QueriesTextDedup {
              |    min(gram) AS gram
              |  FROM h GROUP BY 1),
              |df AS (
-             |  SELECT hh, CAST(count(*) AS BIGINT) AS n_docs
+             |  SELECT hh, CAST(count(*) AS BIGINT) AS n_contents
              |  FROM (SELECT DISTINCT hh, doc_id FROM h) GROUP BY 1)
-             |SELECT occ.gram, occ.n_occ, df.n_docs
+             |SELECT occ.gram, occ.n_occ, df.n_contents
              |FROM occ JOIN df ON df.hh = occ.hh
-             |WHERE df.n_docs >= 3
+             |WHERE df.n_contents >= 3
              |ORDER BY occ.n_occ DESC, occ.gram LIMIT 20""".stripMargin)),
 
     // X68 near-dup keep-policy audit — the A/B evidence behind the "which
@@ -1342,7 +1363,9 @@ object QueriesTextDedup {
     // X87 boilerplate strip accounting — X62 (q150) MINES the shared
     // 5-grams; this op prices actually REMOVING them: every token
     // position covered by any boilerplate 5-gram occurrence (df ≥ 3
-    // docs — q150's threshold) is marked, overlapping occurrences
+    // distinct CONTENTS — q150's copy-invariant threshold, round 12:
+    // replicated docs can't vote a gram into the boiler set, so the
+    // measurement survives a mirrored corpus) is marked, overlapping occurrences
     // counted once, and the per-source report says how many tokens a
     // strip pass would delete and how many docs it touches — the
     // removal-cost audit run before a C4-style cleanup rewrites a
@@ -1370,9 +1393,22 @@ object QueriesTextDedup {
           .select(col("source"), col("doc_id"), col("pos"),
             (Scalars.tokenHash(concat_ws(" ", col("tok"), col("w1"),
               col("w2"), col("w3"), col("w4"))) % QueriesText.P).as("g"))
+        // boiler membership df-counts DISTINCT CONTENT (round 12, the
+        // q150 rule): the (g, doc)-distinct pairs — already narrow —
+        // join the doc→sha2 map and dedup to (g, content) before the
+        // ≥ 3 gate, so replicated docs can't vote a gram into the
+        // boiler set. One extra narrow join + distinct, reusing the
+        // single gram build (cheaper than a second gram pass over a
+        // contracted corpus when the dup rate is low — the 100 TB
+        // common case). The REPORT stays full-corpus on purpose: this
+        // op prices removal over the real doc inventory.
+        val docCk = documents(s, d)
+          .select(col("doc_id"), sha2(col("text"), 256).as("ck"))
         val boiler = grams.select("g", "doc_id").distinct()
-          .groupBy("g").agg(count(lit(1)).as("n_docs"))
-          .filter(col("n_docs") >= 3)
+          .join(docCk, "doc_id")
+          .select("g", "ck").distinct()
+          .groupBy("g").agg(count(lit(1)).as("n_contents"))
+          .filter(col("n_contents") >= 3)
           .select("g")
         val covered = grams
           .join(broadcast(boiler), "g")
@@ -1410,8 +1446,13 @@ object QueriesTextDedup {
               |      1, 15))::BIGINT % ${QueriesText.P}) AS gh
               |  FROM t, unnest(range(1, len(toks) - 3)) AS u(i)
               |  WHERE len(toks) >= 5),
+              |dmap AS (
+              |  SELECT doc_id, sha256(text) AS ck FROM documents),
               |boiler AS (
-              |  SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+              |  SELECT gh FROM (
+              |    SELECT DISTINCT gd.gh, dmap.ck
+              |    FROM (SELECT DISTINCT gh, doc_id FROM g) gd
+              |    JOIN dmap USING (doc_id))
               |  GROUP BY gh HAVING count(*) >= 3),
               |covered AS (
               |  SELECT DISTINCT g.source, g.doc_id, g.pos + o.k AS cpos
