@@ -374,7 +374,19 @@ object QueriesTextGraphMedia {
     // within 8 rounds (it does at every tested sf; the invariant spec
     // asserts a 9th peel changes nothing) the result IS the true
     // 2-core, and both engines compute the identical fixed-round form
-    // by construction (q167's fixed-iteration contract).
+    // by construction (q167's fixed-iteration contract). EARLY EXIT
+    // (round 12, VERDICT r11 #4): each peel round's edge set is a
+    // SUBSET of the previous (both semi-joins only remove rows), so an
+    // unchanged edge COUNT proves the edge set itself is unchanged —
+    // a monotonicity argument strictly stronger than the (count,
+    // hash-xor) signature ConnectedComponents needs for its
+    // non-monotone label updates. Remaining rounds are no-ops by
+    // idempotence, so exiting is bit-identical to running all 8 (the
+    // DuckDB oracle still replays the fixed-8 form — same fixpoint).
+    // The count is one cheap action over the already-checkpointed
+    // round result and saves up to ~5 exchange-barrier rounds of the
+    // measured 0.6–1.0 s iterative-tier floor (SCALE.md round-floor
+    // section).
     // Scale shape: graph contracted to one node per DISTINCT TEXT
     // (the X71 rule); each round = one partial+final degree agg + two
     // semi-joins over the round's edge list, localCheckpoint'd (the
@@ -389,13 +401,20 @@ object QueriesTextGraphMedia {
           .unionByName(pairs
             .select(col("b_id").as("src"), col("a_id").as("dst")))
           .localCheckpoint(true)
-        for (_ <- 1 to 8) {
+        var prevN = e.count()
+        var round = 0
+        var done = false
+        while (round < 8 && !done) {
           val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
             .filter(col("deg") >= 2)
             .select(col("src").as("k"))
           e = e.join(keep, col("src") === col("k"), "left_semi")
             .join(keep, col("dst") === col("k"), "left_semi")
             .localCheckpoint(true)
+          val n = e.count()
+          done = n == prevN // subset + equal count = identical set
+          prevN = n
+          round += 1
         }
         e.groupBy(col("src").as("doc_id"))
           .agg(count(lit(1)).as("core_deg"))

@@ -54,9 +54,39 @@ object Scratch {
             (col("id") + 1000000).as("dst"))
         val (r2, t2) = time(
           graft.ops.ConnectedComponents.labelStar(star)._2)
+        // guard r1 == r2: the per-round division is meaningless when
+        // both graphs converge in the same round count (ADVICE r11)
+        val perRound = if (r1 != r2) f"${(t1 - t2) / (r1 - r2)}%.3f s"
+          else "n/a (equal round counts — read walls separately)"
         println(f"CCFLOOR#$rep path rounds=$r1 wall=$t1%.2f | " +
-          f"star rounds=$r2 wall=$t2%.2f | " +
-          f"per-round=${(t1 - t2) / (r1 - r2)}%.3f s")
+          f"star rounds=$r2 wall=$t2%.2f | per-round=" + perRound)
+      }
+      spark.stop(); return
+    }
+    // "kcore" mode: per-round edge counts of the q196 peel at
+    // SPARK_GRAFT_SF_DIR — shows which round the fixpoint arrives in
+    // (the early-exit saving is (8 - that round) barrier rounds).
+    if (args.headOption.contains("kcore")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.01")
+      val pairs = QueriesText.contractedPairs(spark, dir)
+      var e = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs
+          .select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
+      var prev = e.count()
+      println(s"KCORE round=0 edges=$prev")
+      var k = 0
+      var done = false
+      while (k < 8 && !done) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 2).select(col("src").as("kk"))
+        e = e.join(keep, col("src") === col("kk"), "left_semi")
+          .join(keep, col("dst") === col("kk"), "left_semi")
+          .localCheckpoint(true)
+        val n = e.count(); k += 1
+        println(s"KCORE round=$k edges=$n fixpoint=${n == prev}")
+        done = n == prev; prev = n
       }
       spark.stop(); return
     }
