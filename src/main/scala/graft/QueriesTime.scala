@@ -1157,22 +1157,7 @@ object QueriesTime {
     // joins back type-and-weekday-keyed (a broadcast at any realistic
     // type cardinality). No windows.
     Q("q197_weekday_seasonality",
-      (s, d) => {
-        val daily = events(s, d)
-          .groupBy(col("event_type"),
-            Scalars.longDiv("ts", NsPerDay).as("day"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("wd", col("day") % 7)
-        val prof = daily.groupBy("event_type", "wd")
-          .agg(count(lit(1)).as("n_days"), sum("n").as("total"))
-        daily.join(broadcast(prof), Seq("event_type", "wd"))
-          .select(col("event_type"), col("day"), col("wd"), col("n"),
-            expr("(1000000 * n * n_days) DIV total").as("dev_ppm"),
-            when(col("n_days") >= 2 &&
-              expr("n * n_days >= 2 * total"), 1).otherwise(0)
-              .as("spike"))
-          .orderBy("event_type", "day")
-      },
+      (s, d) => seasonalityFromDaily(typeDailyCounts(events(s, d))),
       Some("""WITH daily AS (
              |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
              |    CAST(count(*) AS BIGINT) AS n
@@ -1192,6 +1177,36 @@ object QueriesTime {
              |  ON prof.event_type = d2.event_type AND prof.wd = d2.wd
              |ORDER BY d2.event_type, d2.day""".stripMargin))
   )
+
+  /** T31 corpus-sized stage of q197: the (event_type, day) count agg.
+    * Exposed separately because it is also the STREAMING fold of the
+    * seasonality monitor (complete-mode agg over micro-batches;
+    * `StreamingSpec` T31s pins streamed-vs-batch equality — the count
+    * is associative, so the sink table equals the batch agg exactly).
+    */
+  private[graft] def typeDailyCounts(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.groupBy(col("event_type"), Scalars.longDiv("ts", NsPerDay).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  /** T31 post-agg stage of q197: weekday profile + all-integer deviation
+    * over the (event_type, day, n) table. Runs on types×days input,
+    * never corpus-sized; deterministic given the fold's exact counts.
+    */
+  private[graft] def seasonalityFromDaily(
+      daily0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val daily = daily0.withColumn("wd", col("day") % 7)
+    val prof = daily.groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("total"))
+    daily.join(broadcast(prof), Seq("event_type", "wd"))
+      .select(col("event_type"), col("day"), col("wd"), col("n"),
+        expr("(1000000 * n * n_days) DIV total").as("dev_ppm"),
+        when(col("n_days") >= 2 &&
+          expr("n * n_days >= 2 * total"), 1).otherwise(0)
+          .as("spike"))
+      .orderBy("event_type", "day")
+  }
 
   /** T22 corpus-sized stage of q162: the (user_id, day) event-count agg.
     * Exposed separately because it is also the STREAMING fold of the

@@ -211,6 +211,28 @@ class StreamingSpec extends SparkSpec {
       "streaming-folded spike gate diverges from the batch form")
   }
 
+  test("T31s twin: complete-mode streaming (type, day) counts equal the " +
+    "batch agg — the weekday-seasonality gate folds incrementally") {
+    val in = mkTmp("seasonstream")
+    val ev = Tables.events(spark, sf) // ts already normalized to epoch-ns
+    ev.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = QueriesTime.typeDailyCounts(stream)
+      .writeStream.format("memory").queryName("season_twin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    val streamed = QueriesTime.seasonalityFromDaily(
+      spark.table("season_twin").localCheckpoint(true))
+      .collect().map(_.toString)
+    val batch = Queries.byName("q197_weekday_seasonality").build(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming-folded weekday seasonality diverges from the batch form")
+  }
+
   test("T24s twin: complete-mode streaming daily counts equal the batch " +
     "agg — the decay score folds incrementally over micro-batches") {
     val in = mkTmp("decaystream")
