@@ -781,6 +781,13 @@ object QueriesRel {
     // stays small (each partition = one DB connection; hundreds would
     // dos the database) and the result rides a broadcast into the
     // customer fact agg — the fact side never shuffles on the dim key.
+    // LOCAL-MODE-ONLY SEED (ADVICE r11): the embedded-Derby URL points
+    // at the driver's filesystem, readable by executors only because
+    // local[*] shares the JVM. On a real cluster this pattern needs a
+    // network-reachable URL (client/server Postgres — the reference's
+    // actual topology); the READ path (readPartitioned + pushdown) is
+    // the part that transfers unchanged. Don't copy the Derby seam
+    // into a multi-JVM deployment.
     Q("q188_jdbc_topics",
       (s, d) => {
         val conn = graft.sources.JdbcSource.topicsDbFromNation(s, d)

@@ -1256,6 +1256,7 @@ object QueriesTextDedup {
             countDistinct(col("ch")).as("n_distinct"),
             sum(col("clen")).as("n_tokens"))
           .select(col("source"), col("n_chunks"), col("n_distinct"),
+            col("n_tokens"),
             expr("(1000000 * (n_chunks - n_distinct)) DIV n_chunks")
               .as("dup_ppm"),
             expr("n_tokens DIV n_chunks").as("mean_len"))
@@ -1296,7 +1297,7 @@ object QueriesTextDedup {
               |      AS BIGINT) AS n_distinct,
               |    CAST(sum(clen) AS BIGINT) AS n_tokens
               |  FROM ch GROUP BY source)
-              |SELECT source, n_chunks, n_distinct,
+              |SELECT source, n_chunks, n_distinct, n_tokens,
               |  CAST((1000000 * (n_chunks - n_distinct)) // n_chunks
               |    AS BIGINT) AS dup_ppm,
               |  CAST(n_tokens // n_chunks AS BIGINT) AS mean_len

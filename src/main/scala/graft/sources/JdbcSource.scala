@@ -111,10 +111,18 @@ object JdbcSource {
     seededDbs.synchronized {
       seededDbs.getOrElseUpdate(sfDir, {
         val pid = ProcessHandle.current().pid()
-        val dir = new java.io.File(
+        val root = new java.io.File(
           sys.props("java.io.tmpdir"),
-          s"graft_jdbc_${pid}_${Integer.toHexString(sfDir.hashCode)}/topics")
-          .getAbsolutePath
+          s"graft_jdbc_${pid}_${Integer.toHexString(sfDir.hashCode)}")
+        // a RECYCLED pid can meet a stale dir from a dead process —
+        // CREATE TABLE would then throw instead of reseeding (ADVICE
+        // r11). This JVM hasn't seeded it (TrieMap miss), so delete
+        // first: seeding stays idempotent against leftover /tmp state.
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (root.exists()) rm(root)
+        val dir = new java.io.File(root, "topics").getAbsolutePath
         val rows = graft.Tables.t(spark, sfDir, "nation")
           .select(col("n_nationkey").cast("long"), col("n_name"))
           .collect()

@@ -56,15 +56,17 @@ class SequenceCdcMixInvariantSpec extends SparkSpec {
       .groupBy("source").agg(sum("nt").as("nt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     got.foreach { r =>
-      val (src, nChunks, nTok) =
-        (r.getString(0), r.getLong(1), r.getLong(1) * r.getLong(4))
+      val (src, nChunks, nTok) = (r.getString(0), r.getLong(1),
+        r.getAs[Long]("n_tokens"))
       assert(nChunks > 0, s"$src produced no chunks")
-      // mean_len is floored, so only bound-check via the exact sum below
-      val _ = nTok
+      // EXACT partition/cover: chunk token sum equals the source's
+      // document token sum — every token in exactly one chunk
+      assert(nTok == tokTotals(src),
+        s"$src: chunks cover $nTok tokens, documents hold " +
+          s"${tokTotals(src)}")
     }
-    // exact cover: recompute chunk token sum per source from the dump
-    // is not exposed; assert instead on a handcrafted corpus where the
-    // chunk structure is fully known AND test boundary realignment
+    // boundary structure on a handcrafted corpus where the chunking is
+    // fully known AND boundaries must re-align after an insertion
     val dir = Files.createTempDirectory("cdc").toString
     val baseText = (1 to 400).map(i => s"w${i % 97}").mkString(" ")
     // insert one token near the front: all suffix offsets shift by one

@@ -369,7 +369,11 @@ if os.path.isdir(q189):
         elif cons != exp_cons:
             bad.append(f"doc {doc_id}: consistent={cons}, expected {exp_cons}")
         flagged += 1 - cons
-    if got and flagged == 0:
+    if not got:
+        # an empty dump must never count as BOUNDS-PASS (ADVICE r11):
+        # both row-set and flag checks would pass vacuously on [] == []
+        bad.append("q189 dump is EMPTY - gate would pass vacuously")
+    elif flagged == 0:
         bad.append("no planted mismatch flagged")
     if bad:
         fails.append(("q189_caption_consistency", "; ".join(bad[:5])))
