@@ -8,6 +8,35 @@ import org.apache.spark.sql.SparkSession
   * tail window → "parsed": null; see VERDICT.md "Next round" #1).
   */
 object Bench {
+
+  /** Pinned cross-round trend subset (VERDICT r11 #7): 50 queries FROZEN
+    * as of round 12, spanning every tier (scan/filter/join/agg/window/
+    * scalar/text/dedup/ANN/time/curation), all present since round 9 or
+    * earlier. The registry grows every round (~6 s steady-state/round),
+    * so the full-surface total is a moving target; `core50_total` is the
+    * same engine measured on the same work each round — the trend number.
+    * DO NOT edit this list (that would break the trend); if a member is
+    * ever removed from the registry, the artifact's core50_n records the
+    * shrunken intersection.
+    */
+  val core50: Set[String] = Set(
+    "q01_scan_project", "q02_filter_range", "q05_group_count",
+    "q06_group_measures", "q08_count_distinct", "q09_rollup",
+    "q10_lookup_join", "q11_anti_join", "q13_inner_join", "q14_left_join",
+    "q15_range_join", "q17_regex_extract", "q19_domain_parse",
+    "q21_topk_per_group", "q23_running_total", "q25_page_offset",
+    "q28_union_all", "q30_epoch_to_date", "q32_round", "q35_explode",
+    "q37_json_fields", "q39_tumbling_window", "q40_text_dedup",
+    "q41_cosine_topk", "q43_lang_id", "q45_token_count", "q47_minhash_sig",
+    "q48_ngram_jaccard", "q50_embed_neardup", "q53_minhash_band_pairs",
+    "q55_sessionize", "q56_cube", "q61_pivot", "q63_percentiles",
+    "q65_window_family", "q70_rolling_hash", "q72_top_bigrams",
+    "q76_date_spine", "q79_event_funnel", "q82_salted_agg",
+    "q83_salted_join", "q84_topk_high_card", "q87_decontaminate",
+    "q92_dedup_components", "q95_asof_join", "q98_argmax_latest",
+    "q103_tfidf_topterms", "q111_windowed_funnel", "q119_semantic_dedup",
+    "q130_substring_dedup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract runs local[32] (builder prompt); env still overrides
@@ -133,8 +162,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = medians.values.sum
     val totalMin = mins.values.sum
+    val c50m = medians.filter { case (k, _) => core50(k) }
+    val core50Total = c50m.values.sum
+    val core50Min =
+      mins.filter { case (k, _) => core50(k) }.values.sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmups":$warmups,"agg":"median","exec":"noop-write","total_min":$totalMin,"queries":${jmap(medians)},"queries_min":${jmap(mins)},"runs_sec":$runsSec,"warmup_sec":$warmupSec,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmups":$warmups,"agg":"median","exec":"noop-write","total_min":$totalMin,"core50_total":$core50Total,"core50_min":$core50Min,"core50_n":${c50m.size},"queries":${jmap(medians)},"queries_min":${jmap(mins)},"runs_sec":$runsSec,"warmup_sec":$warmupSec,"errors":$errs,"sf":"$sfDir"}"""
     // full artifact: stdout (early) + file (always recoverable)
     println(full)
     try {
@@ -144,6 +177,6 @@ object Bench {
     spark.stop()
     // LAST line: short form guaranteed to fit a bounded tail capture.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmups":$warmups,"agg":"median","total_min":$totalMin,"nqueries":${allRuns.size},"nerrors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmups":$warmups,"agg":"median","total_min":$totalMin,"core50_total":$core50Total,"core50_min":$core50Min,"core50_n":${c50m.size},"nqueries":${allRuns.size},"nerrors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}""")
   }
 }
