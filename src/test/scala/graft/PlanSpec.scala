@@ -472,6 +472,21 @@ class PlanSpec extends SparkSpec {
       s"no map-side combine in tf/df aggregation:\n$p")
   }
 
+  test("token-explode class plans the NATIVE token_hash expression — " +
+      "no regression to the conv(substring(md5)) round-trip, no UDF") {
+    // q130 is the class representative (direct per-token hash call);
+    // q47 covers the HOF-lambda shape (hash inside a transform())
+    for (q <- Seq("q130_substring_dedup", "q47_minhash_sig")) {
+      val p = plan(q)
+      assert(p.contains("token_hash"),
+        s"$q lost the native token hash:\n${p.take(800)}")
+      assert(!p.contains("conv("),
+        s"$q regressed to the hex round-trip form:\n${p.take(800)}")
+      assert(!p.contains("ScalaUDF"),
+        s"$q fell back to a UDF tier:\n${p.take(800)}")
+    }
+  }
+
   test("q104 box predicates reach the z-clustered parquet scan") {
     // both dimensions' range predicates must be pushed — that is what the
     // z-layout's tight per-file min/max stats turn into row-group skips.
