@@ -740,5 +740,63 @@ object QueriesTextAnalysis {
               |    AS novelty_ppm
               |FROM sb JOIN f USING (h)
               |GROUP BY sb.batch ORDER BY sb.batch""".stripMargin)),
+
+    // X89 token-diversity quality gate — the Gini–Simpson index
+    // 1 − Σp², the EXACT-integer complement of the entropy/perplexity
+    // signals (X37's LM score needs float logs; Simpson needs only
+    // squares, so both engines compute it bit-identically): per doc,
+    // gs_ppm = 1e6 − (1e6·Σc²) DIV N² over token counts c — 0 for a
+    // one-token-repeated doc, →1e6 for all-distinct tokens. Low
+    // diversity flags templated/degenerate text the length/stopword
+    // heuristics (X4/X6) miss. Per source: docs, exact mean, and the
+    // count below the 0.5 gate — the per-source yield a cleanup run
+    // reads. Exactness window: 1e6·Σc² ≤ 1e6·N² stays in long for
+    // N < 3e6 tokens/doc (a 3M-token doc is ~20 MB of text — beyond
+    // any sane document contract; chunk first (X12/X39) if not).
+    // Scale shape: one token explode behind fanOut → (source, doc, th)
+    // partial+final agg on 8-byte hashes (collisions merge identically
+    // in both engines) → per-doc agg → sources-many rollup. No windows,
+    // no joins, every agg map-side combinable.
+    Q("q198_token_diversity",
+      (s, d) => {
+        val counts = fanOut(documents(s, d))
+          .select(col("source"), col("doc_id"),
+            explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"), col("doc_id"),
+            (Scalars.tokenHash(col("tok")) % P).as("th"))
+          .groupBy("source", "doc_id", "th")
+          .agg(count(lit(1)).as("c"))
+        val perDoc = counts.groupBy("source", "doc_id")
+          .agg(sum("c").as("n"),
+            sum(col("c") * col("c")).as("sq"))
+          .select(col("source"),
+            (lit(1000000L) - expr("(1000000 * sq) DIV (n * n)"))
+              .as("gs"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(gs) DIV count(1)").as("mean_gs_ppm"),
+            sum(when(col("gs") < 500000L, 1L).otherwise(0L))
+              .as("n_low_diversity"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT source, doc_id,
+              |    unnest(str_split(text, ' ')) AS tok
+              |  FROM documents),
+              |cnt AS (
+              |  SELECT source, doc_id, (${tokSql("tok")} % $P) AS th,
+              |    CAST(count(*) AS BIGINT) AS c
+              |  FROM toks GROUP BY 1, 2, 3),
+              |per_doc AS (
+              |  SELECT source,
+              |    1000000 - (1000000 * CAST(sum(c * c) AS BIGINT))
+              |      // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT))
+              |      AS gs
+              |  FROM cnt GROUP BY source, doc_id)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(gs) // count(*) AS BIGINT) AS mean_gs_ppm,
+              |  CAST(sum(CASE WHEN gs < 500000 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_low_diversity
+              |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

@@ -1175,7 +1175,59 @@ object QueriesTime {
              |    THEN 1 ELSE 0 END AS INT) AS spike
              |FROM d2 JOIN prof
              |  ON prof.event_type = d2.event_type AND prof.wd = d2.wd
-             |ORDER BY d2.event_type, d2.day""".stripMargin))
+             |ORDER BY d2.event_type, d2.day""".stripMargin)),
+
+    // T32 burstiness / index-of-dispersion — the DISTRIBUTIONAL
+    // complement of T22 (trailing spikes) and T31 (weekday deviation):
+    // per event type, the Fano factor of its daily counts over ACTIVE
+    // days, fano = var/mean, as exact integer ppm — Poisson-like
+    // arrivals read ~1e6, clumped/bursty traffic reads ≫1e6, and a
+    // metronomic generator reads ≈0. All-integer: with n active days,
+    // S = Σcounts, Q = Σcounts², var_num = n·Q − S² and
+    // fano_ppm = (1e6·var_num) DIV (n·S) — no float variance anywhere,
+    // so both engines agree bit-for-bit. Exactness window: 1e6·n·Q must
+    // stay in long, i.e. n·Q < 9.2e12 — guarded PER GROUP by
+    // assert_true (the packId precedent: overflow would otherwise be a
+    // silently wrong ppm, not an error). At true 100 TB volumes the
+    // widening path is per-type DECIMAL(38,0) sums — a documented
+    // contract change, not a silent one.
+    // Scale shape: corpus-sized work ends at the T31 (type, day)
+    // partial+final agg; the Fano arithmetic runs on the types×days
+    // table and reduces to types-many rows. No windows, no joins.
+    Q("q199_burstiness_fano",
+      (s, d) => {
+        val daily = typeDailyCounts(events(s, d))
+        daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("n").as("total"),
+            sum(col("n") * col("n")).as("sq"))
+          .select(col("event_type"), col("n_days"), col("total"),
+            (expr("(1000000 * (n_days * sq - total * total)) " +
+              "DIV (n_days * total)") +
+              coalesce(assert_true(
+                col("n_days") * col("sq") < lit(9223372036854L),
+                lit("q199: n_days*sq >= 2^63/1e6 — the 1e6*var_num " +
+                  "product would overflow long; widen to DECIMAL(38,0)"))
+                .cast("long"), lit(0L))).as("fano_ppm"))
+          .withColumn("bursty",
+            when(col("fano_ppm") >= 2000000L, 1).otherwise(0))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |agg AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(n) AS BIGINT) AS total,
+             |    CAST(sum(n * n) AS BIGINT) AS sq
+             |  FROM daily GROUP BY event_type)
+             |SELECT event_type, n_days, total,
+             |  CAST((1000000 * (n_days * sq - total * total))
+             |    // (n_days * total) AS BIGINT) AS fano_ppm,
+             |  CAST(CASE WHEN (1000000 * (n_days * sq - total * total))
+             |      // (n_days * total) >= 2000000
+             |    THEN 1 ELSE 0 END AS INT) AS bursty
+             |FROM agg ORDER BY event_type""".stripMargin))
   )
 
   /** T31 corpus-sized stage of q197: the (event_type, day) count agg.

@@ -487,6 +487,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q198 diversity: pure agg pipeline — no joins, no windows, " +
+      "map-side combine, native hash") {
+    val df = Queries.byName("q198_token_diversity").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"join appeared in a pure-agg op:\n$p")
+    assert(!p.contains("Window"), s"window appeared in a pure-agg op:\n$p")
+    assert(p.contains("partial"), s"no map-side combine:\n${p.take(600)}")
+    assert(p.contains("token_hash"), s"native hash missing:\n${p.take(600)}")
+  }
+
+  test("q199 burstiness: corpus work ends at the (type, day) partial " +
+      "agg — no joins, no windows") {
+    val df = Queries.byName("q199_burstiness_fano").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"join appeared in a pure-agg op:\n$p")
+    assert(!p.contains("Window"), s"window appeared in a pure-agg op:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"no map-side combine on the daily agg:\n${p.take(600)}")
+  }
+
   test("q104 box predicates reach the z-clustered parquet scan") {
     // both dimensions' range predicates must be pushed — that is what the
     // z-layout's tight per-file min/max stats turn into row-group skips.
