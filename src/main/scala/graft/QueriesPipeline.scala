@@ -250,6 +250,77 @@ object QueriesPipeline {
              |               AS BIGINT) AS score
              |           FROM feat GROUP BY doc_id)
              |SELECT doc_id, n_tokens, score, score > 0 AS keep
-             |FROM scored ORDER BY doc_id""".stripMargin))
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // X90 collocation mining by LIFT — X4b (q72) ranks bigrams by raw
+    // count, which surfaces common-word pairs; a curator hunting for
+    // COLLOCATIONS (named entities, fixed phrases, templated spans to
+    // protect or strip) ranks by surprise instead: lift = P(a,b) /
+    // (P(a,·)·P(·,b)) over the bigram population, in exact integer ppm
+    // — lift is PMI without the float log, so both engines compute it
+    // bit-identically. Min-support c(a,b) ≥ 5 kills one-off noise.
+    // LIFT IS COPY-INVARIANT BY CONSTRUCTION: verbatim replication
+    // scales c_ab, marginals, and N by the same k, which cancels —
+    // k²/k² (invariant spec plants copies and pins it).
+    // Exactness: 1e6·c_ab·N can exceed long at corpus scale, so the
+    // ratio is computed in DECIMAL(38,0) (Spark `div` on decimals,
+    // DuckDB HUGEINT `//` — both exact integral division on the
+    // non-negative domain; 38 digits holds any corpus this engine
+    // will ever see). Scale shape: one gram window pass (q72's
+    // machinery) into a (ha, hb) partial+final agg, localCheckpointed
+    // ONCE (it is read 4×: both marginals, the total, the join);
+    // marginals and N are PAIR-TABLE aggs, never corpus scans; the
+    // report reduces via TakeOrdered.
+    Q("q200_bigram_lift",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val pairs = fanOut(documents(s, d))
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead("tok", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select((Scalars.tokenHash(col("tok")) % P).as("ha"),
+            (Scalars.tokenHash(col("nxt")) % P).as("hb"),
+            concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+        val cab = pairs.groupBy("ha", "hb")
+          .agg(count(lit(1)).as("cab"), min("gram").as("gram"))
+          .localCheckpoint(true)
+        val ca = cab.groupBy("ha").agg(sum("cab").as("ca"))
+        val cb = cab.groupBy("hb").agg(sum("cab").as("cb"))
+        val n = cab.agg(sum("cab").as("n_total"))
+        cab.filter(col("cab") >= 5)
+          .join(ca, "ha").join(cb, "hb")
+          .crossJoin(broadcast(n))
+          .select(col("gram"), col("cab"), col("ca"), col("cb"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cab * n_total)" +
+              " div (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)")
+              .as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("gram"))
+          .limit(20)
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, str_split(text, ' ') AS ws
+             |  FROM documents),
+             |p AS (
+             |  SELECT (${QueriesText.tokSql("ws[i]")} % $P) AS ha,
+             |    (${QueriesText.tokSql("ws[i+1]")} % $P) AS hb,
+             |    ws[i] || ' ' || ws[i+1] AS gram
+             |  FROM t, unnest(range(1, len(ws))) AS u(i)
+             |  WHERE len(ws) >= 2),
+             |cab AS (
+             |  SELECT ha, hb, CAST(count(*) AS BIGINT) AS cab,
+             |    min(gram) AS gram
+             |  FROM p GROUP BY 1, 2),
+             |ca AS (SELECT ha, CAST(sum(cab) AS BIGINT) AS ca
+             |       FROM cab GROUP BY ha),
+             |cb AS (SELECT hb, CAST(sum(cab) AS BIGINT) AS cb
+             |       FROM cab GROUP BY hb),
+             |n AS (SELECT CAST(sum(cab) AS BIGINT) AS n_total FROM cab)
+             |SELECT cab.gram, cab.cab, ca.ca, cb.cb,
+             |  CAST((1000000::HUGEINT * cab.cab * n.n_total)
+             |    // (ca.ca::HUGEINT * cb.cb) AS BIGINT) AS lift_ppm
+             |FROM cab JOIN ca USING (ha) JOIN cb USING (hb) CROSS JOIN n
+             |WHERE cab.cab >= 5
+             |ORDER BY lift_ppm DESC, cab.gram LIMIT 20""".stripMargin))
   )
 }

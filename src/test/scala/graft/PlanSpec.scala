@@ -507,6 +507,20 @@ class PlanSpec extends SparkSpec {
       s"no map-side combine on the daily agg:\n${p.take(600)}")
   }
 
+  test("q200 lift: pair-table aggs with map-side combine, TakeOrdered " +
+      "report, no cartesian, native hash") {
+    val df = Queries.byName("q200_bigram_lift").build(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"report fell back to a global sort:\n${p.take(600)}")
+    assert(p.contains("partial"), s"no map-side combine:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the lift join:\n${p.take(600)}")
+    // (the token_hash stage lives behind the pair-table localCheckpoint,
+    // so the executed plan starts at Scan ExistingRDD — the native hash
+    // is plan-gated on q130/q47 instead)
+  }
+
   test("q104 box predicates reach the z-clustered parquet scan") {
     // both dimensions' range predicates must be pushed — that is what the
     // z-layout's tight per-file min/max stats turn into row-group skips.
