@@ -259,9 +259,14 @@ object QueriesPipeline {
     // (P(a,·)·P(·,b)) over the bigram population, in exact integer ppm
     // — lift is PMI without the float log, so both engines compute it
     // bit-identically. Min-support c(a,b) ≥ 5 kills one-off noise.
-    // LIFT IS COPY-INVARIANT BY CONSTRUCTION: verbatim replication
-    // scales c_ab, marginals, and N by the same k, which cancels —
-    // k²/k² (invariant spec plants copies and pins it).
+    // Lift VALUES are copy-invariant: verbatim replication scales
+    // c_ab, marginals, and N by the same k, which cancels — k²/k²
+    // (invariant spec plants copies and pins it). The min-support
+    // gate is DELIBERATELY count-based, so a gram sitting below 5
+    // can cross the gate under replication and enter the report —
+    // that is the intended reading (support measures corpus
+    // evidence, which replication genuinely adds); the spec pins
+    // this documented behavior with a sub-support gram too.
     // Exactness: 1e6·c_ab·N can exceed long at corpus scale, so the
     // ratio is computed in DECIMAL(38,0) (Spark `div` on decimals,
     // DuckDB HUGEINT `//` — both exact integral division on the

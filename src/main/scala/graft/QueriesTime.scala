@@ -1188,8 +1188,12 @@ object QueriesTime {
     // so both engines agree bit-for-bit. Exactness window: 1e6·n·Q must
     // stay in long, i.e. n·Q < 9.2e12 — guarded PER GROUP by
     // assert_true (the packId precedent: overflow would otherwise be a
-    // silently wrong ppm, not an error). At true 100 TB volumes the
-    // widening path is per-type DECIMAL(38,0) sums — a documented
+    // silently wrong ppm, not an error). The guard itself is in
+    // DIVISION form (sq < bound DIV n_days) because the product form
+    // n_days*sq could ITSELF wrap past 2^63 at extreme scale and land
+    // back under the bound — a silently-passing guard, the exact
+    // failure it exists to catch (r12 advice). At true 100 TB volumes
+    // the widening path is per-type DECIMAL(38,0) sums — a documented
     // contract change, not a silent one.
     // Scale shape: corpus-sized work ends at the T31 (type, day)
     // partial+final agg; the Fano arithmetic runs on the types×days
@@ -1204,7 +1208,7 @@ object QueriesTime {
             (expr("(1000000 * (n_days * sq - total * total)) " +
               "DIV (n_days * total)") +
               coalesce(assert_true(
-                col("n_days") * col("sq") < lit(9223372036854L),
+                col("sq") < expr("9223372036854 DIV n_days"),
                 lit("q199: n_days*sq >= 2^63/1e6 — the 1e6*var_num " +
                   "product would overflow long; widen to DECIMAL(38,0)"))
                 .cast("long"), lit(0L))).as("fano_ppm"))

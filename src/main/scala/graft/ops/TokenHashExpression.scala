@@ -37,10 +37,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TokenHashExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  // Any StringType is accepted, INCLUDING non-default collations: the
+  // hash digests UTF-8 bytes and never compares strings, so collation
+  // cannot affect the value (matches what the conv-form declarative
+  // path would accept; r12 advice).
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"token_hash requires STRING, got ${child.dataType.sql}")
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"token_hash requires STRING, got ${other.sql}")
+    }
   override def prettyName: String = "token_hash"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -86,6 +92,20 @@ object TokenHashExpr {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_hash",
-      (children: Seq[Expression]) => TokenHashExpr(children.head),
+      (children: Seq[Expression]) => {
+        // Arity-check here, not children.head: zero args would throw a
+        // bare NoSuchElementException at plan time and extra args would
+        // be silently dropped (r12 advice).
+        if (children.length != 1) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`token_hash`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        }
+        TokenHashExpr(children.head)
+      },
       "scala_udf")
 }

@@ -49,6 +49,30 @@ class BigramLiftInvariantSpec extends SparkSpec {
       "counts did not scale exactly 2x")
   }
 
+  test("q200 min-support gate is count-based BY DESIGN: a sub-support " +
+      "gram (c_ab=3) is absent alone but crosses the gate at 2x " +
+      "replication (c_ab=6) with its lift unchanged from 1x math") {
+    // 'p q' ×3: c_ab(p,q)=3 < 5 → gated out. Doc 2 supplies an
+    // above-support control ('x y' family) so the 1x report is
+    // non-empty either way.
+    val sub = "p q p q p q"
+    val one = run(writeDocs(Seq((1L, sub), (2L, base))))
+    assert(!one.exists(_._1 == "p q"),
+      s"sub-support gram leaked into the 1x report: ${one.toSeq}")
+    val two = run(writeDocs(Seq((1L, sub), (2L, base),
+      (101L, sub), (102L, base))))
+    val pq = two.filter(_._1 == "p q")
+    assert(pq.length == 1 && pq.head._2 == 6L,
+      s"replicated sub-support gram should enter at c_ab=6: ${two.toSeq}")
+    // And the grams that were already above support keep their lift
+    // values exactly (copy-invariance of the VALUE, not the gate).
+    val commonOne = one.map(r => (r._1, r._5)).toMap
+    two.filter(r => commonOne.contains(r._1)).foreach { r =>
+      assert(commonOne(r._1) == r._5,
+        s"lift moved under replication for ${r._1}")
+    }
+  }
+
   test("q200 on the real corpus: lift > 0, support >= 5, report " +
       "totally ordered") {
     val got = run(sf)

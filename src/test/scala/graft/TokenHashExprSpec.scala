@@ -27,7 +27,7 @@ class TokenHashExprSpec extends SparkSpec {
       .select(Scalars.tokenHash(col("w")).as("n"),
         Scalars.tokenHashConv(col("w")).as("c"))
     val shingled = docs.select(
-      explode(Scalars.shingles3(split(col("text"), " "))).as("sh"))
+      explode(Scalars.shingles3Text(col("text"))).as("sh"))
       .select(Scalars.tokenHash(col("sh")).as("n"),
         Scalars.tokenHashConv(col("sh")).as("c"))
     for (df <- Seq(whole, toks, shingled)) {
@@ -91,6 +91,19 @@ class TokenHashExprSpec extends SparkSpec {
     val e = Seq("abc").toDF("t")
       .select(Scalars.tokenHashConv(col("t"))).head().getLong(0)
     assert(r == e)
+  }
+
+  test("registry route rejects wrong arity with a named error, not a " +
+      "bare NoSuchElementException / silent arg drop") {
+    TokenHashExpr.register(spark)
+    val zero = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_hash()").collect()
+    }
+    assert(zero.getMessage.contains("token_hash"), zero.getMessage)
+    val two = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_hash('a', 'b')").collect()
+    }
+    assert(two.getMessage.contains("token_hash"), two.getMessage)
   }
 
   private def withSqlConf[T](kvs: (String, String)*)(f: => T): T = {
