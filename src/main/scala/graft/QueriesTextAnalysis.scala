@@ -195,12 +195,17 @@ object QueriesTextAnalysis {
     // mergeable Count-Min aggregate (ops/CountMin): aggregation state is
     // O(depth·width) regardless of vocabulary, the scale path when the
     // exact (token → count) map no longer fits an executor. Output joins
-    // the estimate against the exact count so over-count is visible;
-    // no-oracle by design (the sketch hash is Scala-side Murmur3 —
-    // q08b-style; CmsSpec property-tests est ≥ exact, the ε·N ceiling,
-    // and partition invariance of the merged sketch). The candidate probe
-    // runs over the vocab-sized exact agg — explicitly not the hot path;
-    // the corpus-wide pass is the sketch aggregation itself.
+    // the estimate against the exact count so over-count is visible.
+    // FULL oracle since r13 (VERDICT r12 #6): the bucket hash is the
+    // md5-tokenHash affine family (ops/CountMin.AB), so DuckDB replays
+    // the ENTIRE sketch relationally — per (token, row) buckets, counter
+    // = sum of exact counts landing in the bucket, estimate = min over
+    // rows — and the dump hash-matches bit-for-bit (the sketch's merge
+    // is exact addition, so counters are partition-invariant; CmsSpec
+    // keeps the one-sided-error/ε·N/merge properties as engine-side
+    // invariants). The candidate probe runs over the vocab-sized exact
+    // agg — explicitly not the hot path; the corpus-wide pass is the
+    // sketch aggregation itself.
     Q("q106_cms_heavy_hitters",
       (s, d) => {
         import s.implicits._
@@ -219,7 +224,26 @@ object QueriesTextAnalysis {
           .orderBy(col("est_n").desc, col("tok").asc)
           .limit(20)
       },
-      None),
+      Some("""WITH toks AS (
+             |  SELECT unnest(str_split(text, ' ')) AS tok FROM documents),
+             |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+             |        FROM toks GROUP BY tok),
+             |ab(r, a, b) AS (
+             |  VALUES (0, 31, 7), (1, 131, 17),
+             |         (2, 1031, 97), (3, 8191, 401)),
+             |bkt AS (
+             |  SELECT tok, exact_n, r,
+             |    ((a * (('0x' || substr(md5(tok), 1, 15))::BIGINT
+             |           % 1000000007) + b) % 1000000007) % 2048 AS bk
+             |  FROM cnt CROSS JOIN ab),
+             |counters AS (
+             |  SELECT r, bk, CAST(sum(exact_n) AS BIGINT) AS c
+             |  FROM bkt GROUP BY r, bk)
+             |SELECT tok, min(exact_n) AS exact_n,
+             |       CAST(min(c) AS BIGINT) AS est_n
+             |FROM bkt JOIN counters USING (r, bk)
+             |GROUP BY tok
+             |ORDER BY est_n DESC, tok ASC LIMIT 20""".stripMargin)),
 
     // X48 tokenizer vocabulary coverage / OOV rate — the tokenizer-fit
     // audit run before training: fix a vocabulary (here the corpus's own
@@ -709,7 +733,7 @@ object QueriesTextAnalysis {
         // the shingle explode is per-row-heavy (the q150/q166 lesson)
         val byH = fanOut(documents(s, d))
           .select((col("doc_id") % 3).as("batch"),
-            explode(Scalars.shingles3(split(col("text"), " "))).as("sh"))
+            explode(Scalars.shingles3Text(col("text"))).as("sh"))
           .select(col("batch"), (Scalars.tokenHash(col("sh")) % P).as("h"))
           // ONE h-keyed exchange: the ≤3-element batch set per shingle
           // replaces distinct + first-batch agg + join (3 exchanges)

@@ -1127,7 +1127,7 @@ object QueriesTextDedup {
           .agg(min("doc_id").as("id"), min("text").as("text"))
         val sets = fanOut(base)
           .select(col("id"),
-            Scalars.shingles3(split(col("text"), " ")).as("sh"))
+            Scalars.shingles3Text(col("text")).as("sh"))
           .localCheckpoint(true)
         val post = sets.select(col("id"), size(col("sh")).as("n"),
           explode(col("sh")).as("tok"))

@@ -3,8 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-
-import scala.util.hashing.MurmurHash3
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-Min sketch over a token stream — the mergeable-sketch answer to
   * "approximate per-token frequencies over a corpus too large to hold the
@@ -35,16 +34,31 @@ import scala.util.hashing.MurmurHash3
 object CountMin {
   val Depth = 4
   val Width = 2048
+  private val P = Scalars.HashP // 1000000007, the repo's universal-hash prime
 
-  /** Fixed per-row seeds — the sketch is deterministic across runs,
-    * partitionings, and engines (MurmurHash3 over the token string).
+  /** Fixed per-row affine constants over the md5 tokenHash — the same
+    * cross-engine universal-hash family as minhash (Scalars.minhashFn),
+    * chosen over Murmur3 in r13 SPECIFICALLY so DuckDB can replay every
+    * bucket: row r sends token t to
+    * `((a_r · (tokenHash(t) mod P) + b_r) mod P) mod Width`,
+    * which SQL writes as
+    * `((a * (('0x'||substr(md5(t),1,15))::BIGINT % P) + b) % P) % 2048`.
+    * That flips q106 from bounds-gated to a full rows+schema+hash oracle
+    * (VERDICT r12 #6): the sketch counters are exact sums over an exactly
+    * replayable bucket map, so the estimate is bit-deterministic across
+    * runs, partitionings, AND engines. Overflow-safe: a ≤ 8191 and
+    * (h mod P) < 2^30, so a·h+b < 2^44.
     */
-  private val Seeds = Array(0x9747b28c, 0x85ebca6b, 0xc2b2ae35, 0x27d4eb2f)
-  require(Seeds.length == Depth,
-    s"CountMin needs one seed per row: ${Seeds.length} seeds for depth $Depth")
+  private val AB: Array[(Long, Long)] =
+    Array((31L, 7L), (131L, 17L), (1031L, 97L), (8191L, 401L))
+  require(AB.length == Depth,
+    s"CountMin needs one (a,b) pair per row: ${AB.length} for depth $Depth")
 
-  def bucket(tok: String, row: Int): Int =
-    (MurmurHash3.stringHash(tok, Seeds(row)) & 0x7fffffff) % Width
+  def bucket(tok: String, row: Int): Int = {
+    val h = TokenHashExpr.hash(UTF8String.fromString(tok)) % P
+    val (a, b) = AB(row)
+    (((a * h + b) % P) % Width).toInt
+  }
 
   /** Point estimate: min over the Depth counters this token hashes to. */
   def estimate(sketch: Array[Long], tok: String): Long = {

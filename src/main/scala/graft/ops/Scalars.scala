@@ -211,14 +211,31 @@ object Scalars {
     s"(floor(($x) * $p + 0.5) / $p)"
   }
 
-  /** Distinct 3-word shingles of a word array — the MinHash feature set.
+  /** Distinct 3-word shingles of a text column — the MinHash feature set.
     * Word-level minhash over a small vocabulary collides catastrophically
     * (measured: 7.58M LSH candidate pairs vs 493 with shingles on the sf0.1
     * documents table); shingling is the standard fix (SURVEY.md §2.11 X2).
-    * Guard: <3 words → the whole text as one shingle. 1-based element_at
-    * matches DuckDB list indexing.
+    * Guard: <3 words → the whole text as one shingle.
+    *
+    * Since round 13 this routes through the native codegen
+    * [[Shingles3Expr]] (one byte walk emitting zero-copy substring
+    * slices — the shingle join separator equals the split separator, so
+    * shingles ARE substrings; no words array, no interpreted transform
+    * lambda). Bit-identical to the declarative HOF form, which is kept
+    * as [[shingles3Conv]] for the identity spec; DuckDB replays the same
+    * set via QueriesText.shinglesSql.
     */
-  def shingles3(words: Column): Column =
+  def shingles3Text(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(Shingles3Expr(ColumnBridge.expression(text)))
+  }
+
+  /** The declarative array-transform form shingles3Text replaced —
+    * retained ONLY as the bit-identity witness in Shingles3ExprSpec
+    * (1-based element_at matches DuckDB list indexing). Interpreted
+    * (ArrayTransform is CodegenFallback): do not put on a hot path.
+    */
+  private[graft] def shingles3Conv(words: Column): Column =
     when(size(words) >= 3,
       array_distinct(transform(sequence(lit(1), size(words) - 2),
         i => concat_ws(" ",

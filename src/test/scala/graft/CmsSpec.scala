@@ -4,10 +4,13 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{CountMin, CountMinAggregator}
 
-/** Count-Min sketch properties that stand in for the missing DuckDB oracle
-  * (q106 is no-oracle by design — the sketch hash is Scala-side Murmur3):
-  * one-sided error, the ε·N ceiling, partition invariance of the merged
-  * sketch, and estimate-vs-exact agreement on the real fixture.
+/** Count-Min sketch engine-side invariants: one-sided error, the ε·N
+  * ceiling, partition invariance of the merged sketch, and the streaming
+  * incremental-merge twin. Since r13 q106 ALSO has a full DuckDB hash
+  * oracle (the buckets use the md5-tokenHash affine family, which the
+  * oracle replays relationally — ops/CountMin.AB); these properties stay
+  * because they gate the sketch SEMANTICS (what the guarantee is), not
+  * just the value (that both engines compute the same thing).
   */
 class CmsSpec extends SparkSpec {
   import spark.implicits._

@@ -109,11 +109,11 @@ class ScalarsSpec extends SparkSpec {
 
   test("shingles3 produces n-2 shingles, short input falls back to whole text") {
     val r = Seq("a b c d").toDF("text")
-      .select(Scalars.shingles3(split(col("text"), " ")).as("sh"))
+      .select(Scalars.shingles3Conv(split(col("text"), " ")).as("sh"))
       .collect().head.getSeq[String](0)
     assert(r == Seq("a b c", "b c d"))
     val short = Seq("a b").toDF("text")
-      .select(Scalars.shingles3(split(col("text"), " ")).as("sh"))
+      .select(Scalars.shingles3Conv(split(col("text"), " ")).as("sh"))
       .collect().head.getSeq[String](0)
     assert(short == Seq("a b"))
   }

@@ -80,37 +80,11 @@ for name in sorted(oracle):
         passes.append(name)
 
 # ---- partial oracle: bounds-checked sketch output ---------------------------
-# q106 (Count-Min heavy hitters) has no hash oracle (the sketch hashes with
-# Scala-side Murmur3), but its GUARANTEES are cross-engine checkable: the
-# dump's exact_n column must equal DuckDB's exact token count, and every
-# estimate must satisfy exact <= est <= exact + eps*N for eps = e/Width
-# (ops/CountMin.scala: Width=2048 — update here if the sketch is resized).
+# q106 (Count-Min heavy hitters) graduated to a FULL hash oracle in r13: the
+# sketch buckets now use the md5-tokenHash affine family (ops/CountMin.AB),
+# which the oracle SQL replays relationally — so q106 is checked by the main
+# loop above like any other query and its former bounds gate is retired.
 bounds_checked = []
-cms = f"{out}/q106_cms_heavy_hitters"
-if os.path.isdir(cms):
-    rows = con.execute(
-        f"SELECT tok, exact_n, est_n FROM read_parquet('{cms}/*.parquet')"
-    ).fetchall()
-    n_tokens = con.execute(
-        "SELECT count(*) FROM (SELECT unnest(str_split(text, ' ')) FROM documents)"
-    ).fetchone()[0]
-    bound = math.e / 2048 * n_tokens
-    bad = []
-    if not rows:
-        bad.append("empty dump")
-    for tok, exact_n, est_n in rows:
-        dd = con.execute(
-            "SELECT count(*) FROM (SELECT unnest(str_split(text, ' ')) AS t"
-            " FROM documents) WHERE t = ?", [tok]).fetchone()[0]
-        if dd != exact_n:
-            bad.append(f"{tok!r}: spark exact {exact_n} != duckdb {dd}")
-        elif not (exact_n <= est_n <= exact_n + bound):
-            bad.append(
-                f"{tok!r}: est {est_n} outside [{exact_n}, {exact_n}+{bound:.1f}]")
-    if bad:
-        fails.append(("q106_cms_heavy_hitters", "; ".join(bad[:5])))
-    else:
-        bounds_checked.append("q106_cms_heavy_hitters")
 
 # q08b (approx_count_distinct, rsd=0.02): HLL++ has no hard bound, but its
 # error is ~Gaussian with sigma = rsd; 4 sigma is a quantitative gate a
