@@ -111,8 +111,33 @@ object Bench {
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     val allRuns =
       scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // TEST HOOK (labeled in the artifact, inert unless set): comma-list of
+    // TIMED sweep indices during which 2×-cpu busy threads run, e.g.
+    // SPARK_GRAFT_BURST=1,2 poisons timed sweeps 1 and 2 — the exact
+    // two-poisoned-sweeps failure mode the outlier re-sweep exists for
+    // (driver r12: q196's 59.8 s survived a median of 3). Used to
+    // demonstrate, deterministically, that the re-swept median matches
+    // the quiet-host median; external load generators can't align with
+    // sweep boundaries reliably.
+    val burstSweeps: Set[Int] = sys.env.get("SPARK_GRAFT_BURST")
+      .map(_.split(",").map(_.trim.toInt).toSet).getOrElse(Set.empty)
+    def withBurst[T](active: Boolean)(f: => T): T =
+      if (!active) f
+      else {
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val burners = (1 to 2 * Runtime.getRuntime.availableProcessors())
+          .map { _ =>
+            val t = new Thread(() => {
+              var x = 0L
+              while (!stop.get()) { x += 1; if (x == Long.MaxValue) x = 0 }
+            })
+            t.setDaemon(true); t.start(); t
+          }
+        try f finally { stop.set(true); burners.foreach(_.join(100)) }
+      }
     (1 to warmups + runs).foreach { sweep =>
       val timed = sweep > warmups
+      withBurst(timed && burstSweeps(sweep - warmups)) {
       selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -134,6 +159,7 @@ object Bench {
           case _: Throwable => () // already timed on an earlier sweep
         }
       }
+      }
     }
     // Headline = sum of per-query MEDIANS (VERDICT r04 #2) over the timed
     // sweeps: with the compile already paid in the warmup sweep, all timed
@@ -144,6 +170,61 @@ object Bench {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // OUTLIER RE-SWEEP (VERDICT r12 #2): interleaved sweeps + median
+    // reject ONE poisoned run per query, but a host burst long enough to
+    // cover a query in TWO sweeps defeats the median (driver r12 artifact:
+    // q196 read [1.68, 59.8, 3.49] in one poisoned window and a second
+    // burst elsewhere pushed its 59.8 into other queries' medians). After
+    // the timed sweeps, any query whose median exceeds RESWEEP_K × its own
+    // min by more than RESWEEP_ABS seconds is steady-state-inconsistent —
+    // its min PROVES the engine can run it that fast, so the gap is
+    // contention, not the query — and gets up to RESWEEP_MAX re-runs, each
+    // replacing that query's worst remaining sample IF faster (a re-run
+    // that itself bursts is discarded, never inserted). A fixed cheap
+    // PLACEBO query runs first in every re-sweep round and its times are
+    // published (placebo_sec) as the quiet-host witness for the
+    // replacement window — the measurement-hygiene discipline from the
+    // r12 tokenHash A/B. Original pre-replacement vectors for every
+    // flagged query are kept in presweep_sec so nothing is silently
+    // rewritten; runs_sec is the post-replacement vector the stats use.
+    val resweepK = 2.0
+    val resweepAbs = 0.3
+    val resweepMax = sys.env.getOrElse("SPARK_GRAFT_RESWEEPS", "2").toInt
+    def inconsistent(ts: Vector[Double]): Boolean =
+      ts.nonEmpty && median(ts) > resweepK * ts.min &&
+        median(ts) - ts.min > resweepAbs
+    val presweep = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    val resweepRuns = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    var placeboSec = Vector.empty[Double]
+    val placebo = selected.find { case (n, _) =>
+      allRuns.get(n).exists(ts => !inconsistent(ts) && ts.min < 1.0) }
+    var resweepRound = 0
+    while (resweepRound < resweepMax &&
+        allRuns.exists { case (_, ts) => inconsistent(ts) }) {
+      resweepRound += 1
+      placebo.foreach { case (_, pfn) =>
+        val t0 = System.nanoTime()
+        try {
+          pfn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          placeboSec :+= (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () }
+      }
+      selected.foreach { case (name, fn) =>
+        val ts = allRuns.getOrElse(name, Vector.empty)
+        if (inconsistent(ts)) {
+          presweep.getOrElseUpdate(name, ts)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            resweepRuns(name) =
+              resweepRuns.getOrElse(name, Vector.empty) :+ dt
+            val worst = ts.indexOf(ts.max)
+            if (dt < ts(worst)) allRuns(name) = ts.updated(worst, dt)
+          } catch { case _: Throwable => () } // keep the original samples
+        }
+      }
     }
     val medians = allRuns.map { case (k, ts) => k -> median(ts) }
     val mins = allRuns.map { case (k, ts) => k -> ts.min }
@@ -158,6 +239,14 @@ object Bench {
     val warmupSec = warmRuns.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val presweepSec = presweep.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val resweepSec = resweepRuns.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val placeboJson = placeboSec.mkString("[", ",", "]")
+    val placeboName = placebo.map(p => "\"" + p._1 + "\"").getOrElse("null")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = medians.values.sum
@@ -167,7 +256,7 @@ object Bench {
     val core50Min =
       mins.filter { case (k, _) => core50(k) }.values.sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmups":$warmups,"agg":"median","exec":"noop-write","total_min":$totalMin,"core50_total":$core50Total,"core50_min":$core50Min,"core50_n":${c50m.size},"queries":${jmap(medians)},"queries_min":${jmap(mins)},"runs_sec":$runsSec,"warmup_sec":$warmupSec,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmups":$warmups,"agg":"median","exec":"noop-write","total_min":$totalMin,"core50_total":$core50Total,"core50_min":$core50Min,"core50_n":${c50m.size},"resweep_rounds":$resweepRound,"resweep_k":$resweepK,"resweep_abs":$resweepAbs,"burst_injected":${burstSweeps.toList.sorted.mkString("[", ",", "]")},"placebo":$placeboName,"placebo_sec":$placeboJson,"presweep_sec":$presweepSec,"resweep_sec":$resweepSec,"queries":${jmap(medians)},"queries_min":${jmap(mins)},"runs_sec":$runsSec,"warmup_sec":$warmupSec,"errors":$errs,"sf":"$sfDir"}"""
     // full artifact: stdout (early) + file (always recoverable)
     println(full)
     try {
@@ -177,6 +266,6 @@ object Bench {
     spark.stop()
     // LAST line: short form guaranteed to fit a bounded tail capture.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmups":$warmups,"agg":"median","total_min":$totalMin,"core50_total":$core50Total,"core50_min":$core50Min,"core50_n":${c50m.size},"nqueries":${allRuns.size},"nerrors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"warmups":$warmups,"agg":"median","total_min":$totalMin,"core50_total":$core50Total,"core50_min":$core50Min,"core50_n":${c50m.size},"resweep_rounds":$resweepRound,"nresweep":${presweep.size},"nqueries":${allRuns.size},"nerrors":${errors.size},"sf":"$sfDir","detail":"bench_out.json"}""")
   }
 }
