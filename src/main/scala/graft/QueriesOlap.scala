@@ -134,6 +134,43 @@ object QueriesOlap {
         .orderBy("l_returnflag"),
       None),
 
+    // A19 exact WEIGHTED quantiles — ClickHouse quantileExactWeighted
+    // parity, the reference-engine aggregate q63/q63b don't cover: each
+    // value carries a weight and the level cuts the WEIGHTED cumulative
+    // distribution. The curation use is token-weighted length percentiles:
+    // "the doc length under which half the corpus TOKENS sit" (per-doc
+    // percentiles over-represent short docs; budget math q86/q154 keys on
+    // tokens, so its cut points must too). Discrete type-1 semantics,
+    // all-integer threshold (cumW·1e6 ≥ q_ppm·W in DECIMAL — exact at any
+    // scale, no float level math): both engines agree bit-identically,
+    // tie-order invariant (see GlobalRank.weightedQuantiles scaladoc).
+    // Scale: ONE range exchange of narrow (source, len, w) triples +
+    // parallel prefix machinery — never a per-group single reducer; the
+    // weight column is computed in a projection before the exchange.
+    Q("q202_weighted_percentiles",
+      (s, d) => {
+        val docs = documents(s, d).select(col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+        graft.ops.GlobalRank.weightedQuantiles(
+          docs, col("source"), col("n_chars"), col("w"),
+          Seq(500000, 900000, 990000))
+          .select(col("g").as("source"), col("q_ppm"),
+            col("wq").cast("long").as("wq"))
+          .orderBy("source", "q_ppm")
+      },
+      Some("""WITH t AS (SELECT source, n_chars AS v,
+             |  CAST(len(str_split(text, ' ')) AS BIGINT) AS w
+             |  FROM documents),
+             |tot AS (SELECT source, sum(w) AS wt FROM t GROUP BY 1),
+             |c AS (SELECT source, v, sum(w) OVER (
+             |  PARTITION BY source ORDER BY v) AS cw FROM t),
+             |qs AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+             |SELECT c.source, CAST(q.q_ppm AS INT) AS q_ppm,
+             |  CAST(min(c.v) AS BIGINT) AS wq
+             |FROM c JOIN tot USING (source) CROSS JOIN qs q
+             |WHERE c.cw * 1000000 >= q.q_ppm * tot.wt
+             |GROUP BY 1, 2 ORDER BY source, q_ppm""".stripMargin)),
+
     // A11 ordered string aggregation (group members as a sorted CSV list —
     // the reporting form of collect_list). Sorted before joining so the
     // aggregation order, which neither engine guarantees, cannot leak in.

@@ -822,5 +822,174 @@ object QueriesTextAnalysis {
               |  CAST(sum(CASE WHEN gs < 500000 THEN 1 ELSE 0 END)
               |    AS BIGINT) AS n_low_diversity
               |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)),
+
+    // X91 BPE-encode APPLY — the missing half of the tokenizer tier
+    // (Sennrich et al. 2016): X36/q124 MINES merge pairs, X48/q136 audits
+    // vocabulary fit; this APPLIES a merge list to the corpus and reports
+    // the real compression curve — per merge round: the merged token, the
+    // corpus token count after the round, and how many occurrences the
+    // merge absorbed. The merge table is data-derived (q124's
+    // first-iteration pair statistic, top-8 by (count DESC, pair ASC)),
+    // RESTRICTED TO DISTINCT-CHAR PAIRS: with l != r, matches of (l, r)
+    // can never chain (a match at i forces sym(i+1) = r != l, so no match
+    // at i+1), making greedy left-to-right application a SINGLE relational
+    // pass — no run-parity bookkeeping — and each merge's matches are
+    // exhausted in its own round (merged symbols are 2 chars, so they can
+    // never recreate a single-char adjacency for an earlier pair).
+    // Priority semantics are real BPE: round r's merge consumes symbols
+    // before round r+1 sees them (BpeEncodeInvariantSpec pins a pair
+    // whose result differs under swapped priority).
+    // Scale shape — dedup-before-expensive-work (q124's contraction):
+    // everything runs over the DISTINCT word table weighted by corpus
+    // frequency (vocabulary-sized, Heaps'-law sublinear), never the token
+    // stream; the only corpus-proportional stage is the word-frequency
+    // agg (map-side combinable). Each round is one window pass
+    // (partitioned by word — vocab-cardinality parallelism) cut by an
+    // eager localCheckpoint, the q196 iterative idiom, so the lineage
+    // stays flat at any round count. The merge table reaches rounds as a
+    // broadcast 1-row scalar (never collected to the driver); rounds with
+    // no rk-r row degrade to identity via never-matching sentinel chars
+    // (U+0001/U+0002 — not producible by the documents generator).
+    Q("q201_bpe_encode",
+      (s, d) => {
+        val words = fanOut(documents(s, d))
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 1)
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .localCheckpoint(true) // read by the merge miner AND round 0
+        val merges = bpeMineMerges(words, 8).localCheckpoint(true)
+        var syms = words
+          .select(col("word"), col("freq"),
+            posexplode(expr(
+              "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+          .toDF("word", "freq", "pos", "sym")
+          .localCheckpoint(true)
+        val stats = Seq.newBuilder[DataFrame]
+        stats += syms.groupBy().agg(sum("freq").as("corpus_tokens"))
+          .select(lit(0).as("round"), lit("").as("merge_tok"),
+            col("corpus_tokens"), lit(0L).as("merge_occ"))
+        for (r <- 1 to 8) {
+          val m = bpeMergeRow(merges, r)
+          syms = bpeRound(syms, m).localCheckpoint(true)
+          stats += syms.crossJoin(broadcast(m))
+            .groupBy().agg(
+              sum("freq").as("corpus_tokens"),
+              sum(when(col("sym") === col("mtok"), col("freq"))
+                .otherwise(lit(0L))).as("merge_occ"),
+              first("mtok").as("mtok"))
+            .select(lit(r).as("round"), col("mtok").as("merge_tok"),
+              col("corpus_tokens"), col("merge_occ"))
+        }
+        stats.result().reduce(_ unionByName _).orderBy("round")
+      },
+      Some {
+        // each round's symbol table is read twice (next round + its stats
+        // row), so every s$r is AS MATERIALIZED — the q196 precedent;
+        // x$r / m$r are single-use-ish and tiny, left plain
+        val rounds = (1 to 8).map { r =>
+          s"""m$r AS (SELECT coalesce(max(substr(pair, 1, 1)), chr(1)) AS ml,
+             |  coalesce(max(substr(pair, 2, 1)), chr(2)) AS mr,
+             |  coalesce(max(pair), '') AS mtok FROM merges WHERE rk = $r),
+             |x$r AS (SELECT word, freq, pos, sym,
+             |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+             |  lag(sym) OVER (PARTITION BY word ORDER BY pos) AS prv
+             |  FROM s${r - 1}),
+             |s$r AS MATERIALIZED (
+             |  SELECT word, freq, CAST(row_number() OVER (
+             |    PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+             |    CASE WHEN sym = m.ml AND nxt = m.mr
+             |      THEN m.ml || m.mr ELSE sym END AS sym
+             |  FROM x$r CROSS JOIN m$r m
+             |  WHERE NOT (coalesce(prv, '') = m.ml AND sym = m.mr)),
+             |st$r AS (SELECT CAST($r AS INT) AS round,
+             |  max(m.mtok) AS merge_tok,
+             |  CAST(sum(freq) AS BIGINT) AS corpus_tokens,
+             |  CAST(coalesce(sum(CASE WHEN sym = m.mtok THEN freq END), 0)
+             |    AS BIGINT) AS merge_occ
+             |  FROM s$r CROSS JOIN m$r m)""".stripMargin
+        }.mkString(",\n")
+        val unioned = (1 to 8).map(r => s"SELECT * FROM st$r")
+          .mkString(" UNION ALL ")
+        s"""WITH words AS MATERIALIZED (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+           |  FROM (SELECT unnest(str_split(text, ' ')) AS word
+           |        FROM documents)
+           |  WHERE length(word) >= 1 GROUP BY 1),
+           |merges AS MATERIALIZED (
+           |  SELECT pair, rk FROM (
+           |    SELECT pair, CAST(row_number() OVER (
+           |      ORDER BY mc DESC, pair ASC) AS INT) AS rk
+           |    FROM (
+           |      SELECT pair, sum(freq) AS mc
+           |      FROM (SELECT freq, unnest(list_transform(
+           |              range(1, length(word)),
+           |              i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+           |            FROM words WHERE length(word) >= 2)
+           |      WHERE substr(pair, 1, 1) <> substr(pair, 2, 1)
+           |      GROUP BY 1))
+           |  WHERE rk <= 8),
+           |s0 AS MATERIALIZED (
+           |  SELECT word, freq, CAST(i AS BIGINT) AS pos,
+           |    substr(word, CAST(i AS INTEGER), 1) AS sym
+           |  FROM words, unnest(range(1, length(word) + 1)) AS u(i)),
+           |st0 AS (SELECT CAST(0 AS INT) AS round, '' AS merge_tok,
+           |  CAST(sum(freq) AS BIGINT) AS corpus_tokens,
+           |  CAST(0 AS BIGINT) AS merge_occ FROM s0),
+           |$rounds
+           |SELECT round, merge_tok, corpus_tokens, merge_occ
+           |FROM (SELECT * FROM st0 UNION ALL $unioned)
+           |ORDER BY round""".stripMargin
+      }),
   )
+
+  /** q124's first-iteration merge-pair statistic, restricted to
+    * distinct-char pairs and ranked — the fixed merge table q201 applies.
+    * `(pair string, rk int)`, rk in 1..k by (weighted count DESC, pair
+    * ASC). The rank window runs AFTER a TakeOrdered limit, so it touches
+    * exactly k rows — never the alphabet²-sized pair table.
+    */
+  private[graft] def bpeMineMerges(words: DataFrame, k: Int): DataFrame = {
+    val topPairs = words
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+      .filter(substring(col("pair"), 1, 1) =!= substring(col("pair"), 2, 1))
+      .groupBy("pair").agg(sum("freq").as("mc"))
+      .orderBy(col("mc").desc, col("pair").asc)
+      .limit(k)
+    topPairs.select(col("pair"), row_number().over(
+      Window.orderBy(col("mc").desc, col("pair").asc)).as("rk"))
+  }
+
+  /** Rank-r merge as a guaranteed 1-row frame `(ml, mr, mtok)` — aggregate
+    * form so an absent rank degrades to never-matching sentinels instead
+    * of an empty frame (which would annihilate a crossJoin).
+    */
+  private[graft] def bpeMergeRow(merges: DataFrame, r: Int): DataFrame =
+    merges.filter(col("rk") === r)
+      .groupBy().agg(
+        coalesce(max(substring(col("pair"), 1, 1)), lit("\u0001")).as("ml"),
+        coalesce(max(substring(col("pair"), 2, 1)), lit("\u0002")).as("mr"),
+        coalesce(max(col("pair")), lit("")).as("mtok"))
+
+  /** One BPE merge application over a symbol table `(word, freq, pos,
+    * sym)`: every adjacent (ml, mr) symbol pair becomes one ml||mr symbol.
+    * Exact greedy left-to-right BPE for distinct-char merges — matches
+    * cannot overlap (see q201 scaladoc), so consumed-row removal plus a
+    * conditional rewrite is the whole step. Positions are re-densified so
+    * rounds compose.
+    */
+  private[graft] def bpeRound(syms: DataFrame, mergeRow: DataFrame): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    syms.crossJoin(broadcast(mergeRow))
+      .withColumn("nxt", lead("sym", 1).over(w))
+      .withColumn("prv", lag("sym", 1).over(w))
+      .filter(!(coalesce(col("prv"), lit("")) === col("ml") &&
+        col("sym") === col("mr")))
+      .select(col("word"), col("freq"),
+        row_number().over(w).as("pos"),
+        when(col("sym") === col("ml") && col("nxt") === col("mr"),
+          concat(col("ml"), col("mr"))).otherwise(col("sym")).as("sym"))
+  }
 }

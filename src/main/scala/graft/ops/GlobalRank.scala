@@ -152,6 +152,84 @@ object GlobalRank {
       .select("g", "q", "pct")
   }
 
+  /** Exact WEIGHTED quantiles per group, distributed — ClickHouse
+    * `quantileExactWeighted` parity (the reference's engine ships weighted
+    * quantiles first-class; unweighted exact is [[exactPercentiles]]).
+    *
+    * Semantics (discrete / type-1, the cross-engine-exact form): for each
+    * group with total weight W and level q (as integer ppm), the SMALLEST
+    * value v whose inclusive cumulative weight reaches the level:
+    * `cumW(≤ v) · 1e6 ≥ q_ppm · W`. All-integer — no float level math, so
+    * DuckDB replays it bit-identically via a window cumulative sum. The
+    * result is invariant to tie order among equal values: the qualifying
+    * set is a suffix of the value order, and whether ANY row of value v
+    * qualifies depends only on W(≤ v) (the last tie row carries it), so
+    * `min(v)` is well-defined under both row- and range-framed cumsums.
+    * Weight-k rows behave exactly like k repeated rows (spec-pinned).
+    *
+    * Scale shape — the [[perGroupRank]] machinery with weights: ONE range
+    * exchange of narrow (g, v, w) triples, per-(partition, group) weight
+    * sums cumulated through the tiny non-equi self-join, within-partition
+    * running sums, then a broadcast (group × level) target join + filter +
+    * min agg. No window over the fact rows, no single-reducer group
+    * buffering, every stage parallel. Comparisons run in DECIMAL:
+    * cumW·1e6 and q_ppm·W both reach ~1e19 at 100 TB token weights, past
+    * long range (DuckDB's HUGEINT sums are safe by default; the Spark
+    * side must widen explicitly).
+    *
+    * Returns `(g string, q_ppm int, wq double)` — one row per group ×
+    * level. Weights must be non-negative longs.
+    */
+  def weightedQuantiles(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      weight: Column,
+      qPpms: Seq[Int]): DataFrame = {
+    val spark = df.sparkSession
+    val sortedRdd = df
+      .select(group.cast("string").as("g"), value.cast("double").as("v"),
+        weight.cast("long").as("w"))
+      .repartitionByRange(col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .rdd // lazy DAG; eager part = range-bounds sampling only
+    val wsumsRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + r.getLong(2)
+      }
+      m.iterator.map { case (g, s) => (pid, g, s) }
+    }.cache() // numPartitions×numGroups rows; lifecycle as rankedWithCounts
+    val wsums = spark.createDataFrame(wsumsRdd).toDF("pid", "g", "wsum")
+    val offsets = wsums.as("a")
+      .join(wsums.as("b"),
+        col("a.g") === col("b.g") && col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"), col("a.g").as("g"))
+      .agg(coalesce(sum(col("b.wsum")), lit(0L)).as("offset"))
+    val local = spark.createDataFrame(
+      sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+        var curG: String = null
+        var run = 0L
+        it.map { r =>
+          val g = r.getString(0)
+          if (g != curG) { curG = g; run = 0L }
+          run += r.getLong(2)
+          (pid, g, r.getDouble(1), run) // inclusive cum within (pid, g)
+        }
+      }).toDF("pid", "g", "v", "local_cum")
+    val rows = local.join(broadcast(offsets), Seq("pid", "g"))
+      .select(col("g"), col("v"),
+        (col("offset") + col("local_cum")).as("cum_w"))
+    val totals = wsums.groupBy("g").agg(sum("wsum").as("wt"))
+    val targets = totals.select(col("g"), col("wt"),
+      explode(array(qPpms.map(lit(_)): _*)).as("q_ppm"))
+    rows.join(broadcast(targets), Seq("g"))
+      .filter(col("cum_w").cast("decimal(20,0)") * lit(1000000L) >=
+        col("q_ppm").cast("decimal(7,0)") * col("wt").cast("decimal(20,0)"))
+      .groupBy("g", "q_ppm")
+      .agg(min("v").as("wq"))
+  }
+
   /** Distributed exclusive prefix sum over a total order — the q33/q63
     * machinery with SUMS instead of COUNTS: range-partition by `order`,
     * lazily derive per-partition value sums, cumulate them through the

@@ -65,4 +65,62 @@ class GlobalRankSpec extends SparkSpec {
       }
     assert(got.toSeq == exp.toSeq.sortBy(t => (t._1, t._2)))
   }
+
+  private val levels = Seq(500000, 900000, 990000)
+
+  /** Reference semantics in plain Scala: smallest v whose inclusive
+    * cumulative weight reaches ceil-free q_ppm·W / 1e6. */
+  private def bruteWq(rows: Seq[(String, Double, Long)]) =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(t => (t._2, t._3)).sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      levels.map { q =>
+        var cum = 0L
+        val v = sorted.find { case (_, w) =>
+          cum += w; BigInt(cum) * 1000000 >= BigInt(q) * total
+        }.get._1
+        (g, q, v)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+
+  test("weightedQuantiles matches the brute-force cumulative definition " +
+      "on mixed weights, duplicates, and a single-row group") {
+    import spark.implicits._
+    val rows =
+      (1 to 60).map(i => ("a", ((i * 29) % 31).toDouble, (i % 5 + 1).toLong)) ++
+        (1 to 25).map(i => ("b", (i % 4).toDouble, (i * 13 % 7 + 1).toLong)) ++
+        Seq(("c", 7.5, 3L))
+    val got = GlobalRank.weightedQuantiles(
+      rows.toDF("g", "v", "w").repartition(7),
+      col("g"), col("v"), col("w"), levels)
+      .orderBy("g", "q_ppm").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == bruteWq(rows), s"got ${got.toSeq}")
+  }
+
+  test("weightedQuantiles: weight k behaves exactly like k repeated rows") {
+    import spark.implicits._
+    val weighted = Seq(("g", 1.0, 3L), ("g", 2.0, 1L), ("g", 5.0, 6L))
+    val exploded = weighted.flatMap { case (g, v, w) =>
+      Seq.fill(w.toInt)((g, v, 1L))
+    }
+    val a = GlobalRank.weightedQuantiles(weighted.toDF("g", "v", "w"),
+      col("g"), col("v"), col("w"), levels)
+      .orderBy("q_ppm").collect().map(r => (r.getInt(1), r.getDouble(2)))
+    val b = GlobalRank.weightedQuantiles(exploded.toDF("g", "v", "w"),
+      col("g"), col("v"), col("w"), levels)
+      .orderBy("q_ppm").collect().map(r => (r.getInt(1), r.getDouble(2)))
+    assert(a.toSeq == b.toSeq, s"weighted ${a.toSeq} != exploded ${b.toSeq}")
+  }
+
+  test("weightedQuantiles boundary: exact threshold equality is included " +
+      "(cumW·1e6 == q_ppm·W selects the crossing value, not the next)") {
+    import spark.implicits._
+    // W = 10; at q = 0.5: v=1 carries cum 5, 5e6 >= 5e6 → median is 1
+    val rows = Seq(("g", 1.0, 5L), ("g", 9.0, 5L))
+    val got = GlobalRank.weightedQuantiles(rows.toDF("g", "v", "w"),
+      col("g"), col("v"), col("w"), Seq(500000))
+      .collect().map(r => r.getDouble(2))
+    assert(got.toSeq == Seq(1.0), got.toSeq)
+  }
 }

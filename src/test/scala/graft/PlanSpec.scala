@@ -310,6 +310,22 @@ class PlanSpec extends SparkSpec {
       s"q63 regressed to the single-reducer percentile aggregate:\n$p")
   }
 
+  test("q202 weighted quantiles: no Percentile aggregate, no fact-row " +
+      "window — range-partition machinery with broadcast target join") {
+    val p = plan("q202_weighted_percentiles")
+    assert(!p.contains("percentile("),
+      s"q202 regressed to a single-reducer percentile aggregate:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"q202 runs a window over the fact rows — single-task per group " +
+        s"at scale:\n$p")
+    // the range exchange itself lives in the RDD-side lineage (visible
+    // only as Scan[obj] leaves — q160's precedent)
+    assert(p.contains("Scan[obj") || p.contains("Scan ExistingRDD"),
+      s"GlobalRank's range-partitioned machinery missing:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"level/total targets not broadcast:\n${p.take(800)}")
+  }
+
   test("q82/q83 salted scans stay pruned (salt must not widen ReadSchema)") {
     // The salt is hash(narrow row-identity subset); hashing the whole row
     // would be equally retry-stable but forces the scan to read every
@@ -519,6 +535,55 @@ class PlanSpec extends SparkSpec {
     // (the token_hash stage lives behind the pair-table localCheckpoint,
     // so the executed plan starts at Scan ExistingRDD — the native hash
     // is plan-gated on q130/q47 instead)
+  }
+
+  test("q201 bpe round: windows are word-partitioned (vocab-cardinality " +
+      "parallelism, never a global single-task window) and the merge " +
+      "scalar arrives as a broadcast 1-row frame, not a cartesian") {
+    import spark.implicits._
+    val syms = Seq(("abab", 1L, 1, "a"), ("abab", 1L, 2, "b"),
+      ("abab", 1L, 3, "a"), ("abab", 1L, 4, "b"))
+      .toDF("word", "freq", "pos", "sym")
+    val merges = Seq(("ab", 1)).toDF("pair", "rk")
+    val df = QueriesTextAnalysis.bpeRound(syms,
+      QueriesTextAnalysis.bpeMergeRow(merges, 1))
+    df.collect()
+    val root = df.queryExecution.executedPlan
+    val inner = root match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val p = inner.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in bpe round:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"merge scalar not broadcast:\n$p")
+    // QueryStageExec nodes are leaves, so WindowExec can't be collected
+    // through AQE stage boundaries — assert on the plan text instead:
+    // every window spec must lead with the word partition column.
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val wordSpecs = "windowspecdefinition\\(word#".r.findAllIn(p).size
+    assert(specs > 0, s"no window in bpe round plan:\n$p")
+    assert(specs == wordSpecs,
+      s"GLOBAL window in bpe round — single-task at scale:\n$p")
+  }
+
+  test("q201 merge mining: pair agg has map-side combine and the report " +
+      "is TakeOrdered — the rank window touches k rows, never the " +
+      "alphabet-squared pair table") {
+    val words = graft.Tables.fanOut(graft.Tables.documents(spark, sf))
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("word"))
+      .groupBy("word").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("freq"))
+    val df = QueriesTextAnalysis.bpeMineMerges(words, 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial"), s"no map-side combine:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"merge cut fell back to a global sort:\n${p.take(600)}")
+    // (the full q201 executed plan starts at checkpointed RDD scans —
+    // per-round shapes are gated here and on the bpeRound test above)
   }
 
   test("q104 box predicates reach the z-clustered parquet scan") {
