@@ -76,17 +76,11 @@ object QueriesCuration {
     // sum is the distributed ops/GlobalRank.prefixSum, not a global
     // window.
     Q("q86_token_packing",
-      (s, d) => {
-        val toks = documents(s, d)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("tokens"))
-        GlobalRank.prefixSum(toks, col("doc_id"), col("tokens"))
-          .withColumn("bin", expr("cum_before DIV 2000L"))
-          .groupBy("bin")
-          .agg(count(lit(1)).as("n_docs"), sum("v").as("sum_tokens"),
-            min("k").as("first_doc"), max("k").as("last_doc"))
-          .orderBy("bin")
-      },
+      // packing itself is pipelines/CurationPipeline.packBins — the
+      // single implementation the end-to-end chain also uses (stage 5)
+      (s, d) => graft.pipelines.CurationPipeline.packBins(
+        documents(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))),
       Some("""WITH t AS (
              |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
              |    AS tokens FROM documents),
@@ -108,22 +102,16 @@ object QueriesCuration {
     // semi-join feeding a doc-level anti-join — never pairwise. Docs
     // under 5 tokens carry no 5-gram and cannot be contaminated.
     Q("q87_decontaminate",
+      // contamination detection is pipelines/CurationPipeline
+      // .contaminatedDocs — the single implementation the end-to-end
+      // chain also uses (stage 3)
       (s, d) => {
-        val toks = documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            split(col("text"), " ").as("t"))
-        def shingles(df: org.apache.spark.sql.DataFrame) = df
-          .filter(size(col("t")) >= 5)
-          .select(col("doc_id"), explode(
-            expr("transform(sequence(1, size(t) - 4), " +
-              "i -> concat_ws(' ', slice(t, i, 5)))")).as("sh"))
-        val bench = shingles(toks.filter(col("doc_id") % 100 === 0))
-          .select("sh").distinct()
-        val corp = toks.filter(col("doc_id") % 100 =!= 0)
-        val contaminated = shingles(corp)
-          .join(broadcast(bench), Seq("sh"), "left_semi")
-          .select("doc_id").distinct()
-        corp.join(contaminated, Seq("doc_id"), "left_anti")
+        val docs = documents(s, d)
+        val corp = docs.filter(col("doc_id") % 100 =!= 0)
+        corp.join(
+            graft.pipelines.CurationPipeline.contaminatedDocs(
+              corp, docs.filter(col("doc_id") % 100 === 0)),
+            Seq("doc_id"), "left_anti")
           .groupBy("lang")
           .agg(count(lit(1)).as("kept_docs"))
           .orderBy("lang")
@@ -211,16 +199,14 @@ object QueriesCuration {
     // deterministic form of mixture sampling: the mix is reproducible,
     // point-auditable per doc, and stable when the corpus grows.
     Q("q90_source_mix",
-      (s, d) => {
-        val srcNum = substring(col("source"), 4, 10).cast("int")
-        val rate = lit(20) + pmod(srcNum, lit(5)) * 20
-        documents(s, d)
-          .withColumn("kept", bucket("mix:") < rate)
-          .groupBy("source")
-          .agg(count(lit(1)).as("total_docs"),
-            sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
-          .orderBy("source")
-      },
+      // the keep flag is pipelines/CurationPipeline.mixKept — the single
+      // implementation the end-to-end chain also uses (stage 4)
+      (s, d) => documents(s, d)
+        .withColumn("kept", graft.pipelines.CurationPipeline.mixKept)
+        .groupBy("source")
+        .agg(count(lit(1)).as("total_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"))
+        .orderBy("source"),
       Some(s"""SELECT source,
               |  CAST(count(*) AS BIGINT) AS total_docs,
               |  CAST(sum(CASE WHEN ${bucketSql("mix:")} <

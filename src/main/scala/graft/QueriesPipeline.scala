@@ -227,18 +227,12 @@ object QueriesPipeline {
     // needs the sign). At 100 TB this is the same shape as q45/q103:
     // fanOut → explode → hash — no new scale risk.
     Q("q120_quality_classifier",
-      (s, d) => {
-        val tok = fanOut(documents(s, d))
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        val f = Scalars.tokenHash(col("w")) % lit(256L)
-        val wgt = (f * lit(2971L) + lit(1129L)) % lit(1997L) - lit(998L)
-        tok.select(col("doc_id"), wgt.as("wgt"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"), sum(col("wgt")).as("score"))
-          .select(col("doc_id"), col("n_tokens"), col("score"),
-            (col("score") > 0).as("keep"))
-          .orderBy("doc_id")
-      },
+      // single implementation shared with the end-to-end chain
+      // (pipelines/CurationPipeline stage 1 — the DedupPipeline
+      // no-drift pattern; CurationPipelineSpec pins parity)
+      (s, d) => graft.pipelines.CurationPipeline
+        .qualityScores(fanOut(documents(s, d)))
+        .orderBy("doc_id"),
       Some("""WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
              |            FROM documents),
              |feat AS (SELECT doc_id,
