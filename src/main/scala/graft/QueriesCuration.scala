@@ -46,7 +46,90 @@ object QueriesCuration {
     s"(('0x' || substr(md5('$tag' || CAST(doc_id AS VARCHAR)), 1, 15))" +
       s"::BIGINT % 100)"
 
+  /** q203's corpus stage: per-doc rendezvous argmax under 8 and 9 shards,
+    * contracted to (s8, s9) pair counts. Weights/argmax compute per-row in
+    * one projection (9 fixed md5s over doc_id only — no explode, no text);
+    * the pair agg is the op's ONLY corpus exchange and its key space is
+    * ≤ 81 rows, so the map-side combine collapses it per task. key =
+    * (w % 1e15)·16 + s packs (weight, shard) into one BIGINT; % 16
+    * recovers the winning shard, higher shard winning exact-weight ties.
+    */
+  private[graft] def rendezvousPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val keys = transform(sequence(lit(0), lit(8)), sh =>
+      (Scalars.tokenHash(concat(lit("shard"), sh.cast("string"),
+        lit(":"), col("doc_id").cast("string")))
+        % lit(1000000000000000L)) * lit(16L) + sh.cast("long"))
+    docs
+      .select(col("doc_id"), keys.as("ks"))
+      .select(
+        (array_max(slice(col("ks"), 1, 8)) % 16).cast("int").as("s8"),
+        (array_max(col("ks")) % 16).cast("int").as("s9"))
+      .groupBy("s8", "s9")
+      .agg(count(lit(1)).as("c"))
+  }
+
   val all: Seq[Q] = Seq(
+
+    // X92 rendezvous (highest-random-weight) shard assignment +
+    // elasticity audit (Thaler & Ravishankar 1996) — the shard router a
+    // 100 TB corpus store actually needs: mod-N hashing (X11's bucket)
+    // reassigns ~100% of docs when N changes; rendezvous assigns each doc
+    // to argmax_s h(doc, s), so growing N -> N+1 moves EXACTLY the docs
+    // whose new shard wins the argmax — an expected 1/(N+1), and never
+    // between old shards (the argmax over a superset changes only if the
+    // new element is the max — visible in the output as structural zeros
+    // and spec-pinned). Reported: per shard, loads under 8 and 9 shards
+    // and the moved-in count. Weights are the md5 tokenHash family mod
+    // 1e15, bit-replayable in DuckDB; key = w*16 + s packs (weight,
+    // shard) into one BIGINT (1.6e16 < 2^63) so argmax + tiebreak
+    // (higher shard wins exact weight ties) is a plain max.
+    // Scale shape: ZERO corpus shuffle — the 9 weights and both argmaxes
+    // compute per-row in one projection (9 fixed md5s, no explode), and
+    // the only exchange is the partial+final agg on the ≤81-row (s8, s9)
+    // pair space; shard tables derive from those 81 rows. Adding a shard
+    // re-audits without touching the corpus layout.
+    Q("q203_rendezvous_shard",
+      (s, d) => {
+        val pairs = rendezvousPairs(documents(s, d))
+          .localCheckpoint(true) // <= 81 rows, read by both shard views
+        val d8 = pairs.groupBy(col("s8").as("shard"))
+          .agg(sum("c").as("docs_8"))
+        val d9 = pairs.groupBy(col("s9").as("shard"))
+          .agg(sum("c").as("docs_9"),
+            sum(when(col("s8") =!= col("s9"), col("c")).otherwise(0L))
+              .as("moved_in"))
+        s.range(9).select(col("id").cast("int").as("shard"))
+          .join(d8, Seq("shard"), "left")
+          .join(d9, Seq("shard"), "left")
+          .select(col("shard"),
+            coalesce(col("docs_8"), lit(0L)).as("docs_8"),
+            coalesce(col("docs_9"), lit(0L)).as("docs_9"),
+            coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+          .orderBy("shard")
+      },
+      Some("""WITH k AS (
+             |  SELECT doc_id, list_transform(range(0, 9), s ->
+             |    (('0x' || substr(md5('shard' || CAST(s AS VARCHAR) ||
+             |      ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             |      % 1000000000000000) * 16 + s) AS ks
+             |  FROM documents),
+             |a AS (SELECT
+             |    CAST(list_max(ks[1:8]) % 16 AS INT) AS s8,
+             |    CAST(list_max(ks) % 16 AS INT) AS s9 FROM k),
+             |p AS (SELECT s8, s9, count(*) AS c FROM a GROUP BY 1, 2),
+             |d8 AS (SELECT s8 AS shard, CAST(sum(c) AS BIGINT) AS docs_8
+             |       FROM p GROUP BY 1),
+             |d9 AS (SELECT s9 AS shard, CAST(sum(c) AS BIGINT) AS docs_9,
+             |         CAST(sum(CASE WHEN s8 <> s9 THEN c ELSE 0 END)
+             |           AS BIGINT) AS moved_in
+             |       FROM p GROUP BY 1),
+             |sh AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS shard)
+             |SELECT sh.shard, coalesce(docs_8, 0) AS docs_8,
+             |  coalesce(docs_9, 0) AS docs_9,
+             |  coalesce(moved_in, 0) AS moved_in
+             |FROM sh LEFT JOIN d8 USING (shard) LEFT JOIN d9 USING (shard)
+             |ORDER BY shard""".stripMargin)),
 
     // X11 train/val/test hash split: 80/10/10 by content hash — the
     // reproducible replacement for rand()-based splitting (stable under

@@ -586,6 +586,20 @@ class PlanSpec extends SparkSpec {
     // per-round shapes are gated here and on the bpeRound test above)
   }
 
+  test("q203 rendezvous: per-row argmax (no Generate/explode), scan " +
+      "pruned to doc_id, pair agg map-side combinable — zero corpus " +
+      "shuffle beyond the 81-key agg") {
+    val df = QueriesCuration.rendezvousPairs(Tables.documents(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"),
+      s"shard weights exploded instead of computed per-row:\n${p.take(600)}")
+    assert(p.contains("partial"), s"no map-side combine:\n${p.take(600)}")
+    assert(!p.contains("text"),
+      s"corpus scan reads text for a doc_id-only op:\n${p.take(600)}")
+    assert(p.contains("token_hash"),
+      s"native hash missing from the weight lambda:\n${p.take(600)}")
+  }
+
   test("q104 box predicates reach the z-clustered parquet scan") {
     // both dimensions' range predicates must be pushed — that is what the
     // z-layout's tight per-file min/max stats turn into row-group skips.
