@@ -1231,7 +1231,47 @@ object QueriesTime {
              |  CAST(CASE WHEN (1000000 * (n_days * sq - total * total))
              |      // (n_days * total) >= 2000000
              |    THEN 1 ELSE 0 END AS INT) AS bursty
-             |FROM agg ORDER BY event_type""".stripMargin))
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    // T33 OHLC bucket downsample — ClickHouse argMin/argMax-per-bucket
+    // parity (the reference engine's canonical time-series reduction):
+    // per (event_type, day), the value at the bucket's first and last
+    // event (open/close, total order (ts, event_id) — q98's zero-padded
+    // argmax key, so ties at sf1's replicated timestamps stay
+    // deterministic), the min/max (low/high), event count, and the exact
+    // DECIMAL value sum (Scalars.moneySum — double summation is
+    // accumulation-order-dependent; min/max/argmin on doubles are not).
+    // Scale shape: ONE partial+final agg over the event stream — min_by/
+    // max_by/min/max/sum/count all carry constant-size partial state, so
+    // the exchange sees types×days rows, never the corpus; no window, no
+    // join, no sort before the types×days-sized output order.
+    Q("q204_ohlc_downsample",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("ts_us", Scalars.longDiv("ts", 1000L))
+        val ord = format_string("%020d-%020d", col("ts_us"), col("event_id"))
+        ev.groupBy(col("event_type"),
+            expr("ts_us DIV 86400000000").as("day"))
+          .agg(
+            min_by(col("value"), ord).as("open"),
+            max("value").as("high"),
+            min("value").as("low"),
+            max_by(col("value"), ord).as("close"),
+            count(lit(1)).as("n_events"),
+            Scalars.moneySum(col("value")).as("vol"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             |    printf('%020d-%020d', epoch_us(ts), event_id) AS ord,
+             |    value
+             |  FROM events)
+             |SELECT event_type, CAST(day AS BIGINT) AS day,
+             |  arg_min(value, ord) AS open, max(value) AS high,
+             |  min(value) AS low, arg_max(value, ord) AS close,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  ${Scalars.moneySumSql("value")} AS vol
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** T31 corpus-sized stage of q197: the (event_type, day) count agg.

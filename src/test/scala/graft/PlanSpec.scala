@@ -600,6 +600,15 @@ class PlanSpec extends SparkSpec {
       s"native hash missing from the weight lambda:\n${p.take(600)}")
   }
 
+  test("q204 OHLC: one partial+final agg over the event stream — no " +
+      "window, no join; min_by/max_by carry constant partial state") {
+    val p = plan("q204_ohlc_downsample")
+    assert(!p.contains("windowspecdefinition"),
+      s"OHLC planned as a window — full per-bucket sort at scale:\n$p")
+    assert(!p.contains("Join"), s"join in a pure-agg op:\n${p.take(600)}")
+    assert(p.contains("partial"), s"no map-side combine:\n${p.take(600)}")
+  }
+
   test("q104 box predicates reach the z-clustered parquet scan") {
     // both dimensions' range predicates must be pushed — that is what the
     // z-layout's tight per-file min/max stats turn into row-group skips.

@@ -27,6 +27,36 @@ class TimeOpsSpec extends SparkSpec {
     assert(nS > 0 && nP > 0, "fixture has signups and purchases")
   }
 
+  test("q204 OHLC: open/close equal the window-derived first/last value " +
+      "per bucket (independent derivation), low <= open/close <= high, " +
+      "and n_events partitions the stream") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Queries.byName("q204_ohlc_downsample").build(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts_us", graft.ops.Scalars.longDiv("ts", 1000L))
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+    val w = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts_us"), col("event_id"))
+    val wd = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val expected = ev
+      .withColumn("ra", row_number().over(w))
+      .withColumn("rd", row_number().over(wd))
+      .groupBy("event_type", "day")
+      .agg(max(when(col("ra") === 1, col("value"))).as("open_w"),
+        max(when(col("rd") === 1, col("value"))).as("close_w"))
+    val joined = got.join(expected, Seq("event_type", "day")).cache()
+    assert(joined.count() == got.count())
+    assert(joined.filter(col("open") =!= col("open_w") ||
+      col("close") =!= col("close_w")).count() == 0,
+      "argmin/argmax open/close disagree with the window derivation")
+    assert(joined.filter(col("low") > col("open") ||
+      col("low") > col("close") || col("high") < col("open") ||
+      col("high") < col("close")).count() == 0)
+    val total = got.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == ev.count(), "buckets do not partition the stream")
+  }
+
   test("q78 retention never exceeds the day's active-user count") {
     val du = Tables.events(spark, sf)
       .select(col("user_id"),
