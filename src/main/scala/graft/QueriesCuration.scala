@@ -1625,7 +1625,111 @@ object QueriesCuration {
              |SELECT source,
              |  CAST(((r * n) // n_s) * 4 // n AS BIGINT) AS quartile,
              |  CAST(count(*) AS BIGINT) AS n_docs
-             |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // X93 probe-vocabulary χ² drift — the TOKEN-distribution complement
+    // of X59/q148's length-TVD audit: how far does each source's token
+    // mix sit from the corpus-wide one? Distance is the symmetrized
+    // Pearson χ² over a FIXED PROBE VOCABULARY (the corpus top-30 tokens
+    // by count, ties by hash — the standard drift-monitor move: a bounded
+    // probe set makes the statistic scale-free and cheap to track per
+    // snapshot) plus one OTHER cell holding each distribution's residual
+    // mass: chi2 = Σ (p−q)² DIV (p+q) over ppm-quantized cell masses —
+    // rational arithmetic only, so unlike KL/PSI it needs no log() (IEEE
+    // transcendental ⇒ last-ulp cross-engine divergence) and both engines
+    // agree bit-for-bit. Cells are ≤1e6 so squares stay ≤1e12 and the
+    // 31-cell sum ≤~6e13 — no overflow at ANY corpus size (the statistic
+    // is normalized before arithmetic, unlike count-product forms).
+    // A source missing a probe contributes its full q mass — the grid
+    // join makes absent cells explicit (q148's pattern).
+    // Scale shape: ONE token explode behind fanOut (map-side combine into
+    // the (source, hash) count table, materialized once and read three
+    // times — corpus marginal, per-source totals, cell grid); probe
+    // mining is a TakeOrdered over the vocab-sized marginal (never a
+    // global sort); probes and totals ride broadcasts; everything
+    // downstream runs on sources×31 cells.
+    Q("q207_chi2_drift",
+      (s, d) => {
+        val tok = fanOut(documents(s, d))
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("source"),
+            (Scalars.tokenHash(col("tok")) % QueriesText.P).as("th"))
+          .groupBy("source", "th").agg(count(lit(1)).as("c"))
+          .localCheckpoint(true)
+        val corpus = tok.groupBy("th").agg(sum("c").as("ct"))
+          .localCheckpoint(true) // read twice: probe mining + grand total
+        val tt = corpus.agg(sum("ct").as("t"))
+        val probes = corpus.orderBy(col("ct").desc, col("th").asc).limit(30)
+          .crossJoin(broadcast(tt))
+          .select(col("th"), expr("(1000000 * ct) DIV t").as("q_ppm"))
+        val ts = tok.groupBy("source").agg(sum("c").as("t_s"))
+        val cells = ts.crossJoin(broadcast(probes))
+          .join(tok, Seq("source", "th"), "left")
+          .select(col("source"), col("q_ppm"),
+            expr("(1000000 * coalesce(c, CAST(0 AS BIGINT))) DIV t_s")
+              .as("p_ppm"))
+        val agg = cells.groupBy("source")
+          .agg(sum(expr("CASE WHEN p_ppm + q_ppm = 0 THEN CAST(0 AS " +
+              "BIGINT) ELSE ((p_ppm - q_ppm) * (p_ppm - q_ppm)) " +
+              "DIV (p_ppm + q_ppm) END")).as("chi_probe"),
+            sum("p_ppm").as("p_sum"), sum("q_ppm").as("q_sum"),
+            sum(when(col("p_ppm") > 0, 1L).otherwise(0L))
+              .as("n_probe_hits"))
+        agg.join(broadcast(ts), "source")
+          .select(col("source"), col("t_s").as("n_tokens"),
+            (col("chi_probe") + expr("CASE WHEN 2000000 - p_sum - q_sum " +
+              "= 0 THEN CAST(0 AS BIGINT) ELSE ((q_sum - p_sum) * " +
+              "(q_sum - p_sum)) DIV (2000000 - p_sum - q_sum) END"))
+              .as("chi2_ppm"),
+            col("n_probe_hits"))
+          .withColumn("drifted",
+            when(col("chi2_ppm") >= 50000L, 1).otherwise(0))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT source, unnest(str_split(text, ' ')) AS tok
+             |  FROM documents),
+             |tok AS (
+             |  SELECT source,
+             |    (${QueriesText.tokSql("tok")} % ${QueriesText.P}) AS th,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM toks GROUP BY 1, 2),
+             |corpus AS (SELECT th, CAST(sum(c) AS BIGINT) AS ct
+             |           FROM tok GROUP BY 1),
+             |tt AS (SELECT CAST(sum(ct) AS BIGINT) AS t FROM corpus),
+             |probes AS (
+             |  SELECT th, (1000000 * ct) // t AS q_ppm
+             |  FROM corpus, tt ORDER BY ct DESC, th ASC LIMIT 30),
+             |srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_s
+             |         FROM tok GROUP BY 1),
+             |cells AS (
+             |  SELECT srct.source, p.q_ppm,
+             |    (1000000 * COALESCE(k.c, 0)) // srct.t_s AS p_ppm
+             |  FROM srct CROSS JOIN probes p
+             |  LEFT JOIN tok k ON k.source = srct.source AND k.th = p.th),
+             |agg AS (
+             |  SELECT source,
+             |    CAST(sum(CASE WHEN p_ppm + q_ppm = 0 THEN 0
+             |      ELSE ((p_ppm - q_ppm) * (p_ppm - q_ppm))
+             |        // (p_ppm + q_ppm) END) AS BIGINT) AS chi_probe,
+             |    CAST(sum(p_ppm) AS BIGINT) AS p_sum,
+             |    CAST(sum(q_ppm) AS BIGINT) AS q_sum,
+             |    CAST(sum(CASE WHEN p_ppm > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_probe_hits
+             |  FROM cells GROUP BY 1)
+             |SELECT a.source, srct.t_s AS n_tokens,
+             |  CAST(a.chi_probe + CASE WHEN 2000000 - a.p_sum - a.q_sum = 0
+             |    THEN 0 ELSE ((a.q_sum - a.p_sum) * (a.q_sum - a.p_sum))
+             |      // (2000000 - a.p_sum - a.q_sum) END AS BIGINT)
+             |    AS chi2_ppm,
+             |  a.n_probe_hits,
+             |  CAST(CASE WHEN a.chi_probe + CASE
+             |      WHEN 2000000 - a.p_sum - a.q_sum = 0 THEN 0
+             |      ELSE ((a.q_sum - a.p_sum) * (a.q_sum - a.p_sum))
+             |        // (2000000 - a.p_sum - a.q_sum) END >= 50000
+             |    THEN 1 ELSE 0 END AS INT) AS drifted
+             |FROM agg a JOIN srct USING (source)
+             |ORDER BY a.source""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

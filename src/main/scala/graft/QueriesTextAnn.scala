@@ -712,5 +712,111 @@ object QueriesTextAnn {
              |  CAST((1000 * sum(err)) // count(*) AS BIGINT)
              |    AS mean_err_milli
              |FROM coded GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // X94 greedy k-center diverse selection (Gonzalez 1985 farthest-point
+    // traversal — the 2-approximation to the k-center objective): pick 8
+    // maximally-separated representatives from the embedding corpus — the
+    // diversity-sampling step a training-data pipeline runs to seed
+    // curriculum anchors / eval probes where top-k-similar (X3) would
+    // return near-duplicates. Seed = min rep_id; each round selects the
+    // point FARTHEST (cosine distance, ties by rep_id) from everything
+    // selected so far, then folds the new center into the running
+    // min-distance via least() — selected rows carry the −1 sentinel so
+    // they can never win again. The round-9 pick is reported WITHOUT
+    // being folded: its separation IS the coverage radius of the 8
+    // centers (the k-center objective value, ≤ 2× optimal).
+    // Copy-invariant by construction: the candidate set is DISTINCT
+    // embedding content (min vec_id as rep, multiplicity kept as n_dup) —
+    // sf1's verbatim replication changes NOTHING but n_dup (the scaler
+    // shifts only vec_id), the q167/q139 contraction discipline.
+    // Determinism: every distance is the q41 replayable double (dot in
+    // array order / materialized norms), argmax ties break on rep_id, and
+    // round(…, 6) is the floor-form roundAt.
+    // Scale shape: the contraction is one partial+final agg over the
+    // corpus (the only corpus-proportional stage); each round is ONE
+    // narrow broadcast (the single new center) + a map-side least() +
+    // a TakeOrdered(1) — never a pairwise join, never a corpus shuffle —
+    // cut by eager localCheckpoint (the q196/q201 iterative idiom, flat
+    // lineage at any k). At 100 TB the candidate set is the cluster-
+    // representative table (X25), not raw vectors — same code path.
+    Q("q208_kcenter_diverse",
+      (s, d) => {
+        val base = embeddings(s, d)
+          .groupBy("embedding")
+          .agg(min("vec_id").as("rep_id"), count(lit(1)).as("n_dup"))
+          .select(col("rep_id"), col("n_dup"), col("embedding"),
+            QueriesText.norm(col("embedding")).as("nrm"))
+          .localCheckpoint(true) // read twice: seed pick + round-0 state
+        val seed = base.orderBy(col("rep_id").asc).limit(1)
+          .select(col("rep_id").as("c_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm"), col("n_dup").as("c_dup"))
+        def distToC: Column =
+          lit(1.0) - dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm"))
+        var state = base.crossJoin(broadcast(seed))
+          .select(col("rep_id"), col("n_dup"), col("embedding"),
+            col("nrm"),
+            when(col("rep_id") === col("c_id"), lit(-1.0))
+              .otherwise(distToC).as("md"))
+          .localCheckpoint(true)
+        var out = seed.select(lit(0).as("round"),
+          col("c_id").as("rep_id"), col("c_dup").as("n_dup"),
+          lit(0.0).as("sep"))
+        for (r <- 1 to 8) {
+          val pick = state.orderBy(col("md").desc, col("rep_id").asc)
+            .limit(1)
+            .select(col("rep_id").as("c_id"), col("embedding")
+              .as("c_emb"), col("nrm").as("c_nrm"),
+              col("n_dup").as("c_dup"), col("md").as("c_md"))
+            .localCheckpoint(true) // read twice: report row + state fold
+          out = out.union(pick.select(lit(r).as("round"),
+            col("c_id").as("rep_id"), col("c_dup").as("n_dup"),
+            Scalars.roundAt(col("c_md"), 6).as("sep")))
+          if (r < 8) state = state.crossJoin(broadcast(pick))
+            .select(col("rep_id"), col("n_dup"), col("embedding"),
+              col("nrm"),
+              when(col("rep_id") === col("c_id"), lit(-1.0))
+                .otherwise(least(col("md"), distToC)).as("md"))
+            .localCheckpoint(true)
+        }
+        out.orderBy("round")
+      },
+      Some {
+        def distSql(a: String, b: String) = s"(1.0 - ${cosSql(a, b)})"
+        val rounds = (1 to 8).map { r =>
+          val upd = if (r < 8)
+            s""",
+               |r$r AS MATERIALIZED (
+               |  SELECT r.rep_id, r.n_dup, r.embedding,
+               |    CASE WHEN r.rep_id = p.rep_id THEN -1.0
+               |      ELSE least(r.md,
+               |        ${distSql("r.embedding", "p.embedding")}) END AS md
+               |  FROM r${r - 1} r, p$r p)""".stripMargin
+          else ""
+          s""",
+             |p$r AS MATERIALIZED (
+             |  SELECT rep_id, n_dup, embedding, md FROM r${r - 1}
+             |  ORDER BY md DESC, rep_id ASC LIMIT 1)$upd""".stripMargin
+        }.mkString
+        val sel = (1 to 8).map { r =>
+          s"""UNION ALL SELECT CAST($r AS INT) AS round, rep_id, n_dup,
+             |  ${Scalars.roundAtSql("md", 6)} AS sep FROM p$r
+             |""".stripMargin
+        }.mkString
+        s"""WITH reps AS MATERIALIZED (
+           |  SELECT min(vec_id) AS rep_id, CAST(count(*) AS BIGINT)
+           |      AS n_dup, embedding
+           |  FROM embeddings GROUP BY embedding),
+           |seed AS MATERIALIZED (
+           |  SELECT * FROM reps ORDER BY rep_id LIMIT 1),
+           |r0 AS MATERIALIZED (
+           |  SELECT r.rep_id, r.n_dup, r.embedding,
+           |    CASE WHEN r.rep_id = s.rep_id THEN -1.0
+           |      ELSE ${distSql("r.embedding", "s.embedding")} END AS md
+           |  FROM reps r, seed s)$rounds
+           |SELECT CAST(0 AS INT) AS round, rep_id, n_dup,
+           |  CAST(0.0 AS DOUBLE) AS sep FROM seed
+           |$sel ORDER BY round""".stripMargin
+      }),
   )
 }

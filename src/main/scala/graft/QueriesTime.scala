@@ -1271,7 +1271,150 @@ object QueriesTime {
              |  min(value) AS low, arg_max(value, ord) AS close,
              |  CAST(count(*) AS BIGINT) AS n_events,
              |  ${Scalars.moneySumSql("value")} AS vol
-             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // T34 deltaSum — ClickHouse `deltaSum` parity (the counter-rate
+    // primitive PromQL calls rate()): per user, order the value stream by
+    // the (ts, event_id) total order (T33's zero-padded argmax key — ties
+    // at sf1's replicated timestamps stay deterministic) and sum only the
+    // POSITIVE deltas, so monotonic-counter resets (negative jumps) don't
+    // cancel accumulated increase; resets are counted, not summed. Values
+    // quantize to exact cents first (Scalars.cents contract — double
+    // subtraction of raw measures would be replayable here, but the cents
+    // grid keeps every delta an integer, so the per-user sum is exact
+    // BIGINT arithmetic with no accumulation-order concern).
+    // Scale shape: ONE hash exchange on user_id + in-partition sort —
+    // users parallelize across the cluster, each sequence sorts locally
+    // (no corpus-global window); the rollup rides the same partitioning
+    // (partial agg collapses each user to one row before any further
+    // movement). No joins, no second corpus scan.
+    Q("q205_delta_sum",
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("ts_us", Scalars.longDiv("ts", 1000L))
+          .withColumn("c", Scalars.cents(col("value")))
+        val ord = format_string("%020d-%020d", col("ts_us"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy(ord)
+        ev.withColumn("delta", col("c") - lag(col("c"), 1).over(w))
+          .withColumn("o", ord)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("delta") > 0, col("delta")).otherwise(0L))
+              .as("delta_sum_cents"),
+            sum(when(col("delta") < 0, 1L).otherwise(0L)).as("n_resets"),
+            max_by(col("c"), col("o")).as("last_cents"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT user_id,
+             |    printf('%020d-%020d', epoch_us(ts), event_id) AS o,
+             |    ${Scalars.centsSql("value")} AS c
+             |  FROM events),
+             |dl AS (
+             |  SELECT user_id, c, o,
+             |    c - lag(c) OVER (PARTITION BY user_id ORDER BY o) AS delta
+             |  FROM e)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+             |    AS BIGINT) AS delta_sum_cents,
+             |  CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_resets,
+             |  arg_max(c, o) AS last_cents
+             |FROM dl GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // T35 single-changepoint localization — the binary-segmentation CUSUM
+    // statistic over each type's daily-count series (Page 1954 / standard
+    // changepoint detection; the "did this source's volume shift, and
+    // WHEN" audit a continuously-ingested corpus runs per feed): for every
+    // split after the k-th of n active days,
+    //   g_k = (S_k·n − k·T)² DIV (k·(n−k))
+    // (S_k = prefix sum, T = total) — the squared between-segment mean
+    // contrast, all-integer so both engines agree bit-for-bit (no float
+    // variance, no libm). The changepoint is the argmax k (earliest day on
+    // ties — max g join + min day, never a nondeterministic max_by);
+    // ratio_ppm = (1e6·g_max) DIV T reads ~1e6 under a Poisson-stationary
+    // null (E[g] ≈ n·σ² ≈ T) and ≫1e6 under a real level shift; the flag
+    // fires at 10× null. Exactness windows guarded per group by
+    // assert_true in DIVISION form (the q199 advice precedent — a product
+    // form could itself wrap and pass silently): |S_k·n − k·T| ≤ T·n needs
+    // T < 3037000499 DIV n (≈2^31.5 — squares stay under 2^63), and the
+    // ppm scaling needs g_max < 2^63 DIV 1e6. At true 100 TB per-type
+    // volumes the widening path is DECIMAL(38,0) — a documented contract
+    // change, not a silent one. Types with one active day have no valid
+    // split and drop out (k < n filter) in both engines.
+    // Scale shape: corpus-sized work ends at the shared T31 (type, day)
+    // partial+final agg; the cumsum window partitions by type over the
+    // types×days table, totals ride a broadcast, and the argmax is two
+    // tiny aggs over the same table. One corpus scan, no corpus window.
+    Q("q206_changepoint",
+      (s, d) => {
+        val daily = typeDailyCounts(events(s, d))
+          .localCheckpoint(true) // read twice: totals + the scored cumsum
+        val tot = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("nd"), sum("n").as("t"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val scored = daily
+          .withColumn("k", row_number().over(w).cast("long"))
+          .withColumn("s_k", sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(broadcast(tot), "event_type")
+          .filter(col("k") < col("nd"))
+          .withColumn("g",
+            expr("((s_k * nd - k * t) * (s_k * nd - k * t)) " +
+              "DIV (k * (nd - k))") +
+              coalesce(assert_true(col("t") < expr("3037000499 DIV nd"),
+                lit("q206: T >= 2^31.5/n — the contrast square would " +
+                  "overflow long; widen to DECIMAL(38,0)")).cast("long"),
+                lit(0L)))
+          .localCheckpoint(true) // read twice: the max and the argmax join
+        val gmax = scored.groupBy("event_type").agg(max("g").as("g_max"))
+        scored.join(broadcast(gmax), "event_type")
+          .filter(col("g") === col("g_max"))
+          .groupBy("event_type")
+          .agg(max("nd").as("n_days"), max("t").as("total"),
+            min("day").as("cp_day"), max("g_max").as("g_max"))
+          .select(col("event_type"), col("n_days"), col("total"),
+            col("cp_day"), col("g_max"),
+            (expr("(1000000 * g_max) DIV total") +
+              coalesce(assert_true(col("g_max") < lit(9223372036854L),
+                lit("q206: 1e6*g_max would overflow long; widen to " +
+                  "DECIMAL(38,0)")).cast("long"), lit(0L))).as("ratio_ppm"),
+            when(expr("g_max >= 10 * total"), 1).otherwise(0).as("shifted"))
+          .orderBy("event_type")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+             |    CAST(sum(n) AS BIGINT) AS t
+             |  FROM daily GROUP BY 1),
+             |cum AS (
+             |  SELECT event_type, day,
+             |    CAST(row_number() OVER w AS BIGINT) AS k,
+             |    CAST(sum(n) OVER w AS BIGINT) AS s_k
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |sc AS (
+             |  SELECT c.event_type, c.day, t.nd, t.t,
+             |    ((c.s_k * t.nd - c.k * t.t) * (c.s_k * t.nd - c.k * t.t))
+             |      // (c.k * (t.nd - c.k)) AS g
+             |  FROM cum c JOIN tot t USING (event_type)
+             |  WHERE c.k < t.nd),
+             |mx AS (SELECT event_type, max(g) AS g_max FROM sc GROUP BY 1)
+             |SELECT sc.event_type, CAST(max(sc.nd) AS BIGINT) AS n_days,
+             |  CAST(max(sc.t) AS BIGINT) AS total,
+             |  CAST(min(sc.day) AS BIGINT) AS cp_day,
+             |  CAST(max(mx.g_max) AS BIGINT) AS g_max,
+             |  CAST((1000000 * max(mx.g_max)) // max(sc.t) AS BIGINT)
+             |    AS ratio_ppm,
+             |  CAST(CASE WHEN max(mx.g_max) >= 10 * max(sc.t)
+             |    THEN 1 ELSE 0 END AS INT) AS shifted
+             |FROM sc JOIN mx ON mx.event_type = sc.event_type
+             |  AND sc.g = mx.g_max
+             |GROUP BY sc.event_type ORDER BY sc.event_type""".stripMargin))
   )
 
   /** T31 corpus-sized stage of q197: the (event_type, day) count agg.

@@ -1514,4 +1514,74 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") && p.contains("AUTOMOBILE"),
       s"segment filter not pushed to the scan:\n${p.take(1200)}")
   }
+
+  test("q205 deltaSum: ONE corpus exchange (the window's user_id hash " +
+      "partitioning, reused by the rollup), no join, partial agg, scan " +
+      "pruned to the four consumed columns") {
+    val p = plan("q205_delta_sum")
+    assert("hashpartitioning".r.findAllIn(p).length == 1,
+      s"rollup re-shuffled instead of reusing the window exchange:\n$p")
+    assert(!p.contains("Join"), s"join in a window+agg op:\n${p.take(600)}")
+    assert(p.contains("partial_"), s"no partial agg:\n${p.take(600)}")
+    assert(!p.contains("props#") && !p.contains("event_type#"),
+      s"scan reads unconsumed columns:\n${p.take(900)}")
+  }
+
+  test("q206 changepoint: totals and argmax ride broadcasts over the " +
+      "types x days table — no sort-merge join, partial aggs throughout") {
+    val p = plan("q206_changepoint")
+    assert(p.contains("BroadcastHashJoin"),
+      s"g_max argmax join lost its broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"types-sized table planned as SMJ:\n${p.take(800)}")
+    assert(p.contains("partial_"), s"no partial agg:\n${p.take(600)}")
+  }
+
+  test("q207 chi2 drift: probe mining is a TakeOrdered (never a global " +
+      "sort), probes/totals ride broadcasts, cell grid is broadcast-" +
+      "joined, aggs map-side combine") {
+    val p = plan("q207_chi2_drift")
+    assert(p.contains("TakeOrderedAndProject(limit=30"),
+      s"probe mining fell back to a global sort:\n${p.take(900)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell grid lost its broadcast join:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"SMJ on a probe-bounded table:\n${p.take(900)}")
+    assert(p.contains("partial_"), s"no partial agg:\n${p.take(600)}")
+  }
+
+  test("q208 k-center: the contraction is one partial+final agg over a " +
+      "pruned scan, and each round folds ONE broadcast center into the " +
+      "state — no pairwise join anywhere") {
+    import QueriesText.{dot, norm}
+    import org.apache.spark.sql.functions._
+    // the declared query's executed plan starts at checkpointed RDD scans
+    // (q201's precedent); gate the two stage shapes directly.
+    val base = Tables.embeddings(spark, sf)
+      .groupBy("embedding")
+      .agg(min("vec_id").as("rep_id"), count(lit(1)).as("n_dup"))
+      .select(col("rep_id"), col("n_dup"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+    val pc = base.queryExecution.executedPlan.toString
+    assert(pc.contains("partial_"), s"contraction not partial:\n$pc")
+    assert(!pc.contains("label#"),
+      s"contraction scan reads the unused label column:\n$pc")
+    val pick = base.orderBy(col("rep_id").asc).limit(1)
+      .select(col("rep_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val round = base.crossJoin(broadcast(pick))
+      .select(col("rep_id"),
+        when(col("rep_id") === col("c_id"), lit(-1.0))
+          .otherwise(lit(1.0) - dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm"))).as("md"))
+    val pr = round.queryExecution.executedPlan.toString
+    assert(pr.contains("BroadcastNestedLoopJoin"),
+      s"round fold lost its 1-row broadcast:\n$pr")
+    assert(!pr.contains("SortMergeJoin") && !pr.contains("CartesianProduct"),
+      s"round fold planned a real join:\n$pr")
+    // the full declared plan: per-round picks are TakeOrdered(1)
+    val full = plan("q208_kcenter_diverse")
+    assert(full.contains("TakeOrderedAndProject(limit=1"),
+      s"seed pick fell back to a global sort:\n${full.take(600)}")
+  }
 }
