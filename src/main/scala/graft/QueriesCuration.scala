@@ -1729,7 +1729,56 @@ object QueriesCuration {
              |        // (2000000 - a.p_sum - a.q_sum) END >= 50000
              |    THEN 1 ELSE 0 END AS INT) AS drifted
              |FROM agg a JOIN srct USING (source)
-             |ORDER BY a.source""".stripMargin))
+             |ORDER BY a.source""".stripMargin)),
+
+    // X95 temperature-rebalanced language mixture (α = 0.5; Conneau &
+    // Lample 2019's multilingual sampling, the standard fix for
+    // high-resource languages crowding out the tail): sampling weights
+    // proportional to n_l^α instead of n_l — the tail is up-weighted,
+    // the head down-weighted, and α = 0.5 is the square root, so the
+    // weight needs no pow()/exp() (IEEE transcendentals ⇒ last-ulp
+    // cross-engine divergence): isq = floor(sqrt(n_l)·1000) is ONE
+    // correctly-rounded IEEE sqrt + one exact scaling per language —
+    // bit-identical in both engines — and everything after is integer
+    // (Σ isq is an exact BIGINT sum, never a float accumulation).
+    // Report per language: natural share, α-share, and the boost ratio
+    // a mix plan multiplies into its per-language budgets (q137/q90's
+    // allocation inputs). boost guards the nat_ppm = 0 edge (a sub-ppm
+    // language in a huge corpus) with an explicit 0, not a crash.
+    // Scale shape: ONE partial+final agg to the languages-sized table;
+    // the sqrt, the Σ isq (tiny self-agg via cross join of the 1-row
+    // total), and all ratios run on languages-many rows. One corpus
+    // scan of one column.
+    Q("q209_alpha_mix",
+      (s, d) => {
+        val nl = documents(s, d).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("isq",
+            floor(sqrt(col("n_docs").cast("double")) * 1000).cast("long"))
+          .localCheckpoint(true) // read twice: totals + the ratio rows
+        val tot = nl.agg(sum("n_docs").as("n"), sum("isq").as("s_isq"))
+        nl.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            expr("(1000000 * n_docs) DIV n").as("nat_ppm"),
+            expr("(1000000 * isq) DIV s_isq").as("alpha_ppm"))
+          .withColumn("boost_ppm",
+            expr("CASE WHEN nat_ppm = 0 THEN CAST(0 AS BIGINT) " +
+              "ELSE (1000000 * alpha_ppm) DIV nat_ppm END"))
+          .orderBy("lang")
+      },
+      Some("""WITH nl AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(floor(sqrt(count(*)) * 1000) AS BIGINT) AS isq
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+             |               CAST(sum(isq) AS BIGINT) AS s_isq FROM nl)
+             |SELECT lang, n_docs,
+             |  (1000000 * n_docs) // n AS nat_ppm,
+             |  (1000000 * isq) // s_isq AS alpha_ppm,
+             |  CASE WHEN (1000000 * n_docs) // n = 0 THEN 0
+             |    ELSE (1000000 * ((1000000 * isq) // s_isq))
+             |      // ((1000000 * n_docs) // n) END AS boost_ppm
+             |FROM nl CROSS JOIN tot ORDER BY lang""".stripMargin))
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

@@ -883,25 +883,8 @@ object QueriesTextAnalysis {
         stats.result().reduce(_ unionByName _).orderBy("round")
       },
       Some {
-        // each round's symbol table is read twice (next round + its stats
-        // row), so every s$r is AS MATERIALIZED — the q196 precedent;
-        // x$r / m$r are single-use-ish and tiny, left plain
-        val rounds = (1 to 8).map { r =>
-          s"""m$r AS (SELECT coalesce(max(substr(pair, 1, 1)), chr(1)) AS ml,
-             |  coalesce(max(substr(pair, 2, 1)), chr(2)) AS mr,
-             |  coalesce(max(pair), '') AS mtok FROM merges WHERE rk = $r),
-             |x$r AS (SELECT word, freq, pos, sym,
-             |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
-             |  lag(sym) OVER (PARTITION BY word ORDER BY pos) AS prv
-             |  FROM s${r - 1}),
-             |s$r AS MATERIALIZED (
-             |  SELECT word, freq, CAST(row_number() OVER (
-             |    PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
-             |    CASE WHEN sym = m.ml AND nxt = m.mr
-             |      THEN m.ml || m.mr ELSE sym END AS sym
-             |  FROM x$r CROSS JOIN m$r m
-             |  WHERE NOT (coalesce(prv, '') = m.ml AND sym = m.mr)),
-             |st$r AS (SELECT CAST($r AS INT) AS round,
+        val stats = (1 to 8).map { r =>
+          s"""st$r AS (SELECT CAST($r AS INT) AS round,
              |  max(m.mtok) AS merge_tok,
              |  CAST(sum(freq) AS BIGINT) AS corpus_tokens,
              |  CAST(coalesce(sum(CASE WHEN sym = m.mtok THEN freq END), 0)
@@ -910,36 +893,83 @@ object QueriesTextAnalysis {
         }.mkString(",\n")
         val unioned = (1 to 8).map(r => s"SELECT * FROM st$r")
           .mkString(" UNION ALL ")
-        s"""WITH words AS MATERIALIZED (
-           |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-           |  FROM (SELECT unnest(str_split(text, ' ')) AS word
-           |        FROM documents)
-           |  WHERE length(word) >= 1 GROUP BY 1),
-           |merges AS MATERIALIZED (
-           |  SELECT pair, rk FROM (
-           |    SELECT pair, CAST(row_number() OVER (
-           |      ORDER BY mc DESC, pair ASC) AS INT) AS rk
-           |    FROM (
-           |      SELECT pair, sum(freq) AS mc
-           |      FROM (SELECT freq, unnest(list_transform(
-           |              range(1, length(word)),
-           |              i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
-           |            FROM words WHERE length(word) >= 2)
-           |      WHERE substr(pair, 1, 1) <> substr(pair, 2, 1)
-           |      GROUP BY 1))
-           |  WHERE rk <= 8),
-           |s0 AS MATERIALIZED (
-           |  SELECT word, freq, CAST(i AS BIGINT) AS pos,
-           |    substr(word, CAST(i AS INTEGER), 1) AS sym
-           |  FROM words, unnest(range(1, length(word) + 1)) AS u(i)),
+        s"""WITH $bpeChainSqlCtes,
            |st0 AS (SELECT CAST(0 AS INT) AS round, '' AS merge_tok,
            |  CAST(sum(freq) AS BIGINT) AS corpus_tokens,
            |  CAST(0 AS BIGINT) AS merge_occ FROM s0),
-           |$rounds
+           |$stats
            |SELECT round, merge_tok, corpus_tokens, merge_occ
            |FROM (SELECT * FROM st0 UNION ALL $unioned)
            |ORDER BY round""".stripMargin
       }),
+
+    // X96 tokenizer-fertility audit (the per-language fairness read of
+    // the X91 tokenizer: Ács 2019 "fertility" — tokens per word — and
+    // chars-per-token compression, per language): apply the SAME
+    // data-derived 8-merge BPE table q201 applies, then roll the
+    // per-word post-merge token counts up BY LANGUAGE weighted by each
+    // language's own word frequencies. A tokenizer mined on the pooled
+    // corpus compresses the dominant language best; this is the audit
+    // that quantifies the gap before the budget math (X12/X49/X66)
+    // treats "token" as a language-neutral unit. All-integer ratios
+    // (milli fixed point), exact at any scale.
+    // Scale shape: q201's contraction carries over — the merge chain
+    // runs on the DISTINCT word table (Heaps'-law sublinear); the only
+    // corpus-proportional stages are the two word-frequency aggs
+    // ((lang, word) and its word rollup, both map-side combinable);
+    // the final rollup joins the vocab-sized nt table back to the
+    // (lang, word) freq table — vocab-sized work, languages-sized output.
+    Q("q210_bpe_fertility",
+      (s, d) => {
+        val wl = fanOut(documents(s, d))
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 1)
+          .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+          .localCheckpoint(true) // read twice: word rollup + lang rollup
+        val words = wl.groupBy("word").agg(sum("freq").as("freq"))
+          .localCheckpoint(true) // read by the miner AND round 0
+        val merges = bpeMineMerges(words, 8).localCheckpoint(true)
+        var syms = words
+          .select(col("word"), col("freq"),
+            posexplode(expr(
+              "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+          .toDF("word", "freq", "pos", "sym")
+          .localCheckpoint(true)
+        for (r <- 1 to 8)
+          syms = bpeRound(syms, bpeMergeRow(merges, r)).localCheckpoint(true)
+        val nt = syms.groupBy("word").agg(count(lit(1)).as("nt"))
+        wl.join(nt, "word")
+          .groupBy("lang")
+          .agg(sum("freq").as("n_words"),
+            sum(col("freq") * length(col("word"))).as("n_chars"),
+            sum(col("freq") * col("nt")).as("n_tokens"))
+          .select(col("lang"), col("n_words"), col("n_chars"),
+            col("n_tokens"),
+            expr("(1000 * n_chars) DIV n_tokens")
+              .as("chars_per_token_milli"),
+            expr("(1000 * n_tokens) DIV n_words")
+              .as("tokens_per_word_milli"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $bpeChainSqlCtes,
+             |wl AS MATERIALIZED (
+             |  SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+             |  FROM (SELECT lang, unnest(str_split(text, ' ')) AS word
+             |        FROM documents)
+             |  WHERE length(word) >= 1 GROUP BY 1, 2),
+             |nt AS (SELECT word, CAST(count(*) AS BIGINT) AS nt
+             |       FROM s8 GROUP BY word)
+             |SELECT lang,
+             |  CAST(sum(wl.freq) AS BIGINT) AS n_words,
+             |  CAST(sum(wl.freq * length(wl.word)) AS BIGINT) AS n_chars,
+             |  CAST(sum(wl.freq * nt.nt) AS BIGINT) AS n_tokens,
+             |  CAST((1000 * sum(wl.freq * length(wl.word)))
+             |    // sum(wl.freq * nt.nt) AS BIGINT)
+             |    AS chars_per_token_milli,
+             |  CAST((1000 * sum(wl.freq * nt.nt)) // sum(wl.freq)
+             |    AS BIGINT) AS tokens_per_word_milli
+             |FROM wl JOIN nt USING (word)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 
   /** q124's first-iteration merge-pair statistic, restricted to
@@ -948,6 +978,58 @@ object QueriesTextAnalysis {
     * ASC). The rank window runs AFTER a TakeOrdered limit, so it touches
     * exactly k rows — never the alphabet²-sized pair table.
     */
+  /** Shared DuckDB CTE chain of the X91 BPE apply — `words` (corpus word
+    * frequencies), `merges` (top-8 distinct-char pairs), `s0` (char
+    * symbols) and the 8 unrolled merge rounds m$r/x$r/s$r. Each round's
+    * s$r is read at least twice by consumers (the next round + a stats or
+    * rollup read), so every s$r is AS MATERIALIZED — the q196 precedent;
+    * x$r / m$r are single-use-ish and tiny, left plain. Shared by q201
+    * (per-round compression stats) and q210 (per-language fertility
+    * rollup) so the two oracles cannot drift.
+    */
+  private[graft] lazy val bpeChainSqlCtes: String = {
+    val rounds = (1 to 8).map { r =>
+      s"""m$r AS (SELECT coalesce(max(substr(pair, 1, 1)), chr(1)) AS ml,
+         |  coalesce(max(substr(pair, 2, 1)), chr(2)) AS mr,
+         |  coalesce(max(pair), '') AS mtok FROM merges WHERE rk = $r),
+         |x$r AS (SELECT word, freq, pos, sym,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+         |  lag(sym) OVER (PARTITION BY word ORDER BY pos) AS prv
+         |  FROM s${r - 1}),
+         |s$r AS MATERIALIZED (
+         |  SELECT word, freq, CAST(row_number() OVER (
+         |    PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |    CASE WHEN sym = m.ml AND nxt = m.mr
+         |      THEN m.ml || m.mr ELSE sym END AS sym
+         |  FROM x$r CROSS JOIN m$r m
+         |  WHERE NOT (coalesce(prv, '') = m.ml AND sym = m.mr))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""words AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) >= 1 GROUP BY 1),
+       |merges AS MATERIALIZED (
+       |  SELECT pair, rk FROM (
+       |    SELECT pair, CAST(row_number() OVER (
+       |      ORDER BY mc DESC, pair ASC) AS INT) AS rk
+       |    FROM (
+       |      SELECT pair, sum(freq) AS mc
+       |      FROM (SELECT freq, unnest(list_transform(
+       |              range(1, length(word)),
+       |              i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+       |            FROM words WHERE length(word) >= 2)
+       |      WHERE substr(pair, 1, 1) <> substr(pair, 2, 1)
+       |      GROUP BY 1))
+       |  WHERE rk <= 8),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, freq, CAST(i AS BIGINT) AS pos,
+       |    substr(word, CAST(i AS INTEGER), 1) AS sym
+       |  FROM words, unnest(range(1, length(word) + 1)) AS u(i)),
+       |$rounds""".stripMargin
+  }
+
   private[graft] def bpeMineMerges(words: DataFrame, k: Int): DataFrame = {
     val topPairs = words
       .filter(length(col("word")) >= 2)

@@ -1290,13 +1290,9 @@ object QueriesTime {
     // movement). No joins, no second corpus scan.
     Q("q205_delta_sum",
       (s, d) => {
-        val ev = events(s, d)
-          .withColumn("ts_us", Scalars.longDiv("ts", 1000L))
-          .withColumn("c", Scalars.cents(col("value")))
-        val ord = format_string("%020d-%020d", col("ts_us"), col("event_id"))
-        val w = Window.partitionBy("user_id").orderBy(ord)
-        ev.withColumn("delta", col("c") - lag(col("c"), 1).over(w))
-          .withColumn("o", ord)
+        val e = deltaEvents(events(s, d))
+        val w = Window.partitionBy("user_id").orderBy("o")
+        e.withColumn("delta", col("c") - lag(col("c"), 1).over(w))
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
             sum(when(col("delta") > 0, col("delta")).otherwise(0L))
@@ -1416,6 +1412,21 @@ object QueriesTime {
              |  AND sc.g = mx.g_max
              |GROUP BY sc.event_type ORDER BY sc.event_type""".stripMargin))
   )
+
+  /** T34 corpus-sized stage of q205: the narrow (user_id, o, c)
+    * projection — the (ts, event_id) total-order key and the exact-cents
+    * value. Exposed separately because it is also the input of the
+    * STREAMING twin (`ops/DeltaSumStream.fold` — order-aware per-user
+    * state over micro-batches; `StreamingSpec` T34s pins streamed-vs-
+    * batch equality under the ord-monotone replay contract).
+    */
+  private[graft] def deltaEvents(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.withColumn("ts_us", Scalars.longDiv("ts", 1000L))
+      .select(col("user_id"),
+        format_string("%020d-%020d", col("ts_us"), col("event_id"))
+          .as("o"),
+        Scalars.cents(col("value")).as("c"))
 
   /** T31 corpus-sized stage of q197: the (event_type, day) count agg.
     * Exposed separately because it is also the STREAMING fold of the

@@ -1584,4 +1584,22 @@ class PlanSpec extends SparkSpec {
     assert(full.contains("TakeOrderedAndProject(limit=1"),
       s"seed pick fell back to a global sort:\n${full.take(600)}")
   }
+
+  test("q209 alpha mix: one partial+final agg to the languages table, " +
+      "totals ride a broadcast, scan pruned to lang only") {
+    val p = plan("q209_alpha_mix")
+    assert(p.contains("partial_"), s"no map-side combine:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"languages-sized table planned as SMJ:\n${p.take(800)}")
+    assert(!p.contains("text#") && !p.contains("doc_id#"),
+      s"scan reads unconsumed columns for a lang-only op:\n${p.take(900)}")
+  }
+
+  test("q210 fertility rollup: no window, partial aggs — the merge-chain " +
+      "shapes are gated on q201's tests (shared helpers)") {
+    val p = plan("q210_bpe_fertility")
+    assert(!p.contains("windowspecdefinition"),
+      s"corpus-sized window in the fertility rollup:\n${p.take(800)}")
+    assert(p.contains("partial_"), s"no map-side combine:\n${p.take(600)}")
+  }
 }

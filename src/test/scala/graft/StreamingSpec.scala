@@ -255,6 +255,50 @@ class StreamingSpec extends SparkSpec {
       "streaming-folded decay score diverges from the batch form")
   }
 
+  test("T34s twin: order-aware mapGroupsWithState deltaSum equals the " +
+    "batch rollup under the ord-monotone replay contract") {
+    import org.apache.spark.sql.expressions.Window
+    val in = mkTmp("deltastream")
+    val e = QueriesTime.deltaEvents(Tables.events(spark, sf))
+      .localCheckpoint(true)
+    val n = e.count()
+    // three ord-range files with strictly increasing mtimes: the file
+    // source replays them oldest-first, so per-user batches arrive
+    // ord-monotone — the log-structured replay contract the fold states
+    val ranked = e.withColumn("rn",
+      row_number().over(Window.orderBy("o"))).localCheckpoint(true)
+    var lo = 0L
+    Seq(n / 3, 2 * n / 3, n).zipWithIndex.foreach { case (hi, i) =>
+      val tmp = mkTmp(s"dspart$i")
+      ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(in, s"f$i.parquet")
+      Files.move(src.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 2000L)
+      lo = hi
+    }
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = graft.ops.DeltaSumStream.fold(stream)
+      .writeStream.format("memory").queryName("delta_twin")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    // update mode appends one row per (user, touching batch); the
+    // current total per user is the row with the max (monotone) n_events
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    val streamed = spark.table("delta_twin")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn").orderBy("user_id").collect().map(_.toString)
+    val batch = Queries.byName("q205_delta_sum").build(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming-folded deltaSum diverges from the batch form")
+  }
+
   test("T8: streaming tumbling-window agg matches the batch date_trunc form") {
     import spark.implicits._
     val in = mkTmp("events_json")
