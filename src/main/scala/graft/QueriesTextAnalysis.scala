@@ -210,7 +210,10 @@ object QueriesTextAnalysis {
       (s, d) => {
         import s.implicits._
         import graft.ops.{CountMin, CountMinAggregator}
-        val toks = documents(s, d)
+        // fanOut: local single-row-group parquet would otherwise feed the
+        // sketch's partial agg as ONE task — at sf1 that serializes ~6M
+        // md5s (the r13 +2 s regression; CLAUDE.md fanOut discipline)
+        val toks = fanOut(documents(s, d))
           .select(explode(split(col("text"), " ")).as("value")).as[String]
         // one aggregate row (64 KiB of counters) to the driver — the same
         // contract as any agg result, not a corpus collect.

@@ -1410,7 +1410,209 @@ object QueriesTime {
              |    THEN 1 ELSE 0 END AS INT) AS shifted
              |FROM sc JOIN mx ON mx.event_type = sc.event_type
              |  AND sc.g = mx.g_max
-             |GROUP BY sc.event_type ORDER BY sc.event_type""".stripMargin))
+             |GROUP BY sc.event_type ORDER BY sc.event_type""".stripMargin)),
+
+    // T36 LTTB downsampling — ClickHouse `largestTriangleThreeBuckets`
+    // parity (Steinarsson 2013: per bucket, keep the point forming the
+    // largest triangle with its neighbor anchors — the shape-preserving
+    // chart downsample), in the standard PARALLEL variant: sequential
+    // LTTB anchors on the PREVIOUSLY SELECTED point (an inherently serial
+    // chain a cluster cannot parallelize), the parallel form anchors on
+    // the neighbor buckets' MEANS — except where the exact LTTB anchor is
+    // static anyway: the global first/last points are pinned (buckets 0
+    // and 15 select them by contract), so bucket 1's prev anchor and
+    // bucket 14's next anchor are the EXACT sequential-LTTB anchors.
+    // All-integer: x in bucket-relative millis, y in exact cents, anchors
+    // floor-divided means, area in the n1·n2-cleared cross-product form —
+    // ordering within a bucket is invariant to those constant clearings,
+    // and ties (equal areas) break on the (ts, event_id) total order.
+    // The anchor means' SUMS are the one corpus-growing magnitude:
+    // guarded per bucket in division form (q199/q206 precedent) —
+    // n < 2^63 / (max|xm|+1) and n < 2^63 / (max|y|+1); the area factors
+    // themselves are corpus-size-INDEPENDENT (bounded by the series'
+    // physical time span in ms × its value range in cents).
+    // Scale shape: one corpus scan → broadcast per-type range join →
+    // (type, bucket) partial+final agg (constant state) for the anchor
+    // table; candidates join the 16-row-per-type anchor/max tables by
+    // broadcast; the argmax is the max-join + min_by(ord) two-agg form
+    // (never a nondeterministic max_by on ties). Empty interior buckets
+    // degrade deterministically: a missing neighbor anchor scores every
+    // candidate −1 and the earliest point wins.
+    Q("q211_lttb_downsample",
+      (s, d) => {
+        val B = 16
+        val pts = events(s, d)
+          .withColumn("x", Scalars.longDiv("ts", 1000L))
+          .select(col("event_type"), col("x"),
+            Scalars.cents(col("value")).as("y"),
+            format_string("%020d-%020d", col("x"), col("event_id"))
+              .as("o"))
+        val rng = pts.groupBy("event_type")
+          .agg(min("x").as("t0"), max("x").as("t1"),
+            min_by(struct(col("x"), col("y")), col("o")).as("fp"),
+            max_by(struct(col("x"), col("y")), col("o")).as("lp"))
+          .select(col("event_type"), col("t0"), col("t1"),
+            col("fp.x").as("fx"), col("fp.y").as("fy"),
+            col("lp.x").as("lx"), col("lp.y").as("ly"))
+          .localCheckpoint(true) // read twice: bucket map + endpoints
+        val bp = pts.join(broadcast(rng), "event_type")
+          .select(col("event_type"), col("x"), col("y"), col("o"),
+            expr("(x - t0) DIV 1000").as("xm"),
+            expr(s"((x - t0) * $B) DIV (t1 - t0 + 1)").as("b"),
+            expr("(fx - t0) DIV 1000").as("fxm"), col("fy"),
+            expr("(lx - t0) DIV 1000").as("lxm"), col("ly"))
+          // corpus-sized but read twice (bucket stats + candidates): the
+          // r13 sf1 A/B read 2.6-3.0 s checkpointed vs 3.1 s recomputed
+          // — inside the host band but consistently ordered (recompute
+          // repeats the per-row cents/ord/bucket math) — so materialize:
+          // at 100 TB this is the production write of the bucketed
+          // projection, amortized across both consumers
+          .localCheckpoint(true)
+        val bstats = bp.groupBy("event_type", "b")
+          .agg(count(lit(1)).as("n"), sum("xm").as("sxm"),
+            sum("y").as("syc"), max("xm").as("mxm"),
+            max(abs(col("y"))).as("may"))
+          .localCheckpoint(true) // read thrice: anchors + winner/end n
+        val means = bstats.select(col("event_type"), col("b"),
+          (expr("sxm DIV n") +
+            coalesce(assert_true(
+              col("n") < expr("9223372036854775807 DIV (mxm + 1)") &&
+                col("n") < expr("9223372036854775807 DIV (may + 1)"),
+              lit("q211: bucket sum would overflow long; widen the " +
+                "anchor sums to DECIMAL(38,0)")).cast("long"), lit(0L)))
+            .as("axm"),
+          expr("syc DIV n").as("ayc"))
+        val prevA = means.select(col("event_type"),
+          (col("b") + 1).as("b"), col("axm").as("p_axm"),
+          col("ayc").as("p_ayc"))
+        val nextA = means.select(col("event_type"),
+          (col("b") - 1).as("b"), col("axm").as("n_axm"),
+          col("ayc").as("n_ayc"))
+        val scored = bp.filter(col("b") >= 1 && col("b") <= B - 2)
+          .join(broadcast(prevA), Seq("event_type", "b"), "left")
+          .join(broadcast(nextA), Seq("event_type", "b"), "left")
+          .withColumn("ax1",
+            when(col("b") === 1, col("fxm")).otherwise(col("p_axm")))
+          .withColumn("ay1",
+            when(col("b") === 1, col("fy")).otherwise(col("p_ayc")))
+          .withColumn("ax2",
+            when(col("b") === B - 2, col("lxm")).otherwise(col("n_axm")))
+          .withColumn("ay2",
+            when(col("b") === B - 2, col("ly")).otherwise(col("n_ayc")))
+          .withColumn("s",
+            when(col("ax1").isNull || col("ax2").isNull, lit(-1L))
+              .otherwise(abs(
+                (col("ax1") - col("ax2")) * (col("y") - col("ay1")) -
+                  (col("ax1") - col("xm")) * (col("ay2") - col("ay1")))))
+          .localCheckpoint(true) // interior candidates, read twice (max +
+          // argmax join) — kept: unlike bp this subtree carries the two
+          // broadcast anchor joins, so recompute is not a bare re-scan
+        val smax = scored.groupBy("event_type", "b")
+          .agg(max("s").as("s_max"))
+        val winners = scored.join(broadcast(smax), Seq("event_type", "b"))
+          .filter(col("s") === col("s_max"))
+          .groupBy(col("event_type"), col("b").as("bucket"))
+          .agg(min_by(struct(col("x"), col("y")), col("o")).as("w"),
+            max("s_max").as("score"))
+          .join(broadcast(bstats.select(col("event_type"),
+            col("b").as("bucket"), col("n"))), Seq("event_type", "bucket"))
+          .select(col("event_type"), col("bucket"),
+            col("w.x").as("ts_us"), col("w.y").as("y_cents"),
+            col("n"), col("score"))
+        val ends = rng
+          .join(broadcast(bstats.filter(col("b") === 0)
+            .select(col("event_type"), col("n").as("n0"))),
+            Seq("event_type"), "left")
+          .join(broadcast(bstats.filter(col("b") === B - 1)
+            .select(col("event_type"), col("n").as("nl"))),
+            Seq("event_type"), "left")
+        val first = ends.select(col("event_type"), lit(0L).as("bucket"),
+          col("fx").as("ts_us"), col("fy").as("y_cents"),
+          coalesce(col("n0"), lit(0L)).as("n"), lit(0L).as("score"))
+        val last = ends.select(col("event_type"),
+          lit((B - 1).toLong).as("bucket"), col("lx").as("ts_us"),
+          col("ly").as("y_cents"), coalesce(col("nl"), lit(0L)).as("n"),
+          lit(0L).as("score"))
+        winners.unionByName(first).unionByName(last)
+          .orderBy("event_type", "bucket")
+      },
+      Some(s"""WITH pts AS (
+             |  SELECT event_type, epoch_us(ts) AS x,
+             |    ${Scalars.centsSql("value")} AS y,
+             |    printf('%020d-%020d', epoch_us(ts), event_id) AS o
+             |  FROM events),
+             |rng AS MATERIALIZED (
+             |  SELECT event_type, min(x) AS t0, max(x) AS t1,
+             |    arg_min(x, o) AS fx, arg_min(y, o) AS fy,
+             |    arg_max(x, o) AS lx, arg_max(y, o) AS ly
+             |  FROM pts GROUP BY 1),
+             |bp AS MATERIALIZED (
+             |  SELECT p.event_type, p.x, p.y, p.o,
+             |    (p.x - r.t0) // 1000 AS xm,
+             |    ((p.x - r.t0) * 16) // (r.t1 - r.t0 + 1) AS b,
+             |    (r.fx - r.t0) // 1000 AS fxm, r.fy AS fy,
+             |    (r.lx - r.t0) // 1000 AS lxm, r.ly AS ly
+             |  FROM pts p JOIN rng r USING (event_type)),
+             |bstats AS MATERIALIZED (
+             |  SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(xm) AS BIGINT) AS sxm,
+             |    CAST(sum(y) AS BIGINT) AS syc
+             |  FROM bp GROUP BY 1, 2),
+             |means AS MATERIALIZED (
+             |  SELECT event_type, b, sxm // n AS axm, syc // n AS ayc
+             |  FROM bstats),
+             |sc AS MATERIALIZED (
+             |  SELECT c.event_type, c.b, c.x, c.y, c.o,
+             |    CASE WHEN (CASE WHEN c.b = 1 THEN c.fxm
+             |                 ELSE p.axm END) IS NULL
+             |           OR (CASE WHEN c.b = 14 THEN c.lxm
+             |                 ELSE nx.axm END) IS NULL
+             |      THEN -1
+             |      ELSE abs(
+             |        ((CASE WHEN c.b = 1 THEN c.fxm ELSE p.axm END)
+             |          - (CASE WHEN c.b = 14 THEN c.lxm ELSE nx.axm END))
+             |        * (c.y - (CASE WHEN c.b = 1 THEN c.fy
+             |                    ELSE p.ayc END))
+             |        - ((CASE WHEN c.b = 1 THEN c.fxm ELSE p.axm END)
+             |            - c.xm)
+             |        * ((CASE WHEN c.b = 14 THEN c.ly ELSE nx.ayc END)
+             |          - (CASE WHEN c.b = 1 THEN c.fy ELSE p.ayc END)))
+             |      END AS s
+             |  FROM bp c
+             |  LEFT JOIN means p
+             |    ON p.event_type = c.event_type AND p.b = c.b - 1
+             |  LEFT JOIN means nx
+             |    ON nx.event_type = c.event_type AND nx.b = c.b + 1
+             |  WHERE c.b BETWEEN 1 AND 14),
+             |mx AS (SELECT event_type, b, max(s) AS s_max
+             |       FROM sc GROUP BY 1, 2),
+             |win AS (
+             |  SELECT sc.event_type, sc.b AS bucket,
+             |    arg_min(sc.x, sc.o) AS ts_us,
+             |    arg_min(sc.y, sc.o) AS y_cents, max(mx.s_max) AS score
+             |  FROM sc JOIN mx ON mx.event_type = sc.event_type
+             |    AND mx.b = sc.b AND sc.s = mx.s_max
+             |  GROUP BY 1, 2),
+             |winn AS (
+             |  SELECT w.event_type, w.bucket, w.ts_us, w.y_cents,
+             |    bs.n, w.score
+             |  FROM win w JOIN bstats bs
+             |    ON bs.event_type = w.event_type AND bs.b = w.bucket),
+             |ends AS (
+             |  SELECT r.event_type, 0 AS bucket, r.fx AS ts_us,
+             |    r.fy AS y_cents, coalesce(b0.n, 0) AS n, 0 AS score
+             |  FROM rng r LEFT JOIN bstats b0
+             |    ON b0.event_type = r.event_type AND b0.b = 0
+             |  UNION ALL
+             |  SELECT r.event_type, 15, r.lx, r.ly,
+             |    coalesce(bl.n, 0), 0
+             |  FROM rng r LEFT JOIN bstats bl
+             |    ON bl.event_type = r.event_type AND bl.b = 15)
+             |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+             |  ts_us, y_cents, CAST(n AS BIGINT) AS n,
+             |  CAST(score AS BIGINT) AS score
+             |FROM (SELECT * FROM winn UNION ALL SELECT * FROM ends)
+             |ORDER BY event_type, bucket""".stripMargin))
   )
 
   /** T34 corpus-sized stage of q205: the narrow (user_id, o, c)

@@ -54,11 +54,19 @@ object CountMin {
   require(AB.length == Depth,
     s"CountMin needs one (a,b) pair per row: ${AB.length} for depth $Depth")
 
-  def bucket(tok: String, row: Int): Int = {
-    val h = TokenHashExpr.hash(UTF8String.fromString(tok)) % P
+  /** Base md5 hash, computed ONCE per token — the Depth buckets are
+    * affine variants of this one value, so the md5 (the expensive part;
+    * r13 perf note) is never repeated per row.
+    */
+  def baseHash(tok: String): Long =
+    TokenHashExpr.hash(UTF8String.fromString(tok)) % P
+
+  def bucketOf(h: Long, row: Int): Int = {
     val (a, b) = AB(row)
     (((a * h + b) % P) % Width).toInt
   }
+
+  def bucket(tok: String, row: Int): Int = bucketOf(baseHash(tok), row)
 
   /** Point estimate: min over the Depth counters this token hashes to. */
   def estimate(sketch: Array[Long], tok: String): Long = {
@@ -83,9 +91,10 @@ class CountMinAggregator
   override def zero: Array[Long] = new Array[Long](Depth * Width)
 
   override def reduce(buf: Array[Long], tok: String): Array[Long] = {
+    val h = baseHash(tok) // one md5; the Depth rows are affine variants
     var r = 0
     while (r < Depth) {
-      buf(r * Width + bucket(tok, r)) += 1L
+      buf(r * Width + bucketOf(h, r)) += 1L
       r += 1
     }
     buf

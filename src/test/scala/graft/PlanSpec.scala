@@ -1602,4 +1602,16 @@ class PlanSpec extends SparkSpec {
       s"corpus-sized window in the fertility rollup:\n${p.take(800)}")
     assert(p.contains("partial_"), s"no map-side combine:\n${p.take(600)}")
   }
+
+  test("q211 LTTB: anchor/max tables ride broadcasts, aggs map-side " +
+      "combine, no corpus window, no SMJ anywhere") {
+    val p = plan("q211_lttb_downsample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"winner/anchor join lost its broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"SMJ on a 16-row-per-type table:\n${p.take(900)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"corpus-sized window in the downsample:\n${p.take(900)}")
+    assert(p.contains("partial_"), s"no map-side combine:\n${p.take(600)}")
+  }
 }
