@@ -1649,43 +1649,8 @@ object QueriesCuration {
     // global sort); probes and totals ride broadcasts; everything
     // downstream runs on sources×31 cells.
     Q("q207_chi2_drift",
-      (s, d) => {
-        val tok = fanOut(documents(s, d))
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-          .select(col("source"),
-            (Scalars.tokenHash(col("tok")) % QueriesText.P).as("th"))
-          .groupBy("source", "th").agg(count(lit(1)).as("c"))
-          .localCheckpoint(true)
-        val corpus = tok.groupBy("th").agg(sum("c").as("ct"))
-          .localCheckpoint(true) // read twice: probe mining + grand total
-        val tt = corpus.agg(sum("ct").as("t"))
-        val probes = corpus.orderBy(col("ct").desc, col("th").asc).limit(30)
-          .crossJoin(broadcast(tt))
-          .select(col("th"), expr("(1000000 * ct) DIV t").as("q_ppm"))
-        val ts = tok.groupBy("source").agg(sum("c").as("t_s"))
-        val cells = ts.crossJoin(broadcast(probes))
-          .join(tok, Seq("source", "th"), "left")
-          .select(col("source"), col("q_ppm"),
-            expr("(1000000 * coalesce(c, CAST(0 AS BIGINT))) DIV t_s")
-              .as("p_ppm"))
-        val agg = cells.groupBy("source")
-          .agg(sum(expr("CASE WHEN p_ppm + q_ppm = 0 THEN CAST(0 AS " +
-              "BIGINT) ELSE ((p_ppm - q_ppm) * (p_ppm - q_ppm)) " +
-              "DIV (p_ppm + q_ppm) END")).as("chi_probe"),
-            sum("p_ppm").as("p_sum"), sum("q_ppm").as("q_sum"),
-            sum(when(col("p_ppm") > 0, 1L).otherwise(0L))
-              .as("n_probe_hits"))
-        agg.join(broadcast(ts), "source")
-          .select(col("source"), col("t_s").as("n_tokens"),
-            (col("chi_probe") + expr("CASE WHEN 2000000 - p_sum - q_sum " +
-              "= 0 THEN CAST(0 AS BIGINT) ELSE ((q_sum - p_sum) * " +
-              "(q_sum - p_sum)) DIV (2000000 - p_sum - q_sum) END"))
-              .as("chi2_ppm"),
-            col("n_probe_hits"))
-          .withColumn("drifted",
-            when(col("chi2_ppm") >= 50000L, 1).otherwise(0))
-          .orderBy("source")
-      },
+      (s, d) => chi2FromCounts(
+        sourceTokenCounts(documents(s, d)).localCheckpoint(true)),
       Some(s"""WITH toks AS (
              |  SELECT source, unnest(str_split(text, ' ')) AS tok
              |  FROM documents),
@@ -1846,6 +1811,60 @@ object QueriesCuration {
         max(col("n_s") * col("n")).as("den"))
       .withColumn("tvd_ppm", expr("(1000000L * num) DIV (2L * den)"))
       .select("source", "n_docs", "tvd_ppm")
+      .orderBy("source")
+  }
+
+  /** X93 corpus-sized stage of q207: the (source, token-hash) count agg.
+    * Exposed separately because it is also the STREAMING fold of the
+    * drift monitor (complete-mode agg over micro-batches — the natural
+    * deployment of a per-snapshot drift alarm on a continuously-ingested
+    * corpus; `StreamingSpec` X93s pins streamed-vs-batch equality: the
+    * count is associative, so the sink table equals the batch agg
+    * exactly and the χ² stage is deterministic on top of it).
+    */
+  private[graft] def sourceTokenCounts(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    fanOut(docs)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"),
+        (Scalars.tokenHash(col("tok")) % QueriesText.P).as("th"))
+      .groupBy("source", "th").agg(count(lit(1)).as("c"))
+
+  /** X93 post-agg stage of q207: probe mining + the ppm χ² arithmetic
+    * over a MATERIALIZED (source, th, c) count table. Probe mining is a
+    * TakeOrdered over the vocab-sized marginal; everything after runs on
+    * sources×31 cells.
+    */
+  private[graft] def chi2FromCounts(
+      tok: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val corpus = tok.groupBy("th").agg(sum("c").as("ct"))
+      .localCheckpoint(true) // read twice: probe mining + grand total
+    val tt = corpus.agg(sum("ct").as("t"))
+    val probes = corpus.orderBy(col("ct").desc, col("th").asc).limit(30)
+      .crossJoin(broadcast(tt))
+      .select(col("th"), expr("(1000000 * ct) DIV t").as("q_ppm"))
+    val ts = tok.groupBy("source").agg(sum("c").as("t_s"))
+    val cells = ts.crossJoin(broadcast(probes))
+      .join(tok, Seq("source", "th"), "left")
+      .select(col("source"), col("q_ppm"),
+        expr("(1000000 * coalesce(c, CAST(0 AS BIGINT))) DIV t_s")
+          .as("p_ppm"))
+    val agg = cells.groupBy("source")
+      .agg(sum(expr("CASE WHEN p_ppm + q_ppm = 0 THEN CAST(0 AS " +
+          "BIGINT) ELSE ((p_ppm - q_ppm) * (p_ppm - q_ppm)) " +
+          "DIV (p_ppm + q_ppm) END")).as("chi_probe"),
+        sum("p_ppm").as("p_sum"), sum("q_ppm").as("q_sum"),
+        sum(when(col("p_ppm") > 0, 1L).otherwise(0L))
+          .as("n_probe_hits"))
+    agg.join(broadcast(ts), "source")
+      .select(col("source"), col("t_s").as("n_tokens"),
+        (col("chi_probe") + expr("CASE WHEN 2000000 - p_sum - q_sum " +
+          "= 0 THEN CAST(0 AS BIGINT) ELSE ((q_sum - p_sum) * " +
+          "(q_sum - p_sum)) DIV (2000000 - p_sum - q_sum) END"))
+          .as("chi2_ppm"),
+        col("n_probe_hits"))
+      .withColumn("drifted",
+        when(col("chi2_ppm") >= 50000L, 1).otherwise(0))
       .orderBy("source")
   }
 }

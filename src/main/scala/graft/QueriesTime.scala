@@ -1246,21 +1246,7 @@ object QueriesTime {
     // the exchange sees types×days rows, never the corpus; no window, no
     // join, no sort before the types×days-sized output order.
     Q("q204_ohlc_downsample",
-      (s, d) => {
-        val ev = events(s, d)
-          .withColumn("ts_us", Scalars.longDiv("ts", 1000L))
-        val ord = format_string("%020d-%020d", col("ts_us"), col("event_id"))
-        ev.groupBy(col("event_type"),
-            expr("ts_us DIV 86400000000").as("day"))
-          .agg(
-            min_by(col("value"), ord).as("open"),
-            max("value").as("high"),
-            min("value").as("low"),
-            max_by(col("value"), ord).as("close"),
-            count(lit(1)).as("n_events"),
-            Scalars.moneySum(col("value")).as("vol"))
-          .orderBy("event_type", "day")
-      },
+      (s, d) => typeDayOhlc(events(s, d)).orderBy("event_type", "day"),
       Some(s"""WITH b AS (
              |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
              |    printf('%020d-%020d', epoch_us(ts), event_id) AS ord,
@@ -1614,6 +1600,26 @@ object QueriesTime {
              |FROM (SELECT * FROM winn UNION ALL SELECT * FROM ends)
              |ORDER BY event_type, bucket""".stripMargin))
   )
+
+  /** T33 corpus-sized stage of q204: the (event_type, day) OHLC agg.
+    * Exposed separately because it is also the STREAMING fold of the
+    * OHLC monitor — min_by/max_by/min/max/sum/count are all associative
+    * with constant partial state, so the complete-mode sink table equals
+    * the batch agg exactly (`StreamingSpec` T33s pins it).
+    */
+  private[graft] def typeDayOhlc(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = ev.withColumn("ts_us", Scalars.longDiv("ts", 1000L))
+    val ord = format_string("%020d-%020d", col("ts_us"), col("event_id"))
+    e.groupBy(col("event_type"), expr("ts_us DIV 86400000000").as("day"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n_events"),
+        Scalars.moneySum(col("value")).as("vol"))
+  }
 
   /** T34 corpus-sized stage of q205: the narrow (user_id, o, c)
     * projection — the (ts, event_id) total-order key and the exact-cents

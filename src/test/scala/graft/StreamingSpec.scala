@@ -255,6 +255,49 @@ class StreamingSpec extends SparkSpec {
       "streaming-folded decay score diverges from the batch form")
   }
 
+  test("T33s twin: complete-mode streaming OHLC equals the batch agg — " +
+    "min_by/max_by/min/max/sum/count all fold associatively") {
+    val in = mkTmp("ohlcstream")
+    val ev = Tables.events(spark, sf)
+    ev.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = QueriesTime.typeDayOhlc(stream)
+      .writeStream.format("memory").queryName("ohlc_twin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    val streamed = spark.table("ohlc_twin")
+      .orderBy("event_type", "day").collect().map(_.toString)
+    val batch = Queries.byName("q204_ohlc_downsample").build(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming-folded OHLC diverges from the batch form")
+  }
+
+  test("X93s twin: complete-mode streaming (source, hash) token counts " +
+    "equal the batch agg — the drift monitor folds incrementally") {
+    val in = mkTmp("driftstream")
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(3).write.mode("overwrite").parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = QueriesCuration.sourceTokenCounts(stream)
+      .writeStream.format("memory").queryName("drift_twin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    val streamed = QueriesCuration.chi2FromCounts(
+      spark.table("drift_twin").localCheckpoint(true))
+      .collect().map(_.toString)
+    val batch = Queries.byName("q207_chi2_drift").build(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming-folded chi2 drift diverges from the batch form")
+  }
+
   test("T34s twin: order-aware mapGroupsWithState deltaSum equals the " +
     "batch rollup under the ord-monotone replay contract") {
     import org.apache.spark.sql.expressions.Window
