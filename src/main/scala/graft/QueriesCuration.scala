@@ -1840,9 +1840,21 @@ object QueriesCuration {
     val corpus = tok.groupBy("th").agg(sum("c").as("ct"))
       .localCheckpoint(true) // read twice: probe mining + grand total
     val tt = corpus.agg(sum("ct").as("t"))
+    // exactness window: every 1e6·count product in this audit is bounded
+    // by 1e6·t, so ONE guard on the grand total covers them all — t must
+    // stay under 2^63/1e6 ≈ 9.2e12 tokens (~37 TB of 4-byte-token text;
+    // chunk the audit per shard family beyond that, or widen to
+    // DECIMAL(38,0)). Spark would WRAP silently where DuckDB widens to
+    // HUGEINT — the exact cross-engine silent divergence the assert
+    // turns into a loud failure (q199/q206 pattern).
     val probes = corpus.orderBy(col("ct").desc, col("th").asc).limit(30)
       .crossJoin(broadcast(tt))
-      .select(col("th"), expr("(1000000 * ct) DIV t").as("q_ppm"))
+      .select(col("th"),
+        (expr("(1000000 * ct) DIV t") +
+          coalesce(assert_true(col("t") < lit(9223372036854L),
+            lit("q207: corpus token total >= 2^63/1e6 — ppm scaling " +
+              "would overflow long; chunk per shard or widen to " +
+              "DECIMAL(38,0)")).cast("long"), lit(0L))).as("q_ppm"))
     val ts = tok.groupBy("source").agg(sum("c").as("t_s"))
     val cells = ts.crossJoin(broadcast(probes))
       .join(tok, Seq("source", "th"), "left")
