@@ -1724,7 +1724,17 @@ object QueriesCuration {
         val tot = nl.agg(sum("n_docs").as("n"), sum("isq").as("s_isq"))
         nl.crossJoin(broadcast(tot))
           .select(col("lang"), col("n_docs"),
-            expr("(1000000 * n_docs) DIV n").as("nat_ppm"),
+            // exactness window (q207/q199 pattern): every ppm product
+            // here is bounded by 1e6·n (isq ≈ 1000·√n_docs ≪ n, and
+            // alpha_ppm ≤ 1e6 keeps boost's product under 1e12), so ONE
+            // guard on the corpus doc total covers the query — Spark
+            // wraps silently past 2^63 where DuckDB widens to HUGEINT
+            (expr("(1000000 * n_docs) DIV n") +
+              coalesce(assert_true(col("n") < lit(9223372036854L),
+                lit("q209: corpus doc total >= 2^63/1e6 — ppm scaling " +
+                  "would overflow long; chunk per shard or widen to " +
+                  "DECIMAL(38,0)")).cast("long"), lit(0L)))
+              .as("nat_ppm"),
             expr("(1000000 * isq) DIV s_isq").as("alpha_ppm"))
           .withColumn("boost_ppm",
             expr("CASE WHEN nat_ppm = 0 THEN CAST(0 AS BIGINT) " +

@@ -948,7 +948,19 @@ object QueriesTextAnalysis {
             sum(col("freq") * col("nt")).as("n_tokens"))
           .select(col("lang"), col("n_words"), col("n_chars"),
             col("n_tokens"),
-            expr("(1000 * n_chars) DIV n_tokens")
+            // exactness window (q207/q199 pattern): the milli products
+            // are bounded by 1000·n_chars / 1000·n_tokens — Spark wraps
+            // silently past 2^63 where DuckDB widens to HUGEINT, so the
+            // guard turns the divergence into a loud failure at
+            // ~9.2e15 chars (~petabyte-scale text per language; chunk
+            // per shard family or widen to DECIMAL(38,0) beyond that)
+            (expr("(1000 * n_chars) DIV n_tokens") +
+              coalesce(assert_true(
+                col("n_chars") < lit(9223372036854775L) &&
+                  col("n_tokens") < lit(9223372036854775L),
+                lit("q210: per-language char/token total >= 2^63/1e3 — " +
+                  "milli scaling would overflow long; chunk per shard " +
+                  "or widen to DECIMAL(38,0)")).cast("long"), lit(0L)))
               .as("chars_per_token_milli"),
             expr("(1000 * n_tokens) DIV n_words")
               .as("tokens_per_word_milli"))

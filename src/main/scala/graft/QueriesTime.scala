@@ -1457,15 +1457,25 @@ object QueriesTime {
         val bstats = bp.groupBy("event_type", "b")
           .agg(count(lit(1)).as("n"), sum("xm").as("sxm"),
             sum("y").as("syc"), max("xm").as("mxm"),
-            max(abs(col("y"))).as("may"))
+            max(abs(col("y"))).as("may"), min("y").as("mny"))
           .localCheckpoint(true) // read thrice: anchors + winner/end n
+        // `syc DIV n` (Spark truncates toward zero) matches the oracle's
+        // `syc // n` (DuckDB floors) ONLY on a non-negative domain — the
+        // Scalars.cents contract. Pin it: a future negative-value events
+        // table must fail loudly here, not silently diverge (q181
+        // sign-split precedent; see CLAUDE.md oracle discipline).
         val means = bstats.select(col("event_type"), col("b"),
           (expr("sxm DIV n") +
             coalesce(assert_true(
               col("n") < expr("9223372036854775807 DIV (mxm + 1)") &&
                 col("n") < expr("9223372036854775807 DIV (may + 1)"),
               lit("q211: bucket sum would overflow long; widen the " +
-                "anchor sums to DECIMAL(38,0)")).cast("long"), lit(0L)))
+                "anchor sums to DECIMAL(38,0)")).cast("long"), lit(0L)) +
+            coalesce(assert_true(col("mny") >= 0,
+              lit("q211: negative y violates the Scalars.cents " +
+                "non-negative contract; DIV/floor-div diverge — use the " +
+                "sign-split CASE form on both sides")).cast("long"),
+              lit(0L)))
             .as("axm"),
           expr("syc DIV n").as("ayc"))
         val prevA = means.select(col("event_type"),

@@ -8,7 +8,8 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * positive-delta sum, the reset count, and the row count. Constant-size
   * per key — the state store never holds a sequence.
   */
-case class DeltaSumState(lastC: Long, posSum: Long, resets: Long, n: Long)
+case class DeltaSumState(lastC: Long, posSum: Long, resets: Long, n: Long,
+    lastOrd: String)
 
 /** Output row shape — matches q205's batch rollup exactly. */
 case class DeltaSumRow(user_id: Long, n_events: Long,
@@ -24,7 +25,14 @@ case class DeltaSumRow(user_id: Long, n_events: Long,
   * AvailableNow, maxFilesPerTrigger=1). ClickHouse's deltaSum state makes
   * the same monotone assumption when merging parts; the out-of-order-safe
   * variant is its deltaSumTimestamp, which discards late segments rather
-  * than reordering them. `StreamingSpec` T34s pins streamed == batch.
+  * than reordering them. The contract is SELF-ENFORCING here, not
+  * conventional: state carries the last applied ord and a cross-batch row
+  * arriving at or below it is DISCARDED (the deltaSumTimestamp behavior)
+  * instead of silently corrupting posSum/resets — `StreamingSpec` T34s
+  * pins streamed == batch under monotone replay, and the late-segment
+  * case pins the discard. The per-batch in-memory sort buffers one
+  * user's slice of ONE micro-batch (bounded by the trigger's file cut,
+  * maxFilesPerTrigger=1), never the full history.
   */
 object DeltaSumStream {
 
@@ -40,14 +48,21 @@ object DeltaSumStream {
       .groupByKey(_._1)
       .mapGroupsWithState[DeltaSumState, DeltaSumRow](
         GroupStateTimeout.NoTimeout) { case (uid, rows, gs) =>
-        var st = gs.getOption.getOrElse(DeltaSumState(0L, 0L, 0L, 0L))
-        rows.toSeq.sortBy(_._2).foreach { case (_, _, c) =>
-          if (st.n > 0L) {
-            val d = c - st.lastC
-            if (d > 0L) st = st.copy(posSum = st.posSum + d)
-            else if (d < 0L) st = st.copy(resets = st.resets + 1L)
+        var st = gs.getOption.getOrElse(DeltaSumState(0L, 0L, 0L, 0L, ""))
+        rows.toSeq.sortBy(_._2).foreach { case (_, o, c) =>
+          // Late cross-batch segment (ord not past the last applied ord):
+          // discard, like ClickHouse deltaSumTimestamp — never fold it
+          // into posSum/resets out of order. Ords are unique per user
+          // (the key embeds event_id), so `<=` only drops true replays
+          // and late arrivals, never fresh in-order rows.
+          if (st.n == 0L || o > st.lastOrd) {
+            if (st.n > 0L) {
+              val d = c - st.lastC
+              if (d > 0L) st = st.copy(posSum = st.posSum + d)
+              else if (d < 0L) st = st.copy(resets = st.resets + 1L)
+            }
+            st = st.copy(lastC = c, n = st.n + 1L, lastOrd = o)
           }
-          st = st.copy(lastC = c, n = st.n + 1L)
         }
         gs.update(st)
         DeltaSumRow(uid, st.n, st.posSum, st.resets, st.lastC)

@@ -342,6 +342,43 @@ class StreamingSpec extends SparkSpec {
       "streaming-folded deltaSum diverges from the batch form")
   }
 
+  test("T34s late segment: a cross-batch row at or below the last applied " +
+    "ord is discarded (deltaSumTimestamp semantics), not folded out of " +
+    "order") {
+    import spark.implicits._
+    val in = mkTmp("deltalate")
+    // batch 0 applies ords a1,a3; batch 1 carries a LATE a2 (must be
+    // discarded — folding it would add 850 to posSum) and a fresh a5
+    val batches = Seq(
+      Seq((1L, "a1", 100L), (1L, "a3", 150L)),
+      Seq((1L, "a2", 1000L), (1L, "a5", 120L)))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = mkTmp(s"dlpart$i")
+      rows.toDF("user_id", "o", "c").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(in, s"f$i.parquet")
+      Files.move(src.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 2000L)
+    }
+    val schema = Seq((1L, "x", 1L)).toDF("user_id", "o", "c").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = graft.ops.DeltaSumStream.fold(stream)
+      .writeStream.format("memory").queryName("delta_late")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "stream did not finish in 60s")
+    val fin = spark.table("delta_late")
+      .orderBy(col("n_events").desc).limit(1)
+      .as[graft.ops.DeltaSumRow].collect().head
+    // in-order fold of a1(100), a3(150), a5(120): +50 then one reset
+    assert(fin == graft.ops.DeltaSumRow(1L, 3L, 50L, 1L, 120L),
+      s"late segment corrupted the fold: $fin")
+  }
+
   test("T8: streaming tumbling-window agg matches the batch date_trunc form") {
     import spark.implicits._
     val in = mkTmp("events_json")
