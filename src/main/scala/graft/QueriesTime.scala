@@ -1199,23 +1199,7 @@ object QueriesTime {
     // partial+final agg; the Fano arithmetic runs on the types×days
     // table and reduces to types-many rows. No windows, no joins.
     Q("q199_burstiness_fano",
-      (s, d) => {
-        val daily = typeDailyCounts(events(s, d))
-        daily.groupBy("event_type")
-          .agg(count(lit(1)).as("n_days"), sum("n").as("total"),
-            sum(col("n") * col("n")).as("sq"))
-          .select(col("event_type"), col("n_days"), col("total"),
-            (expr("(1000000 * (n_days * sq - total * total)) " +
-              "DIV (n_days * total)") +
-              coalesce(assert_true(
-                col("sq") < expr("9223372036854 DIV n_days"),
-                lit("q199: n_days*sq >= 2^63/1e6 — the 1e6*var_num " +
-                  "product would overflow long; widen to DECIMAL(38,0)"))
-                .cast("long"), lit(0L))).as("fano_ppm"))
-          .withColumn("bursty",
-            when(col("fano_ppm") >= 2000000L, 1).otherwise(0))
-          .orderBy("event_type")
-      },
+      (s, d) => fanoFromDaily(typeDailyCounts(events(s, d))),
       Some("""WITH daily AS (
              |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
              |    CAST(count(*) AS BIGINT) AS n
@@ -1608,7 +1592,48 @@ object QueriesTime {
              |  ts_us, y_cents, CAST(n AS BIGINT) AS n,
              |  CAST(score AS BIGINT) AS score
              |FROM (SELECT * FROM winn UNION ALL SELECT * FROM ends)
-             |ORDER BY event_type, bucket""".stripMargin))
+             |ORDER BY event_type, bucket""".stripMargin)),
+
+    // X97 materialized-aggregate maintenance — the AggregatingMergeTree /
+    // materialized-view analog of the reference's engine (ClickHouse
+    // 23.4): exact measures maintained as a persisted (event_type, day)
+    // partial-state table that per-batch folds update and rollup
+    // consumers read INSTEAD of the raw facts (pipelines/AggPipeline —
+    // fold-vs-scratch bit-identity and the q204/q197/q199 derivations
+    // are spec-pinned there). THIS query is the steady-state consumer
+    // read: the WEEKLY OHLC rollup derived by RE-AGGREGATING the
+    // maintained daily state (AggPipeline.regrain — counts and decimal
+    // sums add, min/max fold, open/close merge on their carried ord
+    // keys), with NO events scan anywhere in its plan (PlanSpec-gated;
+    // the state table is a first-touch LayoutCache artifact, the
+    // q112/q115 maintained-index production shape). The oracle replays
+    // the rollup FROM RAW — equality is exactly the MV-consistency
+    // guarantee a warehouse needs before it dares serve dashboards from
+    // the maintained table.
+    // Scale shape: the declared plan reads a types×days-sized parquet
+    // table and re-aggregates it to types×weeks — constant work at ANY
+    // corpus size; the corpus-proportional cost happened once, at fold
+    // time, one batch at a time.
+    Q("q213_agg_mv",
+      (s, d) => {
+        val st = graft.pipelines.AggPipeline.cachedState(s, d)
+        graft.pipelines.AggPipeline.ohlc(
+            graft.pipelines.AggPipeline.regrain(st, 7))
+          .withColumnRenamed("day", "week")
+          .orderBy("event_type", "week")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT event_type,
+             |    (epoch_us(ts) // 86400000000) // 7 AS week,
+             |    printf('%020d-%020d', epoch_us(ts), event_id) AS ord,
+             |    value
+             |  FROM events)
+             |SELECT event_type, CAST(week AS BIGINT) AS week,
+             |  arg_min(value, ord) AS open, max(value) AS high,
+             |  min(value) AS low, arg_max(value, ord) AS close,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  ${Scalars.moneySumSql("value")} AS vol
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** T33 corpus-sized stage of q204: the (event_type, day) OHLC agg.
@@ -1656,6 +1681,31 @@ object QueriesTime {
       ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     ev.groupBy(col("event_type"), Scalars.longDiv("ts", NsPerDay).as("day"))
       .agg(count(lit(1)).as("n"))
+
+  /** T32 post-agg stage of q199: the all-integer Fano arithmetic over a
+    * MATERIALIZED (event_type, day, n) table. Exposed separately because
+    * it is also a CONSUMER of the X97 maintained aggregate state
+    * (`pipelines/AggPipeline.dailyCounts` feeds it without a fact scan;
+    * `AggPipelineSpec` pins the parity). Runs on types×days rows, never
+    * corpus-sized; see q199's scaladoc for the exactness window and the
+    * division-form guard.
+    */
+  private[graft] def fanoFromDaily(
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("total"),
+        sum(col("n") * col("n")).as("sq"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        (expr("(1000000 * (n_days * sq - total * total)) " +
+          "DIV (n_days * total)") +
+          coalesce(assert_true(
+            col("sq") < expr("9223372036854 DIV n_days"),
+            lit("q199: n_days*sq >= 2^63/1e6 — the 1e6*var_num " +
+              "product would overflow long; widen to DECIMAL(38,0)"))
+            .cast("long"), lit(0L))).as("fano_ppm"))
+      .withColumn("bursty",
+        when(col("fano_ppm") >= 2000000L, 1).otherwise(0))
+      .orderBy("event_type")
 
   /** T31 post-agg stage of q197: weekday profile + all-integer deviation
     * over the (event_type, day, n) table. Runs on types×days input,

@@ -644,6 +644,19 @@ class PlanSpec extends SparkSpec {
       s"verdict plan re-runs the signature pipeline:\n${p.take(800)}")
   }
 
+  test("q213 agg-mv weekly rollup reads ONLY the maintained state " +
+      "table — no events scan anywhere in the steady-state plan") {
+    val df = Queries.byName("q213_agg_mv").build(spark, sf)
+    // every input file is the LayoutCache state artifact, none the raw
+    // fact table (plan toString truncates locations — check inputFiles)
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("agg_mv_state")),
+      df.inputFiles.take(3).mkString(", "))
+    // and the rollup re-aggregates with a partial (map-side) phase
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial"), s"no partial agg in regrain:\n${p.take(600)}")
+  }
+
   test("q130 substring dedup: nothing pairwise — dup detection rides the " +
       "fp window and the token mark is an equi-join") {
     val p = plan("q130_substring_dedup")

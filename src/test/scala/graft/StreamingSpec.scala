@@ -379,6 +379,32 @@ class StreamingSpec extends SparkSpec {
       s"late segment corrupted the fold: $fin")
   }
 
+  test("X97s twin: foreachBatch folds micro-batches into the maintained " +
+    "aggregate state; the final table equals the from-scratch aggregation") {
+    import graft.pipelines.AggPipeline
+    val in = mkTmp("aggmvstream")
+    val e = Tables.events(spark, sf)
+    e.repartition(3).write.mode("overwrite").parquet(in)
+    var st = AggPipeline.emptyState(spark)
+    val q = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .option("checkpointLocation", mkTmp("aggmvckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        st = AggPipeline.addBatch(st, df); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    def canon(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    val scratch = AggPipeline.merge(AggPipeline.dayPartials(e))
+    assert(canon(st).nonEmpty && canon(st) == canon(scratch),
+      "streamed agg state diverges from the from-scratch aggregation")
+  }
+
   test("T8: streaming tumbling-window agg matches the batch date_trunc form") {
     import spark.implicits._
     val in = mkTmp("events_json")
