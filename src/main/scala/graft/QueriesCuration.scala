@@ -1753,7 +1753,100 @@ object QueriesCuration {
              |  CASE WHEN (1000000 * n_docs) // n = 0 THEN 0
              |    ELSE (1000000 * ((1000000 * isq) // s_isq))
              |      // ((1000000 * n_docs) // n) END AS boost_ppm
-             |FROM nl CROSS JOIN tot ORDER BY lang""".stripMargin))
+             |FROM nl CROSS JOIN tot ORDER BY lang""".stripMargin)),
+
+    // X98 end-to-end curation funnel — the DECLARED read of the
+    // CurationPipeline composition (quality → dedup → decontaminate →
+    // mix over ONE corpus scan; pipelines/CurationPipeline, VERDICT r12
+    // #5 / r13 #2): the per-stage yield table (q157's shape) over the
+    // cumulative conjunction of the four stage verdicts, each the
+    // corpus-global verdict of its standalone query (q120 / q93-via-
+    // closure / q87 / q90 — the stage functions are the SINGLE
+    // implementation, so the funnel and the standalone surface cannot
+    // drift; CurationPipelineSpec pins stage parity, THIS query pins the
+    // composition against a full DuckDB replay of all four stages plus
+    // the recursive dedup closure over the corpus-minus-holdout domain).
+    // Scale shape: inherited from the pipeline — one corpus scan into
+    // the checkpointed snapshot, three text-derived verdict families
+    // over it, ONE narrow flag materialization, and the funnel itself is
+    // a single partial+final agg to one row of five conjunction
+    // counters. Nothing after the flag table grows with corpus size.
+    Q("q212_curation_funnel",
+      (s, d) => graft.pipelines.CurationPipeline
+        .run(documents(s, d)).yieldTable,
+      Some {
+        // bucketSql's replay with columns qualified for the 4-way join
+        val mixCond =
+          "(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), " +
+            "1, 15))::BIGINT % 100) < " +
+            "20 + (substr(d.source, 4)::INT % 5) * 20"
+        s"""WITH RECURSIVE
+           |corp AS MATERIALIZED (
+           |  SELECT * FROM documents WHERE doc_id % 100 <> 0),
+           |${QueriesText.closureSqlCtesOver("corp")},
+           |lab AS (
+           |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+           |         d.n_chars
+           |  FROM corp d LEFT JOIN comp c ON c.v = d.doc_id),
+           |reps AS (
+           |  SELECT doc_id FROM (
+           |    SELECT doc_id, row_number() OVER (PARTITION BY cluster
+           |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+           |    FROM lab) WHERE rn = 1),
+           |tokq AS (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+           |         FROM corp),
+           |qual AS (
+           |  SELECT doc_id,
+           |    sum(((('0x' || substr(md5(w), 1, 15))::BIGINT % 256)
+           |      * 2971 + 1129) % 1997 - 998) > 0 AS kq
+           |  FROM tokq GROUP BY doc_id),
+           |tks AS (SELECT doc_id, str_split(text, ' ') AS t
+           |        FROM documents),
+           |sh5 AS MATERIALIZED (
+           |  SELECT doc_id, unnest(list_transform(
+           |    range(1, len(t) - 3),
+           |    i -> array_to_string(t[i:i+4], ' '))) AS sh
+           |  FROM tks WHERE len(t) >= 5),
+           |bench5 AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 100 = 0),
+           |cont AS (
+           |  SELECT DISTINCT s.doc_id FROM sh5 s
+           |  JOIN bench5 b ON s.sh = b.sh
+           |  WHERE s.doc_id % 100 <> 0),
+           |flags AS (
+           |  SELECT d.doc_id,
+           |    coalesce(q.kq, FALSE) AS k1,
+           |    (r.doc_id IS NOT NULL) AS k2,
+           |    (c.doc_id IS NULL) AS k3,
+           |    ($mixCond) AS k4
+           |  FROM corp d
+           |  LEFT JOIN qual q ON q.doc_id = d.doc_id
+           |  LEFT JOIN reps r ON r.doc_id = d.doc_id
+           |  LEFT JOIN cont c ON c.doc_id = d.doc_id),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+           |  CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |  CAST(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n2,
+           |  CAST(sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n3,
+           |  CAST(sum(CASE WHEN k1 AND k2 AND k3 AND k4 THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n4
+           | FROM flags),
+           |f AS (
+           |  SELECT 1 AS stage, 'quality_classifier' AS fname,
+           |    n0 AS n_in, n1 AS n_out, n0 FROM a
+           |  UNION ALL SELECT 2, 'dedup_representative', n1, n2, n0 FROM a
+           |  UNION ALL SELECT 3, 'decontaminate', n2, n3, n0 FROM a
+           |  UNION ALL SELECT 4, 'source_mix', n3, n4, n0 FROM a)
+           |SELECT CAST(stage AS INT) AS stage, fname, n_in,
+           |  n_in - n_out AS n_removed, n_out,
+           |  CAST(CASE WHEN n_in = 0 THEN 0
+           |    ELSE (1000000 * (n_in - n_out)) // n_in END AS BIGINT)
+           |    AS removed_ppm,
+           |  CAST(CASE WHEN n0 = 0 THEN 0
+           |    ELSE (1000000 * n_out) // n0 END AS BIGINT)
+           |    AS survive_ppm
+           |FROM f ORDER BY stage""".stripMargin
+      })
   )
 
   /** Full-range (un-modded) tagged content hash for sample ordering. */

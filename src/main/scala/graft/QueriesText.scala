@@ -268,9 +268,16 @@ object QueriesText {
     * twin of DedupPipeline.labels). Callers prepend `WITH RECURSIVE` and
     * append their consumer CTEs / final SELECT.
     */
-  private[graft] lazy val closureSqlCtes: String = {
+  private[graft] lazy val closureSqlCtes: String =
+    closureSqlCtesOver("documents")
+
+  /** [[closureSqlCtes]] over an arbitrary source CTE/table — the q212
+    * funnel replays the closure over the corpus MINUS the benchmark
+    * holdout, exactly as CurationPipeline stage 2 does.
+    */
+  private[graft] def closureSqlCtesOver(table: String): String = {
     def h(i: Int): String = minhashSqlExpr(MinhashAB(i)._1, MinhashAB(i)._2)
-    s"""t AS (SELECT doc_id, $shinglesSql AS ws FROM documents),
+    s"""t AS (SELECT doc_id, $shinglesSql AS ws FROM $table),
        |th AS (SELECT doc_id, $tokenHashesSql AS hs FROM t),
        |sig AS (SELECT doc_id, ${h(0)} AS h0, ${h(1)} AS h1,
        |               ${h(2)} AS h2, ${h(3)} AS h3 FROM th),

@@ -248,6 +248,45 @@ object QueriesTextAnalysis {
              |GROUP BY tok
              |ORDER BY est_n DESC, tok ASC LIMIT 20""".stripMargin)),
 
+    // X99 SpaceSaving topK heavy hitters — ClickHouse topK parity
+    // (ops/SpaceSaving): the CMS (q106) answers point-frequency probes
+    // but needs the exact vocab map to ENUMERATE heavy hitters;
+    // SpaceSaving maintains the top-k SET itself in capacity-M bounded
+    // state (M=64 here, k=10). Output: rank, token, the over-counting
+    // estimate, its error bound, and the GUARANTEED flag — true when
+    // est − err strictly exceeds the (k+1)-th estimate, which certifies
+    // membership in every true top-k set (the Metwally et al. 2005
+    // guarantee; see SpaceSaving's invariant scaladoc). Bounds-gated,
+    // not hash-oracled: summary CONTENTS are stream-order-dependent
+    // (unlike the CMS's exact counters), but the bounds and the
+    // guaranteed claims hold under every partitioning — verify_local
+    // checks est ≥ exact ≥ est − err per reported token and replays
+    // every guaranteed membership against exact DuckDB counts;
+    // SpaceSavingSpec pins partition invariance of the claims and
+    // exactness when the vocabulary fits the capacity.
+    // Scale shape: one token explode behind fanOut → the typed
+    // aggregator's partial+final fold — executors exchange 64-entry
+    // summaries, never token streams; the top-10 cut runs on the one
+    // 64-entry aggregate row. The exact vocab map is never built.
+    Q("q214_topk_spacesaving",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.{SpaceSaving, SpaceSavingAggregator}
+        val toks = fanOut(documents(s, d))
+          .select(explode(split(col("text"), " ")).as("value")).as[String]
+        val summary: Seq[SpaceSaving.Entry] = toks
+          .select(new SpaceSavingAggregator(64).toColumn).head()
+        val k = 10
+        val thresh = if (summary.size > k) summary(k).c else 0L
+        val top = summary.take(k).zipWithIndex.map { case (en, i) =>
+          (i + 1, en.tok, en.c, en.e, en.c - en.e > thresh)
+        }
+        s.createDataFrame(top)
+          .toDF("rank", "token", "est", "err", "guaranteed")
+          .orderBy("rank")
+      },
+      None),
+
     // X48 tokenizer vocabulary coverage / OOV rate — the tokenizer-fit
     // audit run before training: fix a vocabulary (here the corpus's own
     // top-64 tokens by (freq DESC, token ASC) — the deterministic stand-in

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** sumMap — ClickHouse `sumMap` parity: per group, the elementwise sum of
+  * a map-valued column (rows carry maps with POSSIBLY DIFFERENT key sets;
+  * the group's result maps every key that occurs to the sum of its values
+  * across the group's rows). ClickHouse uses it for per-key measure
+  * vectors — metrics maps, per-code counters — where the key set is data,
+  * not schema.
+  *
+  * Spark-first form: NOT a custom aggregator — the map surface composes
+  * from codegen'd built-ins (the preference-(a) tier):
+  * explode(map) → (keys, k) partial+final sum → one re-assembly agg via
+  * map_from_entries over the entry list sorted by key. The sort makes the
+  * output key order DETERMINISTIC (map equality/hashing across engines
+  * needs a canonical order; ClickHouse sumMap likewise returns
+  * key-sorted arrays), and array_sort on (k, v) structs is a total order
+  * because k is unique after the sum.
+  *
+  * Scale shape: the explode multiplies rows by entries-per-map (bounded
+  * by the metric vocabulary, not the corpus); the heavy agg is the
+  * (group, k) sum — map-side combinable, shuffle rows = groups × distinct
+  * keys; the re-assembly agg rides the same hash partitioning on the
+  * group prefix (no second corpus exchange). Nothing is collected.
+  */
+object SumMap {
+
+  /** Elementwise-sum `mapCol` (MapType(_, summable)) per `keys` group.
+    * Output: `keys :+ mapCol`, entries key-sorted.
+    */
+  def sumMap(df: DataFrame, keys: Seq[String], mapCol: String): DataFrame = {
+    val kc: Seq[Column] = keys.map(col)
+    val exploded = df.select(kc :+ explode(col(mapCol)).as(Seq("k", "v")): _*)
+    exploded
+      .groupBy(kc :+ col("k"): _*)
+      .agg(sum("v").as("v"))
+      .groupBy(kc: _*)
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("k"), col("v")))))
+        .as(mapCol))
+  }
+}

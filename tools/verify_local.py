@@ -354,6 +354,48 @@ if os.path.isdir(q189):
     else:
         bounds_checked.append("q189_caption_consistency")
 
+# q214 (SpaceSaving topK): summary contents are stream-order-dependent, but
+# the Metwally bounds are not: for every reported token, exact <= est and
+# est - err <= exact; and every GUARANTEED token must be in every true
+# top-10 set (strictly fewer than 10 tokens may out-count it). The planted
+# generator vocabulary is Zipfian enough that at least one guarantee must
+# fire — an all-false flag column would pass the bounds vacuously.
+q214 = f"{out}/q214_topk_spacesaving"
+if os.path.isdir(q214):
+    bad, n_guaranteed = [], 0
+    rows = con.execute(
+        "SELECT rank, token, est, err, guaranteed FROM "
+        f"read_parquet('{q214}/*.parquet') ORDER BY rank").fetchall()
+    if not rows:
+        bad.append("q214 dump is EMPTY - gate would pass vacuously")
+    # one exact-count pass over the corpus serves all per-token probes
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE q214_counts AS "
+        "SELECT t, CAST(count(*) AS BIGINT) AS c FROM "
+        "(SELECT unnest(str_split(text, ' ')) AS t FROM documents) "
+        "GROUP BY t")
+    for rank, token, est, err, guaranteed in rows:
+        got = con.execute(
+            "SELECT c FROM q214_counts WHERE t = ?", [token]).fetchone()
+        exact = got[0] if got else 0
+        if not (exact <= est and est - err <= exact):
+            bad.append(f"rank {rank} {token!r}: exact {exact} outside "
+                       f"[{est - err}, {est}]")
+        if guaranteed:
+            n_guaranteed += 1
+            beat = con.execute(
+                "SELECT count(*) FROM q214_counts WHERE c > ?",
+                [exact]).fetchone()[0]
+            if beat >= 10:
+                bad.append(f"rank {rank} {token!r} guaranteed but {beat} "
+                           "tokens out-count it")
+    if rows and n_guaranteed == 0:
+        bad.append("no guaranteed member claimed - flag column is inert")
+    if bad:
+        fails.append(("q214_topk_spacesaving", "; ".join(bad[:5])))
+    else:
+        bounds_checked.append("q214_topk_spacesaving")
+
 for name in sorted(set(os.path.basename(d) for d in glob.glob(f"{out}/q*"))):
     if name not in oracle and name not in bounds_checked:
         skips.append(name)
