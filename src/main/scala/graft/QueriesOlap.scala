@@ -826,6 +826,50 @@ object QueriesOlap {
              |    AS BIGINT) AS hhi_ppm,
              |  CAST((sum(c) * sum(c)) // sum(c * c) AS BIGINT)
              |    AS eff_sources
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // A20 sumMap — ClickHouse `sumMap` parity (ops/SumMap): per group,
+    // the elementwise sum of a MAP-VALUED column whose key set is data,
+    // not schema (per-key measure vectors — the per-event metrics map
+    // here carries two event-type-dependent keys per row: a counter and
+    // an exact-cents sum). The map surface composes from codegen'd
+    // built-ins (explode → (group, key) partial+final sum →
+    // map_from_entries over the key-sorted entry list — deterministic
+    // key order, ClickHouse's own sumMap convention), never a UDF.
+    // Cohort = user_id % 100 (non-negative domain, so Spark pmod and
+    // DuckDB % agree). Values are Scalars.cents longs — exact BIGINT
+    // sums, no accumulation-order concern.
+    // Scale shape: the explode multiplies rows by entries-per-map
+    // (metric-vocabulary-bounded, not corpus-bounded); the heavy agg is
+    // the map-side-combinable (cohort, k) sum — shuffle rows = cohorts ×
+    // distinct keys; the re-assembly agg rides the same hash
+    // partitioning on cohort. Nothing collected.
+    Q("q215_summap",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val rows = e.select(
+          pmod(col("user_id"), lit(100L)).as("cohort"),
+          map(
+            concat(lit("cnt_"), col("event_type")), lit(1L),
+            concat(lit("cents_"), col("event_type")),
+            graft.ops.Scalars.cents(col("value"))).as("metrics"))
+        graft.ops.SumMap.sumMap(rows, Seq("cohort"), "metrics")
+          .orderBy("cohort")
+      },
+      Some(s"""WITH rows AS (
+             |  SELECT user_id % 100 AS cohort,
+             |    'cnt_' || event_type AS k, CAST(1 AS BIGINT) AS v
+             |  FROM events
+             |  UNION ALL
+             |  SELECT user_id % 100, 'cents_' || event_type,
+             |    ${graft.ops.Scalars.centsSql("value")}
+             |  FROM events),
+             |g AS (
+             |  SELECT cohort, k, CAST(sum(v) AS BIGINT) AS v
+             |  FROM rows GROUP BY 1, 2)
+             |SELECT cohort,
+             |  map_from_entries(list_sort(
+             |    list(struct_pack(k := k, v := v)))) AS metrics
+             |FROM g GROUP BY cohort ORDER BY cohort""".stripMargin))
   )
 }

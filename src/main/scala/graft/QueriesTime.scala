@@ -546,6 +546,40 @@ object QueriesTime {
              |FROM events GROUP BY event_type ORDER BY event_type"""
         .stripMargin)),
 
+    // X100 partition-TTL retention (ops/Retention): the ClickHouse
+    // `TTL ... DELETE` analog and q116's lifecycle sibling — the
+    // day-partitioned events layout is written the way the ingest sink
+    // partitions it, then every partition strictly older than the newest
+    // 14 days is dropped METADATA-ONLY (directory-name eligibility, one
+    // swap-safe rename+delete per dropped day — no data file is ever
+    // opened; at 100 TB dropping a year of history is a listing, not a
+    // scan). The declared query is a per-day rollup of the POST-TTL
+    // table; the oracle replays the same trailing-window predicate over
+    // the RAW events in DuckDB (cutoff = max day − 13, derivable on both
+    // sides), so equality proves the drop removed whole old partitions
+    // and nothing else. Counts + exact-cents sum (§7.5 moneySum
+    // discipline). RetentionSpec pins the mechanics: survivor
+    // row-multiset identity, idempotence, pruning intact post-drop,
+    // metadata-only by construction.
+    Q("q216_ttl_retention",
+      (s, d) => {
+        val path = graft.ops.Retention.retainedEventsPath(s, d)
+        s.read.parquet(path)
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            Scalars.moneySum(col("value")).as("vol"))
+          .orderBy("day")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS d, value
+             |  FROM events),
+             |mx AS (SELECT max(d) AS mx FROM e)
+             |SELECT DATE '1970-01-01' + CAST(d AS INT) AS day,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  ${Scalars.moneySumSql("value")} AS vol
+             |FROM e, mx WHERE d > mx - ${graft.ops.Retention.KeepDays}
+             |GROUP BY d ORDER BY day""".stripMargin)),
+
     // X34 audience overlap via KMV sketches (see [[audienceOverlap]]).
     Q("q122_audience_overlap",
       (s, d) => audienceOverlap(s, d),

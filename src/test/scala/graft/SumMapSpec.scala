@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SumMap
+
+/** A20 sumMap: elementwise map sum with rows carrying DIFFERENT key sets,
+  * deterministic key-sorted output, and partition invariance (exact long
+  * sums — no fold-order sensitivity).
+  */
+class SumMapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-derived: disjoint and overlapping key sets sum elementwise; " +
+      "output entries are key-sorted") {
+    val df = Seq(
+      (1L, Map("a" -> 1L, "b" -> 10L)),
+      (1L, Map("b" -> 5L, "c" -> 2L)),
+      (1L, Map("a" -> 4L)),
+      (2L, Map("z" -> 7L))).toDF("g", "m")
+    val got = SumMap.sumMap(df, Seq("g"), "m")
+      .orderBy("g").as[(Long, Map[String, Long])].collect().toSeq
+    assert(got == Seq(
+      1L -> Map("a" -> 5L, "b" -> 15L, "c" -> 2L),
+      2L -> Map("z" -> 7L)))
+    // key order inside the physical map is the sorted entry list
+    val keys = SumMap.sumMap(df, Seq("g"), "m")
+      .filter(col("g") === 1L)
+      .select(map_keys(col("m"))).as[Seq[String]].head()
+    assert(keys == Seq("a", "b", "c"))
+  }
+
+  test("partition invariance: 1-way and 7-way folds agree exactly") {
+    val rows = (1 to 500).map { i =>
+      (i % 5).toLong -> Map(s"k${i % 11}" -> i.toLong, "all" -> 1L)
+    }
+    def run(parts: Int) =
+      SumMap.sumMap(rows.toDF("g", "m").repartition(parts), Seq("g"), "m")
+        .orderBy("g").as[(Long, Map[String, Long])].collect().toSeq
+    assert(run(1) == run(7) && run(1).nonEmpty)
+  }
+
+  test("declared q215 equals the explode-group replay on the same events") {
+    val declared = Queries.byName("q215_summap").build(spark, sf)
+      .as[(Long, Map[String, Long])].collect().toSeq
+    val e = Tables.events(spark, sf)
+    val replay = e.select(pmod(col("user_id"), lit(100L)).as("cohort"),
+        concat(lit("cnt_"), col("event_type")).as("k"), lit(1L).as("v"))
+      .unionAll(e.select(pmod(col("user_id"), lit(100L)).as("cohort"),
+        concat(lit("cents_"), col("event_type")).as("k"),
+        graft.ops.Scalars.cents(col("value")).as("v")))
+      .groupBy("cohort", "k").agg(sum("v").as("v"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1).map { case (g, xs) =>
+        g -> xs.map(x => x._2 -> x._3).toMap
+      }.toSeq.sortBy(_._1)
+    assert(declared.nonEmpty &&
+      declared.map { case (g, m) => g -> m } == replay)
+  }
+}
