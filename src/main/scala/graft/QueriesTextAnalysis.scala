@@ -287,6 +287,49 @@ object QueriesTextAnalysis {
       },
       None),
 
+    // X101 weighted SpaceSaving topK — ClickHouse `topKWeighted` parity
+    // (the other half of X99's pair): counters accumulate WEIGHT mass,
+    // here exact cents of event value per user — "which users carry the
+    // most value" maintained in capacity-64 bounded state over a user
+    // space that exceeds it (150 users at sf0.01, 1 500 at sf1). Same
+    // invariants with "count" read as "total weight"; same
+    // mergeable-summaries merge; same bounds gate (verify_local replays
+    // exact per-user cents sums in DuckDB and checks the est/err window
+    // plus every guaranteed top-10 membership). Weights are
+    // Scalars.cents longs — exact integer mass, no float accumulation.
+    // Scale shape: one narrow (user, cents) projection — no explode, no
+    // text — into the typed aggregator's partial+final fold; executors
+    // exchange 64-entry summaries. The exact per-user sum table is
+    // never built.
+    Q("q217_topk_weighted",
+      (s, d) => {
+        import s.implicits._
+        import graft.ops.{SpaceSaving, WeightedSpaceSavingAggregator}
+        val rows = events(s, d)
+          .select(col("user_id").cast("string"),
+            Scalars.cents(col("value")))
+          .as[(String, Long)]
+        val summary: Seq[SpaceSaving.Entry] = rows
+          .select(new WeightedSpaceSavingAggregator(64).toColumn).head()
+        val k = 10
+        // the certification threshold is DUMPED so the gate can replay
+        // the flag (guaranteed == est − err > thresh) and check the
+        // threshold's own soundness: every user OUTSIDE the reported
+        // top-k has true mass ≤ thresh (I2 + the (k+1)-th bound). On a
+        // near-uniform mass distribution no guarantee may fire — that is
+        // SpaceSaving answering honestly, and the gate verifies the
+        // honesty instead of demanding a certificate the data can't give.
+        val thresh = if (summary.size > k) summary(k).c else 0L
+        val top = summary.take(k).zipWithIndex.map { case (en, i) =>
+          (i + 1, en.tok, en.c, en.e, thresh, en.c - en.e > thresh)
+        }
+        s.createDataFrame(top)
+          .toDF("rank", "user_id", "est_cents", "err", "thresh",
+            "guaranteed")
+          .orderBy("rank")
+      },
+      None),
+
     // X48 tokenizer vocabulary coverage / OOV rate — the tokenizer-fit
     // audit run before training: fix a vocabulary (here the corpus's own
     // top-64 tokens by (freq DESC, token ASC) — the deterministic stand-in

@@ -61,17 +61,28 @@ object SpaceSaving {
     /** The floor on any ABSENT token's true count (I2). */
     def absentFloor: Long = if (!evicted) 0L else minCount
 
-    def add(tok: String): Unit = m.get(tok) match {
-      case Some((c, e)) => m.update(tok, (c + 1L, e))
-      case None if m.size < cap => m.update(tok, (1L, 0L))
-      case None =>
-        // evict the (count, token)-minimal entry; the newcomer inherits
-        // its count as error — true ≤ minC + 1 = count, count − error = 1
-        // ≤ true. Deterministic: the tie order is total.
-        val (vt, (vc, _)) = m.minBy { case (t, (c, _)) => (c, t) }
-        m.remove(vt)
-        m.update(tok, (vc + 1L, vc))
-        evicted = true
+    def add(tok: String): Unit = add(tok, 1L)
+
+    /** Weighted fold (ClickHouse `topKWeighted`): the counter accumulates
+      * WEIGHT mass instead of occurrences — I1/I2 hold verbatim with
+      * "true count" read as "true total weight" (an absent token's mass
+      * is still bounded by the min counter: it would have had to climb
+      * past it to stay resident).
+      */
+    def add(tok: String, w: Long): Unit = {
+      require(w >= 0L, s"SpaceSaving weight must be non-negative, got $w")
+      m.get(tok) match {
+        case Some((c, e)) => m.update(tok, (c + w, e))
+        case None if m.size < cap => m.update(tok, (w, 0L))
+        case None =>
+          // evict the (count, token)-minimal entry; the newcomer inherits
+          // its count as error — true ≤ minC + w = count, count − error =
+          // w ≤ true. Deterministic: the tie order is total.
+          val (vt, (vc, _)) = m.minBy { case (t, (c, _)) => (c, t) }
+          m.remove(vt)
+          m.update(tok, (vc + w, vc))
+          evicted = true
+      }
     }
 
     /** Fold `other` into this (mergeable-summaries addition + top-M cut). */
@@ -112,6 +123,34 @@ class SpaceSavingAggregator(capacity: Int)
 
   override def reduce(buf: SpaceSaving.Summary,
       tok: String): SpaceSaving.Summary = { buf.add(tok); buf }
+
+  override def merge(a: SpaceSaving.Summary,
+      b: SpaceSaving.Summary): SpaceSaving.Summary = { a.mergeIn(b); a }
+
+  override def finish(buf: SpaceSaving.Summary): Seq[SpaceSaving.Entry] =
+    buf.entries
+
+  override def bufferEncoder: Encoder[SpaceSaving.Summary] =
+    Encoders.kryo[SpaceSaving.Summary]
+  override def outputEncoder: Encoder[Seq[SpaceSaving.Entry]] =
+    ExpressionEncoder[Seq[SpaceSaving.Entry]]()
+}
+
+/** Weighted variant — ClickHouse `topKWeighted` parity: input rows are
+  * (key, weight) and counters accumulate weight mass. Same bounded state,
+  * same mergeable-summaries merge, same bounds with "count" read as
+  * "total weight".
+  */
+class WeightedSpaceSavingAggregator(capacity: Int)
+    extends Aggregator[(String, Long), SpaceSaving.Summary,
+      Seq[SpaceSaving.Entry]] {
+
+  override def zero: SpaceSaving.Summary = new SpaceSaving.Summary(capacity)
+
+  override def reduce(buf: SpaceSaving.Summary,
+      row: (String, Long)): SpaceSaving.Summary = {
+    buf.add(row._1, row._2); buf
+  }
 
   override def merge(a: SpaceSaving.Summary,
       b: SpaceSaving.Summary): SpaceSaving.Summary = { a.mergeIn(b); a }

@@ -205,10 +205,12 @@ class IngestSpec extends SparkSpec {
       "q132_audio_neardup", // DuckDB can't decode WAV / replay Goertzel
       "q133_video_scene_dedup", // DuckDB can't decode GIF frames
       "q189_caption_consistency", // PNG decode leg; python truth replay
-      "q214_topk_spacesaving") // summary contents are stream-order-
+      "q214_topk_spacesaving", // summary contents are stream-order-
       // dependent (the documented SpaceSaving property); the CLAIMS are
       // bounds-gated: est/err window + guaranteed-membership replay
-    // each of the ten is quantitatively bounds-checked by
+      "q217_topk_weighted") // q214's weighted twin, same gate with
+      // "count" read as "total weight" (exact per-user cents mass)
+    // each of the eleven is quantitatively bounds-checked by
     // tools/verify_local.py (BOUNDS-PASS) — none is trust-the-spec
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- noOracle

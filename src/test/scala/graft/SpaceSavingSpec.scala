@@ -79,6 +79,72 @@ class SpaceSavingSpec extends SparkSpec {
     assert(sum == resorted)
   }
 
+  private def summarizeW(rows: Seq[(String, Long)], cap: Int, parts: Int)
+      : Seq[SpaceSaving.Entry] =
+    spark.createDataset(rows).repartition(parts)
+      .select(new graft.ops.WeightedSpaceSavingAggregator(cap).toColumn)
+      .head()
+
+  test("weighted: bounds and guarantees hold on weight mass under any " +
+      "partitioning; weight-1 input equals the unweighted fold's claims") {
+    val wrows = (1 to 40).map(i => s"u$i" -> (1000L / i)) ++
+      (1 to 300).map(i => s"r$i" -> 2L)
+    val truth = wrows.groupBy(_._1)
+      .map { case (t, g) => t -> g.map(_._2).sum }
+    for (parts <- Seq(1, 5)) {
+      val sum = summarizeW(wrows, cap = 16, parts = parts)
+      sum.foreach { en =>
+        val t = truth.getOrElse(en.tok, 0L)
+        assert(t <= en.c && en.c - en.e <= t,
+          s"parts=$parts ${en.tok}: mass $t outside [${en.c - en.e}, ${en.c}]")
+      }
+      val thresh = if (sum.size > 5) sum(5).c else 0L
+      val claimed = sum.take(5).filter(en => en.c - en.e > thresh)
+      assert(claimed.exists(_.tok == "u1"),
+        s"parts=$parts: dominant u1 not guaranteed")
+      claimed.foreach { en =>
+        assert(truth.valuesIterator.count(_ > truth(en.tok)) < 5,
+          s"parts=$parts ${en.tok} guaranteed but not true top-5")
+      }
+    }
+    // weight 1 everywhere ≡ the unweighted occurrence fold (same stream
+    // order through the Summary API directly — deterministic equality)
+    val su = new SpaceSaving.Summary(16)
+    val sw = new SpaceSaving.Summary(16)
+    stream.foreach { t => su.add(t); sw.add(t, 1L) }
+    assert(su.entries == sw.entries)
+  }
+
+  test("declared q217 reports 10 ranked users whose claims replay " +
+      "against exact cents mass") {
+    val df = Queries.byName("q217_topk_weighted").build(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val truth = Tables.events(spark, sf)
+      .groupBy(col("user_id").cast("string").as("u"))
+      .agg(sum(graft.ops.Scalars.cents(col("value"))).as("w"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      val (uid, est, err, thresh, guar) = (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))
+      val t = truth.getOrElse(uid, 0L)
+      assert(t <= est && est - err <= t, s"user $uid: $t outside bounds")
+      assert(guar == (est - err > thresh), s"user $uid: inconsistent flag")
+      if (guar)
+        assert(truth.valuesIterator.count(_ > t) < 10,
+          s"user $uid guaranteed but not in the true top-10 by mass")
+    }
+    // threshold soundness: every user outside the reported top-10 sits
+    // at or below the dumped certification threshold
+    val thresh0 = rows.head.getLong(4)
+    val reported = rows.map(_.getString(1)).toSet
+    val worst = truth.collect {
+      case (u, w) if !reported(u) => w
+    }.foldLeft(0L)(math.max)
+    assert(worst <= thresh0,
+      s"unreported mass $worst exceeds threshold $thresh0")
+  }
+
   test("declared q214 runs, reports 10 ranked rows, and its claims " +
       "replay against the exact corpus counts") {
     val df = Queries.byName("q214_topk_spacesaving").build(spark, sf)

@@ -396,6 +396,57 @@ if os.path.isdir(q214):
     else:
         bounds_checked.append("q214_topk_spacesaving")
 
+# q217 (weighted SpaceSaving topK): q214's gate with "count" read as
+# "total weight" (exact per-user cents mass replayed in DuckDB), PLUS the
+# dumped certification threshold checked two ways: the flag must equal
+# est - err > thresh row-for-row (so an all-false column is verified
+# honest, not inert — near-uniform masses legitimately certify nothing),
+# and the threshold must be SOUND: every user outside the reported top-10
+# has exact mass <= thresh (the I2 + (k+1)-th-estimate bound).
+q217 = f"{out}/q217_topk_weighted"
+if os.path.isdir(q217):
+    bad = []
+    rows = con.execute(
+        "SELECT rank, user_id, est_cents, err, thresh, guaranteed FROM "
+        f"read_parquet('{q217}/*.parquet') ORDER BY rank").fetchall()
+    if not rows:
+        bad.append("q217 dump is EMPTY - gate would pass vacuously")
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE q217_mass AS "
+        "SELECT CAST(user_id AS VARCHAR) AS u, CAST(sum(CAST(floor("
+        "value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS w "
+        "FROM events GROUP BY 1")
+    for rank, uid, est, err, thresh, guaranteed in rows:
+        got = con.execute(
+            "SELECT w FROM q217_mass WHERE u = ?", [uid]).fetchone()
+        exact = got[0] if got else 0
+        if not (exact <= est and est - err <= exact):
+            bad.append(f"rank {rank} user {uid}: exact {exact} outside "
+                       f"[{est - err}, {est}]")
+        if guaranteed != (est - err > thresh):
+            bad.append(f"rank {rank} user {uid}: flag {guaranteed} != "
+                       f"(est-err {est - err} > thresh {thresh})")
+        if guaranteed:
+            beat = con.execute(
+                "SELECT count(*) FROM q217_mass WHERE w > ?",
+                [exact]).fetchone()[0]
+            if beat >= 10:
+                bad.append(f"rank {rank} user {uid} guaranteed but {beat} "
+                           "users out-weigh it")
+    if rows:
+        reported = [r[1] for r in rows]
+        thresh0 = rows[0][4]
+        worst = con.execute(
+            "SELECT max(w) FROM q217_mass WHERE u NOT IN ("
+            + ",".join("?" * len(reported)) + ")", reported).fetchone()[0]
+        if worst is not None and worst > thresh0:
+            bad.append(f"unsound threshold: unreported user mass {worst} "
+                       f"> thresh {thresh0}")
+    if bad:
+        fails.append(("q217_topk_weighted", "; ".join(bad[:5])))
+    else:
+        bounds_checked.append("q217_topk_weighted")
+
 for name in sorted(set(os.path.basename(d) for d in glob.glob(f"{out}/q*"))):
     if name not in oracle and name not in bounds_checked:
         skips.append(name)
