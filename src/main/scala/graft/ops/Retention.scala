@@ -69,8 +69,12 @@ object Retention {
     var dropped = 0
     parts.foreach { case (dir, day) =>
       if (day.isBefore(cutoff)) {
+        // dot-prefixed tombstone: Spark's file index ignores dot/underscore
+        // dirs, so even a crash BETWEEN rename and delete leaves nothing a
+        // reader would list — the partition is whole or invisible, never a
+        // stray string value corrupting day-type inference
         val tomb = dir.resolveSibling(
-          dir.getFileName.toString + s".dropped-${java.util.UUID.randomUUID}")
+          s".${dir.getFileName}.dropped-${java.util.UUID.randomUUID}")
         Files.move(dir, tomb, StandardCopyOption.ATOMIC_MOVE)
         Files.walk(tomb).iterator.asScala.toSeq.reverse
           .foreach(Files.deleteIfExists(_))
