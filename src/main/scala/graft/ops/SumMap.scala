@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: the explode multiplies rows by entries-per-map (bounded
   * by the metric vocabulary, not the corpus); the heavy agg is the
   * (group, k) sum — map-side combinable, shuffle rows = groups × distinct
-  * keys; the re-assembly agg rides the same hash partitioning on the
-  * group prefix (no second corpus exchange). Nothing is collected.
+  * keys. The re-assembly agg re-shuffles on the group prefix, but its
+  * input is the ALREADY-AGGREGATED groups×keys table (≪ corpus — the
+  * corpus is exchanged exactly once). Nothing is collected.
   */
 object SumMap {
 
