@@ -870,6 +870,44 @@ object QueriesOlap {
              |SELECT cohort,
              |  map_from_entries(list_sort(
              |    list(struct_pack(k := k, v := v)))) AS metrics
+             |FROM g GROUP BY cohort ORDER BY cohort""".stripMargin)),
+
+    // A21 minMap/maxMap — the rest of ClickHouse's map-combinator family
+    // (ops/SumMap.minMaxMap), in ONE pass: per cohort, the elementwise
+    // min AND max of the metrics map over every key that occurs (absent
+    // keys contribute nothing — a missing metric is missing, not zero).
+    // Same q215 scale shape: one corpus explode into a map-side-
+    // combinable (cohort, key) min/max agg, one re-assembly agg over the
+    // aggregated cohorts×keys table serving BOTH output maps.
+    Q("q218_minmax_map",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val rows = e.select(
+          pmod(col("user_id"), lit(100L)).as("cohort"),
+          map(
+            concat(lit("cnt_"), col("event_type")), lit(1L),
+            concat(lit("cents_"), col("event_type")),
+            graft.ops.Scalars.cents(col("value"))).as("metrics"))
+        graft.ops.SumMap.minMaxMap(rows, Seq("cohort"), "metrics")
+          .orderBy("cohort")
+      },
+      Some(s"""WITH rows AS (
+             |  SELECT user_id % 100 AS cohort,
+             |    'cnt_' || event_type AS k, CAST(1 AS BIGINT) AS v
+             |  FROM events
+             |  UNION ALL
+             |  SELECT user_id % 100, 'cents_' || event_type,
+             |    ${graft.ops.Scalars.centsSql("value")}
+             |  FROM events),
+             |g AS (
+             |  SELECT cohort, k, CAST(min(v) AS BIGINT) AS vmin,
+             |    CAST(max(v) AS BIGINT) AS vmax
+             |  FROM rows GROUP BY 1, 2)
+             |SELECT cohort,
+             |  map_from_entries(list_sort(
+             |    list(struct_pack(k := k, v := vmin)))) AS metrics_min,
+             |  map_from_entries(list_sort(
+             |    list(struct_pack(k := k, v := vmax)))) AS metrics_max
              |FROM g GROUP BY cohort ORDER BY cohort""".stripMargin))
   )
 }

@@ -42,4 +42,30 @@ object SumMap {
         array_sort(collect_list(struct(col("k"), col("v")))))
         .as(mapCol))
   }
+
+  /** minMap + maxMap (the rest of ClickHouse's map-combinator family) in
+    * ONE pass: per group, the elementwise min AND max of the map values
+    * over every key that occurs — same explode → (group, key) partial+
+    * final agg shape as [[sumMap]] with min/max folds, both maps
+    * assembled in the same re-assembly agg (one exchange over the
+    * already-aggregated groups×keys table serves both outputs). An
+    * ABSENT key contributes nothing — min/max range over the rows where
+    * the key occurs, the ClickHouse semantics (keys are data; a missing
+    * metric is missing, not zero).
+    */
+  def minMaxMap(df: DataFrame, keys: Seq[String], mapCol: String)
+      : DataFrame = {
+    val kc: Seq[Column] = keys.map(col)
+    df.select(kc :+ explode(col(mapCol)).as(Seq("k", "v")): _*)
+      .groupBy(kc :+ col("k"): _*)
+      .agg(min("v").as("vmin"), max("v").as("vmax"))
+      .groupBy(kc: _*)
+      .agg(
+        map_from_entries(
+          array_sort(collect_list(struct(col("k"), col("vmin")))))
+          .as(s"${mapCol}_min"),
+        map_from_entries(
+          array_sort(collect_list(struct(col("k"), col("vmax")))))
+          .as(s"${mapCol}_max"))
+  }
 }

@@ -40,6 +40,21 @@ class SumMapSpec extends SparkSpec {
     assert(run(1) == run(7) && run(1).nonEmpty)
   }
 
+  test("minMaxMap: elementwise min and max over occurring keys only, " +
+      "one pass, partition-invariant") {
+    val df = Seq(
+      (1L, Map("a" -> 5L, "b" -> 10L)),
+      (1L, Map("b" -> 3L, "c" -> 2L)),
+      (1L, Map("a" -> 8L))).toDF("g", "m")
+    def run(parts: Int) = SumMap.minMaxMap(df.repartition(parts), Seq("g"), "m")
+      .as[(Long, Map[String, Long], Map[String, Long])].collect().toSeq
+    val got = run(1)
+    assert(got == Seq((1L,
+      Map("a" -> 5L, "b" -> 3L, "c" -> 2L),
+      Map("a" -> 8L, "b" -> 10L, "c" -> 2L))))
+    assert(run(4) == got)
+  }
+
   test("declared q215 equals the explode-group replay on the same events") {
     val declared = Queries.byName("q215_summap").build(spark, sf)
       .as[(Long, Map[String, Long])].collect().toSeq
