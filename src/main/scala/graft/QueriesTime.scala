@@ -580,6 +580,55 @@ object QueriesTime {
              |FROM e, mx WHERE d > mx - ${graft.ops.Retention.KeepDays}
              |GROUP BY d ORDER BY day""".stripMargin)),
 
+    // T37 per-type trend line — ClickHouse `simpleLinearRegression`
+    // parity: exact least-squares slope/intercept over each type's daily
+    // counts, all-integer fixed point so both engines agree bit-for-bit
+    // (no float regression, no libm; see [[trendFromDaily]] for the
+    // closed form, the sign-split division for declining trends, and
+    // the per-group overflow guards). The forecasting primitive beside
+    // T22's spike gate (is TODAY anomalous) and T35's changepoint (did
+    // the level SHIFT): what direction is this feed headed, and from
+    // what base. Also derivable from the X97 maintained aggregate state
+    // (AggPipelineSpec pins parity — one more consumer that never
+    // rescans raw facts).
+    // Scale shape: corpus-sized work ends at the shared T31 (type, day)
+    // partial+final agg; min-day join rides a types-sized broadcast and
+    // the moments are one more agg over the types×days table.
+    Q("q219_trend_line",
+      (s, d) => trendFromDaily(typeDailyCounts(events(s, d))),
+      Some {
+        def ss(num: String, den: String): String =
+          s"CASE WHEN ($num) >= 0 THEN ($num) // ($den) " +
+            s"ELSE -((-($num)) // ($den)) END"
+        val det = "(nd * sxx - sx * sx)"
+        s"""WITH daily AS (
+           |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |x AS (
+           |  SELECT event_type,
+           |    day - min(day) OVER (PARTITION BY event_type) AS x, n
+           |  FROM daily),
+           |a AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+           |    CAST(sum(x) AS BIGINT) AS sx,
+           |    CAST(sum(n) AS BIGINT) AS sy,
+           |    CAST(sum(x * n) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx
+           |  FROM x GROUP BY 1)
+           |SELECT event_type, n_days, total, slope_ppm, icept_milli,
+           |  CAST(CASE WHEN slope_ppm > 0 THEN 1 ELSE 0 END AS INT)
+           |    AS rising
+           |FROM (
+           |  SELECT event_type, nd AS n_days, sy AS total,
+           |    CAST(${ss("1000000 * (nd * sxy - sx * sy)", det)}
+           |      AS BIGINT) AS slope_ppm,
+           |    CAST(${ss("1000 * (sy * sxx - sx * sxy)", det)}
+           |      AS BIGINT) AS icept_milli
+           |  FROM a WHERE nd >= 2)
+           |ORDER BY event_type""".stripMargin
+      }),
+
     // X34 audience overlap via KMV sketches (see [[audienceOverlap]]).
     Q("q122_audience_overlap",
       (s, d) => audienceOverlap(s, d),
@@ -1740,6 +1789,56 @@ object QueriesTime {
       .withColumn("bursty",
         when(col("fano_ppm") >= 2000000L, 1).otherwise(0))
       .orderBy("event_type")
+
+  /** T37 post-agg stage of q219: exact least-squares trend line over a
+    * MATERIALIZED (event_type, day, n) table — ClickHouse
+    * `simpleLinearRegression` parity in integer fixed point. x = day −
+    * min(day) per type (keeps every moment small: x ≤ span), then the
+    * closed form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) and
+    * intercept = (Σy·Σx² − Σx·Σxy) / det, both emitted as fixed point
+    * (ppm / milli) with the SIGN-SPLIT truncate-toward-zero division
+    * (q181 precedent — a declining trend makes the numerator negative,
+    * where Spark DIV truncates and DuckDB `//` floors). det > 0 whenever
+    * nd ≥ 2 (distinct days), so single-day types are filtered, not
+    * divided by zero. Exactness window guarded per group in DIVISION
+    * form (q199/q207 pattern): Σy < 2⁶³ / (10⁶·nd·(xmax+1)) covers the
+    * slope moments and Σy < 2⁶³ / (10³·nd·(xmax+1)²) the intercept's —
+    * beyond (~petabyte per-type volumes over year spans) widen to
+    * DECIMAL(38,0). Exposed separately because it is also a CONSUMER of
+    * the X97 maintained aggregate state (AggPipelineSpec pins parity).
+    * Runs on types×days rows, never corpus-sized.
+    */
+  private[graft] def trendFromDaily(
+      daily0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val daily = daily0.localCheckpoint(true) // read twice: mins + moments
+    val mins = daily.groupBy("event_type").agg(min("day").as("d0"))
+    val xs = daily.join(broadcast(mins), "event_type")
+      .select(col("event_type"), (col("day") - col("d0")).as("x"), col("n"))
+    def signSplit(num: String, den: String): String =
+      s"CASE WHEN ($num) >= 0 THEN ($num) DIV ($den) " +
+        s"ELSE -((-($num)) DIV ($den)) END"
+    val det = "(nd * sxx - sx * sx)"
+    xs.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), max("x").as("mx"),
+        sum("x").as("sx"), sum("n").as("sy"),
+        sum(col("x") * col("n")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("nd") >= 2)
+      .select(col("event_type"), col("nd").as("n_days"), col("sy").as("total"),
+        (expr(signSplit("1000000 * (nd * sxy - sx * sy)", det)) +
+          coalesce(assert_true(
+            expr("sy < 9223372036854775807 DIV (1000000 * nd * (mx + 1))") &&
+              expr("sy < 9223372036854775807 DIV " +
+                "(1000 * nd * (mx + 1) * (mx + 1))"),
+            lit("q219: per-type volume exceeds the integer trend " +
+              "window; widen the moments to DECIMAL(38,0)")).cast("long"),
+            lit(0L))).as("slope_ppm"),
+        expr(signSplit("1000 * (sy * sxx - sx * sxy)", det))
+          .as("icept_milli"))
+      .withColumn("rising", when(col("slope_ppm") > 0, 1).otherwise(0))
+      .orderBy("event_type")
+  }
 
   /** T31 post-agg stage of q197: weekday profile + all-integer deviation
     * over the (event_type, day, n) table. Runs on types×days input,

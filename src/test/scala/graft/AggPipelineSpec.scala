@@ -71,6 +71,38 @@ class AggPipelineSpec extends SparkSpec {
     assert(derived.nonEmpty && derived == declared)
   }
 
+  test("q219 parity: the trend line derived from the maintained state " +
+      "equals the declared from-raw query") {
+    val st = AggPipeline.merge(AggPipeline.dayPartials(ev))
+    val derived = QueriesTime.trendFromDaily(AggPipeline.dailyCounts(st))
+      .collect().map(_.toString).toSeq
+    val declared = Queries.byName("q219_trend_line").build(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(derived.nonEmpty && derived == declared)
+  }
+
+  test("trendFromDaily hand-derived: exact rising and falling slopes, " +
+      "sign-split division, truncated intercept, single-day filtered") {
+    import spark.implicits._
+    val daily = Seq(
+      ("up", 100L, 10L), ("up", 101L, 20L), ("up", 102L, 30L),
+      ("dn", 100L, 30L), ("dn", 101L, 20L), ("dn", 102L, 10L),
+      ("tr", 100L, 12L), ("tr", 101L, 11L), ("tr", 102L, 9L),
+      ("solo", 100L, 7L)).toDF("event_type", "day", "n")
+    val got = QueriesTime.trendFromDaily(daily)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSeq
+    // up: slope 10/day -> 10e6 ppm, intercept 10 -> 10000 milli
+    // dn: slope -10/day, intercept 30
+    // tr: det 6, slope_num -9 -> -1500000 exact; icept_num 73 ->
+    //     73000 DIV 6 = 12166 (truncated)
+    // solo: nd = 1, filtered
+    assert(got == Seq(
+      ("dn", 3L, 60L, -10000000L, 30000L, 0),
+      ("tr", 3L, 32L, -1500000L, 12166L, 0),
+      ("up", 3L, 60L, 10000000L, 10000L, 1)))
+  }
+
   test("grains compose exactly: monthly-from-weekly equals " +
       "monthly-from-daily (28-day buckets)") {
     val st = AggPipeline.merge(AggPipeline.dayPartials(ev))
