@@ -2,8 +2,6 @@ package graft.ops
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.SparkSession
 
 /** Small-file compaction for Hive-partitioned parquet tables — the
@@ -49,23 +47,22 @@ object Compaction {
       filesAfter: Int)
 
   private def dataFiles(dir: Path): Seq[Path] =
-    Files.list(dir).iterator.asScala
+    Nio.list(dir)
       .filter(p => Files.isRegularFile(p))
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq
 
   /** Per-partition file stats for a one-level Hive-partitioned table
     * (`col=value/` leaf dirs under `tableDir`).
     */
   def stats(tableDir: String): Seq[PartitionStat] =
-    Files.list(Paths.get(tableDir)).iterator.asScala
+    Nio.list(Paths.get(tableDir))
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.contains("="))
       .map { p =>
         val fs = dataFiles(p)
         PartitionStat(p, fs.size, fs.map(Files.size(_)).sum)
       }
-      .toSeq.sortBy(_.dir.toString)
+      .sortBy(_.dir.toString)
 
   /** Bin-pack every partition of `tableDir` to ceil(bytes/targetBytes)
     * files; partitions already at-or-below that count are left untouched.

@@ -32,25 +32,19 @@ object LayoutCache {
     * layout is dead weight on disk, never a wrong answer.
     */
   def sourceKey(d: String): String = {
-    import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(d)
     val parts =
       if (!java.nio.file.Files.isDirectory(root)) Seq(d)
-      else java.nio.file.Files.walk(root).iterator.asScala
+      else Nio.walk(root)
         .filter(java.nio.file.Files.isRegularFile(_))
         .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
           java.nio.file.Files.getLastModifiedTime(p).toMillis)
-        .toSeq.sorted
+        .sorted
     ((d + parts.mkString("|")).hashCode & 0x7fffffff).toHexString
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator.asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    Nio.deleteTree(p)
 
   /** Return the warehouse path for layout `name`, building it first via
     * `build(tmpPath)` if no complete install exists. `name` must encode

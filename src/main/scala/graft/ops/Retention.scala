@@ -2,8 +2,6 @@ package graft.ops
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.SparkSession
 
 /** Partition-TTL retention for Hive-partitioned parquet tables — the
@@ -47,13 +45,13 @@ object Retention {
   }
 
   /** List the `day=` partition dirs of `tableDir` (driver-side metadata,
-    * the Compaction.stats cost class).
+    * the Compaction.stats cost class; Nio.list closes the directory fd).
     */
   def partitionDays(tableDir: String): Seq[(Path, java.time.LocalDate)] =
-    Files.list(Paths.get(tableDir)).iterator.asScala
+    Nio.list(Paths.get(tableDir))
       .filter(Files.isDirectory(_))
       .flatMap(p => partitionDay(p).map(p -> _))
-      .toSeq.sortBy(_._2.toEpochDay)
+      .sortBy(_._2.toEpochDay)
 
   /** Drop every partition strictly OLDER than the newest `keepDays` days
     * (cutoff = max partition day − keepDays + 1, from directory names
@@ -62,6 +60,16 @@ object Retention {
     */
   def expire(tableDir: String, keepDays: Int): Report = {
     require(keepDays > 0, "keepDays must be positive")
+    // re-run is the recovery path: a crash between the tombstone rename
+    // and the delete leaves an orphaned `.day=*.dropped-*` dir — invisible
+    // to readers (dot-prefixed) but never reclaimed. Sweep them first so
+    // the documented crash window cannot become an unbounded disk leak.
+    Nio.list(Paths.get(tableDir))
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".day=") && n.contains(".dropped-")
+      }
+      .foreach(Nio.deleteTree)
     val parts = partitionDays(tableDir)
     if (parts.isEmpty) return Report(0, 0, java.time.LocalDate.EPOCH)
     val cutoff = parts.map(_._2).maxBy(_.toEpochDay)
@@ -76,8 +84,7 @@ object Retention {
         val tomb = dir.resolveSibling(
           s".${dir.getFileName}.dropped-${java.util.UUID.randomUUID}")
         Files.move(dir, tomb, StandardCopyOption.ATOMIC_MOVE)
-        Files.walk(tomb).iterator.asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        Nio.deleteTree(tomb)
         dropped += 1
       }
     }

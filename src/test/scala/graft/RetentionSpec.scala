@@ -25,11 +25,17 @@ class RetentionSpec extends SparkSpec {
   test("expire drops exactly the partitions older than the trailing " +
       "window and survivors carry the identical row multiset") {
     val tmp = freshLayout()
-    val before = Retention.partitionDays(tmp).size
+    val days = Retention.partitionDays(tmp).map(_._2)
     val r = Retention.expire(tmp, keepDays = 14)
-    assert(r.partitionsSeen == before && r.partitionsDropped == before - 14,
-      s"$r from $before partitions")
-    assert(Retention.partitionDays(tmp).size == 14)
+    // cutoff-derived expectations, not a hardcoded 14-partition count:
+    // the window is day-based, so a corpus with an empty day must still
+    // pass (ADVICE r14) — survivors are exactly the listed days >= cutoff
+    val expectSurvive = days.count(!_.isBefore(r.cutoffDay))
+    assert(r.partitionsSeen == days.size &&
+      r.partitionsDropped == days.size - expectSurvive,
+      s"$r from ${days.size} partitions, expected $expectSurvive survivors")
+    assert(r.partitionsDropped > 0, "fixture must exercise a real drop")
+    assert(Retention.partitionDays(tmp).size == expectSurvive)
     val cutoff = r.cutoffDay.toString
     val survivors = spark.read.parquet(tmp)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -80,12 +86,31 @@ class RetentionSpec extends SparkSpec {
       s"day predicate leaked into data filters: ${scan.dataFilters}")
   }
 
+  test("a crash-orphaned tombstone dir is swept on the next expire run") {
+    val tmp = freshLayout()
+    // simulate the documented crash window: rename done, delete not —
+    // re-run must reclaim it (expire's sweep is the recovery path)
+    val victim = Retention.partitionDays(tmp).head._1
+    val tomb = victim.resolveSibling(
+      s".${victim.getFileName}.dropped-crashed")
+    Files.move(victim, tomb)
+    assert(Files.exists(tomb))
+    Retention.expire(tmp, keepDays = 10000)
+    assert(!Files.exists(tomb), "orphaned tombstone survived the re-run")
+  }
+
   test("declared q216 reads only the retained layout (no raw events " +
-      "scan) and returns exactly KeepDays day rows") {
+      "scan) and returns one row per surviving day partition") {
     val df = Queries.byName("q216_ttl_retention").build(spark, sf)
     assert(df.inputFiles.nonEmpty &&
       df.inputFiles.forall(_.contains("ttl216_events")),
       df.inputFiles.take(3).mkString(", "))
-    assert(df.count() == Retention.KeepDays)
+    // day-window-based, not partition-count-based (ADVICE r14): the
+    // layout keeps <= KeepDays day dirs (an empty day has no dir), and
+    // the rollup returns exactly one row per surviving dir
+    val survivingDays = df.inputFiles
+      .flatMap(_.split('/').find(_.startsWith("day="))).distinct.length
+    assert(df.count() == survivingDays && survivingDays <= Retention.KeepDays,
+      s"rows=${df.count()} dirs=$survivingDays keep=${Retention.KeepDays}")
   }
 }
