@@ -844,6 +844,13 @@ object QueriesOlap {
     // the map-side-combinable (cohort, k) sum — shuffle rows = cohorts ×
     // distinct keys; the re-assembly agg rides the same hash
     // partitioning on cohort. Nothing collected.
+    // DECLARED SHAPE (r15): the library op returns the MAP column, but
+    // the driver's pandas comparator cannot sort nested types — so the
+    // declared query renders the key-sorted entries as one VARCHAR
+    // `k=v,...` column (the q34_parse_array `arr_str` convention; the
+    // r14 raw-MAP declaration was the round's only driver-red). The
+    // transform lambda runs on the cohorts-sized AGGREGATED output,
+    // never the corpus.
     Q("q215_summap",
       (s, d) => {
         val e = Tables.events(s, d)
@@ -854,6 +861,9 @@ object QueriesOlap {
             concat(lit("cents_"), col("event_type")),
             graft.ops.Scalars.cents(col("value"))).as("metrics"))
         graft.ops.SumMap.sumMap(rows, Seq("cohort"), "metrics")
+          .select(col("cohort"),
+            graft.ops.SumMap.renderEntries(col("metrics"))
+              .as("metrics_str"))
           .orderBy("cohort")
       },
       Some(s"""WITH rows AS (
@@ -868,8 +878,7 @@ object QueriesOlap {
              |  SELECT cohort, k, CAST(sum(v) AS BIGINT) AS v
              |  FROM rows GROUP BY 1, 2)
              |SELECT cohort,
-             |  map_from_entries(list_sort(
-             |    list(struct_pack(k := k, v := v)))) AS metrics
+             |  string_agg(k || '=' || v, ',' ORDER BY k) AS metrics_str
              |FROM g GROUP BY cohort ORDER BY cohort""".stripMargin)),
 
     // A21 minMap/maxMap — the rest of ClickHouse's map-combinator family
@@ -878,7 +887,9 @@ object QueriesOlap {
     // keys contribute nothing — a missing metric is missing, not zero).
     // Same q215 scale shape: one corpus explode into a map-side-
     // combinable (cohort, key) min/max agg, one re-assembly agg over the
-    // aggregated cohorts×keys table serving BOTH output maps.
+    // aggregated cohorts×keys table serving BOTH output maps. Declared
+    // shape: VARCHAR `k=v,...` renderings of the key-sorted maps (the
+    // q215 driver-comparator note).
     Q("q218_minmax_map",
       (s, d) => {
         val e = Tables.events(s, d)
@@ -889,6 +900,11 @@ object QueriesOlap {
             concat(lit("cents_"), col("event_type")),
             graft.ops.Scalars.cents(col("value"))).as("metrics"))
         graft.ops.SumMap.minMaxMap(rows, Seq("cohort"), "metrics")
+          .select(col("cohort"),
+            graft.ops.SumMap.renderEntries(col("metrics_min"))
+              .as("metrics_min_str"),
+            graft.ops.SumMap.renderEntries(col("metrics_max"))
+              .as("metrics_max_str"))
           .orderBy("cohort")
       },
       Some(s"""WITH rows AS (
@@ -904,10 +920,140 @@ object QueriesOlap {
              |    CAST(max(v) AS BIGINT) AS vmax
              |  FROM rows GROUP BY 1, 2)
              |SELECT cohort,
-             |  map_from_entries(list_sort(
-             |    list(struct_pack(k := k, v := vmin)))) AS metrics_min,
-             |  map_from_entries(list_sort(
-             |    list(struct_pack(k := k, v := vmax)))) AS metrics_max
-             |FROM g GROUP BY cohort ORDER BY cohort""".stripMargin))
+             |  string_agg(k || '=' || vmin, ',' ORDER BY k)
+             |    AS metrics_min_str,
+             |  string_agg(k || '=' || vmax, ',' ORDER BY k)
+             |    AS metrics_max_str
+             |FROM g GROUP BY cohort ORDER BY cohort""".stripMargin)),
+
+    // A22 avgMap — the mean member of ClickHouse's map-combinator family
+    // (ops/SumMap.avgMap), completing sumMap (A20) / minMap / maxMap
+    // (A21): per cohort and key, the fixed-point mean of the metric over
+    // the rows where the key occurs — `(1e6·Σv) DIV count` integer
+    // micro-units, cross-engine exact (the repo's fixed-point
+    // discipline; both inputs are the SAME (cohort, k) agg sumMap runs,
+    // with count as one extra column — avgMap costs what sumMap costs).
+    // Non-negative domain (Scalars.cents contract), so Spark DIV and
+    // DuckDB // agree. Same q215 scale + declared-shape notes.
+    Q("q220_avgmap",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val rows = e.select(
+          pmod(col("user_id"), lit(100L)).as("cohort"),
+          map(
+            concat(lit("cnt_"), col("event_type")), lit(1L),
+            concat(lit("cents_"), col("event_type")),
+            graft.ops.Scalars.cents(col("value"))).as("metrics"))
+        graft.ops.SumMap.avgMap(rows, Seq("cohort"), "metrics")
+          .select(col("cohort"),
+            graft.ops.SumMap.renderEntries(col("metrics"))
+              .as("metrics_str"))
+          .orderBy("cohort")
+      },
+      Some(s"""WITH rows AS (
+             |  SELECT user_id % 100 AS cohort,
+             |    'cnt_' || event_type AS k, CAST(1 AS BIGINT) AS v
+             |  FROM events
+             |  UNION ALL
+             |  SELECT user_id % 100, 'cents_' || event_type,
+             |    ${graft.ops.Scalars.centsSql("value")}
+             |  FROM events),
+             |g AS (
+             |  SELECT cohort, k,
+             |    CAST((1000000 * CAST(sum(v) AS BIGINT)) // count(*)
+             |      AS BIGINT) AS v
+             |  FROM rows GROUP BY 1, 2)
+             |SELECT cohort,
+             |  string_agg(k || '=' || v, ',' ORDER BY k) AS metrics_str
+             |FROM g GROUP BY cohort ORDER BY cohort""".stripMargin)),
+
+    // A23 conditional-aggregate combinators — ClickHouse `countIf` /
+    // `sumIf` / `avgIf` / `minIf` / `maxIf` parity as a DECLARED row
+    // (the sum(CASE) rewrite is used inside many queries — q212's
+    // funnel counters — but nothing pinned the combinator family
+    // explicitly). Spark-first form: `agg(f(when(cond, x)))` — the
+    // codegen'd conditional feeds the stock aggregate, one partial+
+    // final hash agg, NO extra pass per condition (all five ride the
+    // same map-side combine). Exactness: cents quantization before the
+    // sums (§7.5 moneySum/cents discipline), fixed-point micro avg with
+    // the empty-group NULL the -If family defines (a group where no row
+    // qualifies averages to NULL, not 0), integer DIV on a non-negative
+    // domain.
+    Q("q221_agg_if",
+      (s, d) => lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+          graft.ops.Scalars.cents(col("l_extendedprice")).as("cents"))
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("l_quantity") > 25, lit(1))).as("cnt_hi"),
+          sum(when(col("l_quantity") > 25, col("cents")))
+            .as("sum_hi_cents"),
+          sum(when(col("l_discount") > 0.05, col("cents")))
+            .as("sum_disc_cents"),
+          min(when(col("l_quantity") > 25, col("cents")))
+            .as("min_hi_cents"),
+          max(when(col("l_quantity") > 25, col("cents")))
+            .as("max_hi_cents"))
+        // avg in whole cents, not micro-scaled: a 1e6 pre-scale on the
+        // GRAND sum (~3e13 cents at sf1) would overflow long — scaling
+        // before a division is only safe on per-key sums (q220's shape),
+        // never on a fact-table grand total (q209's guard rationale)
+        .withColumn("avg_hi_cents",
+          expr("CASE WHEN cnt_hi = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE sum_hi_cents DIV cnt_hi END"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+             |  CAST(count(*) AS BIGINT) AS n_all,
+             |  CAST(count(CASE WHEN l_quantity > 25 THEN 1 END)
+             |    AS BIGINT) AS cnt_hi,
+             |  CAST(sum(CASE WHEN l_quantity > 25
+             |    THEN ${graft.ops.Scalars.centsSql("l_extendedprice")} END)
+             |    AS BIGINT) AS sum_hi_cents,
+             |  CAST(sum(CASE WHEN l_discount > CAST(0.05 AS DOUBLE)
+             |    THEN ${graft.ops.Scalars.centsSql("l_extendedprice")} END)
+             |    AS BIGINT) AS sum_disc_cents,
+             |  CAST(min(CASE WHEN l_quantity > 25
+             |    THEN ${graft.ops.Scalars.centsSql("l_extendedprice")} END)
+             |    AS BIGINT) AS min_hi_cents,
+             |  CAST(max(CASE WHEN l_quantity > 25
+             |    THEN ${graft.ops.Scalars.centsSql("l_extendedprice")} END)
+             |    AS BIGINT) AS max_hi_cents,
+             |  CASE WHEN count(CASE WHEN l_quantity > 25 THEN 1 END) = 0
+             |    THEN CAST(NULL AS BIGINT)
+             |    ELSE CAST(CAST(sum(CASE WHEN l_quantity > 25
+             |      THEN ${graft.ops.Scalars.centsSql("l_extendedprice")}
+             |      END) AS BIGINT)
+             |      // count(CASE WHEN l_quantity > 25 THEN 1 END)
+             |      AS BIGINT) END AS avg_hi_cents
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // A25 uniqUpTo(N) — ClickHouse parity via the bounded-state typed
+    // aggregator (ops/UniqUpTo): per (event_type, day), the EXACT
+    // distinct user count while ≤ N (N = 16), saturating at N+1 —
+    // the small-cardinality member the sketch tier estimates (KMV/HLL)
+    // but never answers exactly. State per group is ≤ N+1 sorted longs
+    // (a saturated partial stops absorbing entirely and merges O(1)),
+    // map-side combinable, associative — so unlike the sketches this
+    // row carries a FULL DuckDB oracle: `least(count(DISTINCT u), N+1)`
+    // is the same function. UniqUpToSpec pins partition invariance and
+    // both regimes (below-cap exact, above-cap saturated).
+    Q("q224_uniq_upto",
+      (s, d) => {
+        val uniq16 = udaf(new graft.ops.UniqUpToAggregator(16))
+        Tables.events(s, d)
+          .select(col("event_type"),
+            Scalars.longDiv("ts", 86400000000000L).as("day"),
+            col("user_id"))
+          .groupBy("event_type", "day")
+          .agg(uniq16(col("user_id")).as("u16"))
+          .orderBy("event_type", "day")
+      },
+      Some("""SELECT event_type,
+             |  epoch_ns(ts) // 86400000000000 AS day,
+             |  least(CAST(count(DISTINCT user_id) AS BIGINT), 17) AS u16
+             |FROM events GROUP BY 1, 2
+             |ORDER BY event_type, day""".stripMargin))
   )
 }

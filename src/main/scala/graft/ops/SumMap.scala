@@ -43,6 +43,50 @@ object SumMap {
         .as(mapCol))
   }
 
+  /** avgMap — per group and key, the fixed-point mean of the map values
+    * over the rows where the key occurs: `(scale·Σv) DIV count`, integer
+    * micro-units by default so the result is cross-engine exact (double
+    * division would be IEEE-identical too, but the repo's fixed-point
+    * discipline keeps every declared aggregate replayable as integer
+    * SQL). Same shape as [[sumMap]] — the count is one extra column on
+    * the SAME (group, k) agg, so avgMap costs exactly what sumMap costs.
+    * Domain contract: non-negative values (Spark `DIV` truncates toward
+    * zero, DuckDB `//` floors — equivalent only on ≥ 0; the
+    * Scalars.cents contract). Exactness window: the caller picks `scale`
+    * so scale·Σv stays under 2^63 PER (group, key) — per-key sums are
+    * group-partitioned slices, so the default 1e6 holds to ~9.2e12 per
+    * cell; never feed a fact-table grand total through a pre-scaled
+    * division (q221's avg note / q209's guard rationale).
+    */
+  def avgMap(df: DataFrame, keys: Seq[String], mapCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val kc: Seq[Column] = keys.map(col)
+    df.select(kc :+ explode(col(mapCol)).as(Seq("k", "v")): _*)
+      .groupBy(kc :+ col("k"): _*)
+      .agg(expr(s"(${scale}L * sum(v)) DIV count(1)").as("v"))
+      .groupBy(kc: _*)
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("k"), col("v")))))
+        .as(mapCol))
+  }
+
+  /** Driver-comparable rendering of a key-sorted map column: one VARCHAR
+    * `k=v,...` cell (the q34_parse_array `arr_str` convention — the
+    * driver's pandas comparator cannot sort nested types, so declared
+    * queries emit THIS instead of the raw map; DuckDB replays it as
+    * `string_agg(k || '=' || v, ',' ORDER BY k)`). Entry order is the
+    * assembly order — [[sumMap]]/[[minMaxMap]]/[[avgMap]] build from the
+    * key-sorted entry array, and Spark maps preserve insertion order.
+    * The transform lambda is interpreted (ArrayTransform is
+    * CodegenFallback): render AGGREGATED outputs only, never a corpus.
+    */
+  def renderEntries(mapCol: Column): Column =
+    array_join(
+      transform(map_entries(mapCol),
+        e => concat(e.getField("key"), lit("="),
+          e.getField("value").cast("string"))),
+      ",")
+
   /** minMap + maxMap (the rest of ClickHouse's map-combinator family) in
     * ONE pass: per group, the elementwise min AND max of the map values
     * over every key that occurs — same explode → (group, key) partial+

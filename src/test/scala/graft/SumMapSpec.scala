@@ -55,9 +55,32 @@ class SumMapSpec extends SparkSpec {
     assert(run(4) == got)
   }
 
+  test("avgMap: fixed-point per-key mean over occurring keys only, " +
+      "partition-invariant") {
+    val df = Seq(
+      (1L, Map("a" -> 5L, "b" -> 10L)),
+      (1L, Map("b" -> 3L, "c" -> 2L)),
+      (1L, Map("a" -> 8L))).toDF("g", "m")
+    def run(parts: Int) = SumMap.avgMap(df.repartition(parts), Seq("g"), "m")
+      .as[(Long, Map[String, Long])].collect().toSeq
+    val got = run(1)
+    // micro-units: a = (13*1e6) DIV 2, b = (13*1e6) DIV 2, c = 2e6
+    assert(got == Seq((1L, Map(
+      "a" -> 6500000L, "b" -> 6500000L, "c" -> 2000000L))))
+    assert(run(4) == got)
+  }
+
+  test("renderEntries: key-sorted k=v,... VARCHAR (the driver-comparable " +
+      "declared shape — pandas cannot sort raw MAP columns)") {
+    val df = Seq((1L, Map("b" -> 2L, "a" -> 1L))).toDF("g", "m")
+    val s = SumMap.sumMap(df, Seq("g"), "m")
+      .select(SumMap.renderEntries(col("m"))).as[String].head()
+    assert(s == "a=1,b=2")
+  }
+
   test("declared q215 equals the explode-group replay on the same events") {
     val declared = Queries.byName("q215_summap").build(spark, sf)
-      .as[(Long, Map[String, Long])].collect().toSeq
+      .as[(Long, String)].collect().toSeq
     val e = Tables.events(spark, sf)
     val replay = e.select(pmod(col("user_id"), lit(100L)).as("cohort"),
         concat(lit("cnt_"), col("event_type")).as("k"), lit(1L).as("v"))
@@ -67,9 +90,9 @@ class SumMapSpec extends SparkSpec {
       .groupBy("cohort", "k").agg(sum("v").as("v"))
       .as[(Long, String, Long)].collect()
       .groupBy(_._1).map { case (g, xs) =>
-        g -> xs.map(x => x._2 -> x._3).toMap
+        g -> xs.map(x => x._2 -> x._3).toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(",")
       }.toSeq.sortBy(_._1)
-    assert(declared.nonEmpty &&
-      declared.map { case (g, m) => g -> m } == replay)
+    assert(declared.nonEmpty && declared == replay)
   }
 }
