@@ -1696,6 +1696,59 @@ object QueriesCuration {
              |FROM agg a JOIN srct USING (source)
              |ORDER BY a.source""".stripMargin)),
 
+    // A24 Welch two-sample t-test — ClickHouse `welchTTest` parity
+    // (ops/Welch): the continuous-measure drift gate beside q207's χ²
+    // (categorical). Per event_type, tests whether the value-cents mean
+    // of the FIRST WEEK (sample A: day < min_day + 7) differs from the
+    // rest of the window (sample B) without assuming equal variances —
+    // the A/B readout an events warehouse serves. Exact integer
+    // partials (n, Σcents BIGINT, Σcents² DECIMAL(38,0) — decimal so a
+    // billion-row slice cannot silently wrap a long), then ONE
+    // identical IEEE expression tree over them in both engines: the
+    // doubles match bit-for-bit, so the row carries a FULL oracle, not
+    // a tolerance band (ops/Welch scaladoc; WelchSpec pins the
+    // invariances — same-distribution t ≈ 0, planted shift flags).
+    // Scale shape: one corpus-sized partial+final agg (six conditional
+    // aggregates on one map-side combine — the A23 -If form) against a
+    // 1-row broadcast of min(day); t/df arithmetic on the types-sized
+    // table.
+    Q("q222_welch_ttest",
+      (s, d) => {
+        val e = events(s, d).select(col("event_type"),
+          Scalars.longDiv("ts", 86400000000000L).as("day"),
+          Scalars.cents(col("value")).as("x"))
+        val d0 = e.agg(min("day").as("d0"))
+        val rows = e.crossJoin(broadcast(d0))
+          .withColumn("grp",
+            when(col("day") < col("d0") + lit(7L), lit(0))
+              .otherwise(lit(1)))
+        graft.ops.Welch.tTest(rows, Seq("event_type"), "grp", "x")
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day,
+             |    ${Scalars.centsSql("value")} AS x
+             |  FROM events),
+             |d0 AS (SELECT min(day) AS d0 FROM e),
+             |p AS (
+             |  SELECT event_type,
+             |    CAST(count(CASE WHEN day < d0 + 7 THEN 1 END)
+             |      AS BIGINT) AS n_a,
+             |    CAST(count(CASE WHEN day >= d0 + 7 THEN 1 END)
+             |      AS BIGINT) AS n_b,
+             |    CAST(sum(CASE WHEN day < d0 + 7 THEN x END)
+             |      AS BIGINT) AS sx_a,
+             |    CAST(sum(CASE WHEN day >= d0 + 7 THEN x END)
+             |      AS BIGINT) AS sx_b,
+             |    sum(CASE WHEN day < d0 + 7
+             |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_a,
+             |    sum(CASE WHEN day >= d0 + 7
+             |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_b
+             |  FROM e, d0 GROUP BY event_type),
+             |${graft.ops.Welch.oracleTail("event_type")}
+             |ORDER BY event_type""".stripMargin)),
+
     // X95 temperature-rebalanced language mixture (α = 0.5; Conneau &
     // Lample 2019's multilingual sampling, the standard fix for
     // high-resource languages crowding out the tail): sampling weights

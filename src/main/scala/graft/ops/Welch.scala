@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Welch two-sample t-test — ClickHouse `welchTTest` parity: the
+  * continuous-measure drift gate beside X93's χ² (categorical). Per key,
+  * tests whether sample A (grp = 0) and sample B (grp = 1) of an integer
+  * measure share a mean, WITHOUT assuming equal variances (the realistic
+  * A/B readout on an events warehouse: the windows differ in size and
+  * spread).
+  *
+  * Exactness discipline (the reason the declared q222 carries a full
+  * DuckDB oracle instead of a tolerance band): the corpus-sized pass
+  * produces EXACT integer partials per (key, grp) — n as BIGINT, Σx as
+  * BIGINT, Σx² as DECIMAL(38,0) (a long Σx² would silently wrap around
+  * ~1e9 rows of 5-digit cents; decimal addition is exact and
+  * associative, so fold order cannot matter) — and the t statistic is
+  * then ONE identical IEEE-754 expression tree over those partials in
+  * both engines: same casts, same operator shape, division and sqrt are
+  * correctly rounded, so the doubles agree BIT-FOR-BIT given equal
+  * partials. No averaging inside the aggregation, no engine-dependent
+  * accumulation order anywhere.
+  *
+  * Scale shape: one corpus-sized partial+final hash agg (all six
+  * conditional aggregates ride the same map-side combine — the A23
+  * `-If` form); the t/df arithmetic runs on the keys-sized table.
+  * Nothing is collected.
+  */
+object Welch {
+
+  /** Per-`keys` Welch t-test of `x` (integer measure) between grp = 0
+    * and grp = 1 rows. Emits n_a/n_b, micro-cent means, the t statistic,
+    * the Welch–Satterthwaite degrees of freedom, and a |t| > 1.96 flag
+    * (the ~5% two-sided gate). Keys where either sample has < 2 rows are
+    * dropped (the variance is undefined there — ClickHouse returns NaN;
+    * a declared query needs deterministic rows, so we filter).
+    */
+  def tTest(rows: DataFrame, keys: Seq[String], grp: String, x: String)
+      : DataFrame = {
+    val kc: Seq[Column] = keys.map(col)
+    val g0 = col(grp) === 0
+    rows.groupBy(kc: _*)
+      .agg(
+        count(when(g0, lit(1))).as("n_a"),
+        count(when(!g0, lit(1))).as("n_b"),
+        sum(when(g0, col(x))).as("sx_a"),
+        sum(when(!g0, col(x))).as("sx_b"),
+        sum(when(g0, (col(x) * col(x)).cast(DecimalType(38, 0))))
+          .as("sxx_a"),
+        sum(when(!g0, (col(x) * col(x)).cast(DecimalType(38, 0))))
+          .as("sxx_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      // the formula tree below is mirrored TEXTUALLY by Welch.oracleTail
+      // (the DuckDB side) — identical ops over identical exact partials
+      // give bit-identical doubles; keep the two in lockstep
+      .withColumn("ma", expr(
+        "CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"))
+      .withColumn("mb", expr(
+        "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)"))
+      .withColumn("va", expr(
+        "(CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * ma) / " +
+          "CAST(n_a - 1 AS DOUBLE)"))
+      .withColumn("vb", expr(
+        "(CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * mb) / " +
+          "CAST(n_b - 1 AS DOUBLE)"))
+      .withColumn("se_a", expr("va / CAST(n_a AS DOUBLE)"))
+      .withColumn("se_b", expr("vb / CAST(n_b AS DOUBLE)"))
+      .withColumn("t_stat", expr("(ma - mb) / sqrt(se_a + se_b)"))
+      .withColumn("df_w", expr(
+        "((se_a + se_b) * (se_a + se_b)) / " +
+          "(se_a * se_a / CAST(n_a - 1 AS DOUBLE) + " +
+          "se_b * se_b / CAST(n_b - 1 AS DOUBLE))"))
+      .withColumn("shifted",
+        expr("CAST(CASE WHEN abs(t_stat) > 1.96 THEN 1 ELSE 0 END AS INT)"))
+      .select(kc ++ Seq(col("n_a"), col("n_b"), col("t_stat"),
+        col("df_w"), col("shifted")): _*)
+  }
+
+  /** DuckDB rendition of the t/df formula over a relation `p` carrying
+    * the same exact partials (n_a, n_b, sx_a, sx_b, sxx_a, sxx_b) —
+    * textually the same expression tree as [[tTest]]'s columns.
+    */
+  def oracleTail(keyCols: String): String =
+    s"""m AS (
+       |  SELECT *,
+       |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+       |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb
+       |  FROM p WHERE n_a > 1 AND n_b > 1),
+       |v AS (
+       |  SELECT *,
+       |    (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * ma)
+       |      / CAST(n_a - 1 AS DOUBLE) AS va,
+       |    (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * mb)
+       |      / CAST(n_b - 1 AS DOUBLE) AS vb
+       |  FROM m),
+       |se AS (
+       |  SELECT *, va / CAST(n_a AS DOUBLE) AS se_a,
+       |    vb / CAST(n_b AS DOUBLE) AS se_b
+       |  FROM v)
+       |SELECT $keyCols, n_a, n_b,
+       |  (ma - mb) / sqrt(se_a + se_b) AS t_stat,
+       |  ((se_a + se_b) * (se_a + se_b)) /
+       |    (se_a * se_a / CAST(n_a - 1 AS DOUBLE) +
+       |     se_b * se_b / CAST(n_b - 1 AS DOUBLE)) AS df_w,
+       |  CAST(CASE WHEN abs((ma - mb) / sqrt(se_a + se_b)) > 1.96
+       |    THEN 1 ELSE 0 END AS INT) AS shifted
+       |FROM se""".stripMargin
+}
