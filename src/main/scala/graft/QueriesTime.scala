@@ -1716,6 +1716,41 @@ object QueriesTime {
              |  min(value) AS low, arg_max(value, ord) AS close,
              |  CAST(count(*) AS BIGINT) AS n_events,
              |  ${Scalars.moneySumSql("value")} AS vol
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // X102 grain COMPOSITION on the maintained aggregate (X97's claim
+    // made driver-visible, VERDICT r14 #5): the monthly (4-week) OHLC
+    // rollup derived by re-aggregating the WEEKLY regrain of the daily
+    // state — regrain(regrain(state, 7), 4), i.e. monthly-from-weekly,
+    // not monthly-from-daily. Exact because regrain output is again
+    // partial state and merge is associative ((day DIV 7) DIV 4 =
+    // day DIV 28 on the non-negative epoch domain), so composing grains
+    // equals regraining from daily — AggPipelineSpec pins the
+    // bit-identity, THIS row pins the composed read against a from-raw
+    // DuckDB replay where the driver sees it. Same q213 scale shape:
+    // the declared plan reads the types×days state parquet only (no
+    // events scan — PlanSpec gates q213's identical source) and every
+    // re-aggregation runs on state-sized rows.
+    Q("q223_agg_mv_monthly",
+      (s, d) => {
+        val st = graft.pipelines.AggPipeline.cachedState(s, d)
+        val weekly = graft.pipelines.AggPipeline.regrain(st, 7)
+        graft.pipelines.AggPipeline.ohlc(
+            graft.pipelines.AggPipeline.regrain(weekly, 4))
+          .withColumnRenamed("day", "p28")
+          .orderBy("event_type", "p28")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT event_type,
+             |    (epoch_us(ts) // 86400000000) // 28 AS p28,
+             |    printf('%020d-%020d', epoch_us(ts), event_id) AS ord,
+             |    value
+             |  FROM events)
+             |SELECT event_type, CAST(p28 AS BIGINT) AS p28,
+             |  arg_min(value, ord) AS open, max(value) AS high,
+             |  min(value) AS low, arg_max(value, ord) AS close,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  ${Scalars.moneySumSql("value")} AS vol
              |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 

@@ -122,4 +122,16 @@ class AggPipelineSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(declared.nonEmpty && declared == scratch)
   }
+
+  test("declared q223 monthly-from-weekly rollup equals a from-scratch " +
+      "28-day aggregation (the composed-grain read)") {
+    val declared = Queries.byName("q223_agg_mv_monthly").build(spark, sf)
+      .collect().map(_.toString).toSeq
+    val scratch = AggPipeline.ohlc(AggPipeline.regrain(
+        AggPipeline.merge(AggPipeline.dayPartials(ev)), 28))
+      .withColumnRenamed("day", "p28")
+      .orderBy("event_type", "p28")
+      .collect().map(_.toString).toSeq
+    assert(declared.nonEmpty && declared == scratch)
+  }
 }
