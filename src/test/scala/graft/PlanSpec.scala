@@ -657,6 +657,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), s"no partial agg in regrain:\n${p.take(600)}")
   }
 
+  test("q223 monthly composed regrain ALSO reads only the maintained " +
+      "state — the grain chain never re-touches raw facts") {
+    val df = Queries.byName("q223_agg_mv_monthly").build(spark, sf)
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("agg_mv_state")),
+      df.inputFiles.take(3).mkString(", "))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial"), s"no partial agg in regrain:\n${p.take(600)}")
+  }
+
+  test("q222 welch: the min(day) split rides a 1-row BROADCAST against " +
+      "the corpus and the six partials fold in one partial+final agg") {
+    val p = plan("q222_welch_ttest")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"min-day threshold not broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus re-shuffled for a 1-row join:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine on the welch partials:\n${p.take(600)}")
+    // ONE corpus-sized exchange: the event_type hash partitioning for
+    // the final agg; everything after runs on the types-sized table
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges corpus exchanges:\n${p.take(800)}")
+  }
+
+  test("q224 uniqUpTo: bounded-state partial fold BEFORE the exchange " +
+      "(executors ship <= N+1 longs per group, never member sets)") {
+    val p = plan("q224_uniq_upto")
+    assert(p.contains("partial_uniquptoaggregator"),
+      s"no map-side combine on the bounded-state aggregator:\n${p.take(800)}")
+    // only the 3 needed columns reach the scan
+    assert(p.contains("ReadSchema: struct<ts:") &&
+      !p.contains("value:double"),
+      s"scan not pruned to (ts, user_id, event_type):\n${p.take(800)}")
+  }
+
   test("q130 substring dedup: nothing pairwise — dup detection rides the " +
       "fp window and the token mark is an equi-join") {
     val p = plan("q130_substring_dedup")
