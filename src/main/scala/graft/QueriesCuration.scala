@@ -69,6 +69,33 @@ object QueriesCuration {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Shared two-sample domain of the drift-gate family (q222/q225/q226/
+    * q227): per event, its value cents and grp = 0 for the FIRST WEEK
+    * (day < min_day + 7) else 1 — the A/B window split, derived on both
+    * engines from min(day) so the oracles replay the same predicate.
+    * min(day) rides a 1-row broadcast against the corpus (plan-gated on
+    * q222).
+    */
+  private def weekSplitCents(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = events(s, d).select(col("event_type"),
+      Scalars.longDiv("ts", 86400000000000L).as("day"),
+      Scalars.cents(col("value")).as("x"))
+    val d0 = e.agg(min("day").as("d0"))
+    e.crossJoin(broadcast(d0))
+      .withColumn("grp",
+        when(col("day") < col("d0") + lit(7L), lit(0)).otherwise(lit(1)))
+  }
+
+  /** DuckDB prefix of the same split (CTEs `e` and `d0`). */
+  private def weekSplitSqlPrefix: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    epoch_ns(ts) // 86400000000000 AS day,
+       |    ${Scalars.centsSql("value")} AS x
+       |  FROM events),
+       |d0 AS (SELECT min(day) AS d0 FROM e),""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X92 rendezvous (highest-random-weight) shard assignment +
@@ -1713,18 +1740,9 @@ object QueriesCuration {
     // 1-row broadcast of min(day); t/df arithmetic on the types-sized
     // table.
     Q("q222_welch_ttest",
-      (s, d) => {
-        val e = events(s, d).select(col("event_type"),
-          Scalars.longDiv("ts", 86400000000000L).as("day"),
-          Scalars.cents(col("value")).as("x"))
-        val d0 = e.agg(min("day").as("d0"))
-        val rows = e.crossJoin(broadcast(d0))
-          .withColumn("grp",
-            when(col("day") < col("d0") + lit(7L), lit(0))
-              .otherwise(lit(1)))
-        graft.ops.Welch.tTest(rows, Seq("event_type"), "grp", "x")
-          .orderBy("event_type")
-      },
+      (s, d) => graft.ops.Welch
+        .tTest(weekSplitCents(s, d), Seq("event_type"), "grp", "x")
+        .orderBy("event_type"),
       Some(s"""WITH e AS (
              |  SELECT event_type,
              |    epoch_ns(ts) // 86400000000000 AS day,
@@ -1747,6 +1765,89 @@ object QueriesCuration {
              |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_b
              |  FROM e, d0 GROUP BY event_type),
              |${graft.ops.Welch.oracleTail("event_type")}
+             |ORDER BY event_type""".stripMargin)),
+
+    // A26 Student's pooled t-test — ClickHouse `studentTTest` parity:
+    // the equal-variance twin of q222, consuming the SAME exact
+    // (n, Σx, Σx²) partials (ops/Welch.studentTTest; one corpus agg —
+    // the two tests differ only in the keys-sized IEEE tail). df is the
+    // exact BIGINT n_a+n_b−2, not Welch's fractional Satterthwaite.
+    Q("q225_student_ttest",
+      (s, d) => graft.ops.Welch
+        .studentTTest(weekSplitCents(s, d), Seq("event_type"), "grp", "x")
+        .orderBy("event_type"),
+      Some(s"""$weekSplitSqlPrefix
+             |p AS (
+             |  SELECT event_type,
+             |    CAST(count(CASE WHEN day < d0 + 7 THEN 1 END)
+             |      AS BIGINT) AS n_a,
+             |    CAST(count(CASE WHEN day >= d0 + 7 THEN 1 END)
+             |      AS BIGINT) AS n_b,
+             |    CAST(sum(CASE WHEN day < d0 + 7 THEN x END)
+             |      AS BIGINT) AS sx_a,
+             |    CAST(sum(CASE WHEN day >= d0 + 7 THEN x END)
+             |      AS BIGINT) AS sx_b,
+             |    sum(CASE WHEN day < d0 + 7
+             |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_a,
+             |    sum(CASE WHEN day >= d0 + 7
+             |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_b
+             |  FROM e, d0 GROUP BY event_type),
+             |${graft.ops.Welch.studentOracleTail("event_type")}
+             |ORDER BY event_type""".stripMargin)),
+
+    // A27 Mann–Whitney U — ClickHouse `mannWhitneyUTest` parity
+    // (ops/RankTests.mannWhitney): the rank-based shift gate — detects
+    // a stochastic ordering change between the two windows without any
+    // normality assumption (q222/q225 test MEANS; this tests whether one
+    // window's values systematically dominate). Exact integer rank
+    // algebra over the per-type value histogram (2·rank = 2·#below +
+    // #tied + 1 is an integer even with averaged ties; tie correction
+    // folds in DECIMAL(38,0) behind a loud t³ overflow guard), then the
+    // Welch-contract IEEE tail for z — full oracle.
+    // Scale shape: one corpus agg to the (type, cents) histogram —
+    // bounded by the value domain, saturating under data growth — and
+    // every window below runs per-type over that table (§7.5 #7: no
+    // global-order window touches fact rows).
+    Q("q226_mannwhitney_u",
+      (s, d) => graft.ops.RankTests.mannWhitney(
+        graft.ops.RankTests.histogram(
+          weekSplitCents(s, d), Seq("event_type"), "grp", "x"),
+        Seq("event_type"))
+        .orderBy("event_type"),
+      Some(s"""$weekSplitSqlPrefix
+             |h AS (
+             |  SELECT event_type, x,
+             |    CAST(count(CASE WHEN day < d0 + 7 THEN 1 END)
+             |      AS BIGINT) AS c_a,
+             |    CAST(count(CASE WHEN day >= d0 + 7 THEN 1 END)
+             |      AS BIGINT) AS c_b
+             |  FROM e, d0 GROUP BY 1, 2),
+             |${graft.ops.RankTests.mwuOracleTail("event_type")}
+             |ORDER BY event_type""".stripMargin)),
+
+    // A28 two-sample Kolmogorov–Smirnov — ClickHouse
+    // `kolmogorovSmirnovTest` parity (ops/RankTests.ksTest): the
+    // any-divergence gate — D = max ECDF gap catches shape and spread
+    // changes the mean/rank tests miss. Exact BIGINT numerator
+    // max |cum_a·n_b − cum_b·n_a| over the shared n_a·n_b denominator
+    // (ppm-scaled behind the q209 overflow guard); the α = 0.05
+    // asymptotic rejection threshold is the identical-IEEE-tree flag.
+    // Same histogram economics as q226.
+    Q("q227_ks_test",
+      (s, d) => graft.ops.RankTests.ksTest(
+        graft.ops.RankTests.histogram(
+          weekSplitCents(s, d), Seq("event_type"), "grp", "x"),
+        Seq("event_type"))
+        .orderBy("event_type"),
+      Some(s"""$weekSplitSqlPrefix
+             |h AS (
+             |  SELECT event_type, x,
+             |    CAST(count(CASE WHEN day < d0 + 7 THEN 1 END)
+             |      AS BIGINT) AS c_a,
+             |    CAST(count(CASE WHEN day >= d0 + 7 THEN 1 END)
+             |      AS BIGINT) AS c_b
+             |  FROM e, d0 GROUP BY 1, 2),
+             |${graft.ops.RankTests.ksOracleTail("event_type")}
              |ORDER BY event_type""".stripMargin)),
 
     // X95 temperature-rebalanced language mixture (α = 0.5; Conneau &

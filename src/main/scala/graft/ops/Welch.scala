@@ -37,7 +37,12 @@ object Welch {
     * dropped (the variance is undefined there — ClickHouse returns NaN;
     * a declared query needs deterministic rows, so we filter).
     */
-  def tTest(rows: DataFrame, keys: Seq[String], grp: String, x: String)
+  /** The shared exact two-sample partials: per key, (n, Σx, Σx²) for
+    * each sample — ONE corpus-sized partial+final agg (six conditional
+    * aggregates on one map-side combine); both [[tTest]] and
+    * [[studentTTest]] consume this table.
+    */
+  def partials(rows: DataFrame, keys: Seq[String], grp: String, x: String)
       : DataFrame = {
     val kc: Seq[Column] = keys.map(col)
     val g0 = col(grp) === 0
@@ -52,6 +57,12 @@ object Welch {
         sum(when(!g0, (col(x) * col(x)).cast(DecimalType(38, 0))))
           .as("sxx_b"))
       .filter(col("n_a") > 1 && col("n_b") > 1)
+  }
+
+  def tTest(rows: DataFrame, keys: Seq[String], grp: String, x: String)
+      : DataFrame = {
+    val kc: Seq[Column] = keys.map(col)
+    partials(rows, keys, grp, x)
       // the formula tree below is mirrored TEXTUALLY by Welch.oracleTail
       // (the DuckDB side) — identical ops over identical exact partials
       // give bit-identical doubles; keep the two in lockstep
@@ -107,4 +118,70 @@ object Welch {
        |  CAST(CASE WHEN abs((ma - mb) / sqrt(se_a + se_b)) > 1.96
        |    THEN 1 ELSE 0 END AS INT) AS shifted
        |FROM se""".stripMargin
+
+  /** Student's pooled-variance t-test — ClickHouse `studentTTest`: the
+    * equal-variance twin of [[tTest]], consuming the SAME exact partials
+    * (the classical form when both windows draw from one variance
+    * regime). sp² = ((n_a−1)·va + (n_b−1)·vb) / (n_a+n_b−2);
+    * t = (ma−mb) / (sp·sqrt(1/n_a + 1/n_b)); df = n_a+n_b−2 — an exact
+    * BIGINT, unlike Welch's fractional Satterthwaite df. Same
+    * bit-identical IEEE-tree contract as [[tTest]] ([[studentOracleTail]]
+    * is the textual mirror).
+    */
+  def studentTTest(rows: DataFrame, keys: Seq[String], grp: String,
+      x: String): DataFrame = {
+    val kc: Seq[Column] = keys.map(col)
+    partials(rows, keys, grp, x)
+      .withColumn("ma", expr(
+        "CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"))
+      .withColumn("mb", expr(
+        "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)"))
+      .withColumn("va", expr(
+        "(CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * ma) / " +
+          "CAST(n_a - 1 AS DOUBLE)"))
+      .withColumn("vb", expr(
+        "(CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * mb) / " +
+          "CAST(n_b - 1 AS DOUBLE)"))
+      .withColumn("sp2", expr(
+        "(CAST(n_a - 1 AS DOUBLE) * va + CAST(n_b - 1 AS DOUBLE) * vb)" +
+          " / CAST(n_a + n_b - 2 AS DOUBLE)"))
+      .withColumn("t_stat", expr(
+        "(ma - mb) / sqrt(sp2 * (1.0 / CAST(n_a AS DOUBLE) + " +
+          "1.0 / CAST(n_b AS DOUBLE)))"))
+      .withColumn("df_s", expr("n_a + n_b - 2"))
+      .withColumn("shifted",
+        expr("CAST(CASE WHEN abs(t_stat) > 1.96 THEN 1 ELSE 0 END AS INT)"))
+      .select(kc ++ Seq(col("n_a"), col("n_b"), col("t_stat"),
+        col("df_s"), col("shifted")): _*)
+  }
+
+  /** DuckDB rendition of the Student pooled form over the same `p`
+    * partials relation — the textual mirror of [[studentTTest]].
+    */
+  def studentOracleTail(keyCols: String): String =
+    s"""m AS (
+       |  SELECT *,
+       |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+       |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb
+       |  FROM p WHERE n_a > 1 AND n_b > 1),
+       |v AS (
+       |  SELECT *,
+       |    (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * ma)
+       |      / CAST(n_a - 1 AS DOUBLE) AS va,
+       |    (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * mb)
+       |      / CAST(n_b - 1 AS DOUBLE) AS vb
+       |  FROM m),
+       |sp AS (
+       |  SELECT *,
+       |    (CAST(n_a - 1 AS DOUBLE) * va + CAST(n_b - 1 AS DOUBLE) * vb)
+       |      / CAST(n_a + n_b - 2 AS DOUBLE) AS sp2
+       |  FROM v)
+       |SELECT $keyCols, n_a, n_b,
+       |  (ma - mb) / sqrt(sp2 * (1.0 / CAST(n_a AS DOUBLE) +
+       |    1.0 / CAST(n_b AS DOUBLE))) AS t_stat,
+       |  CAST(n_a + n_b - 2 AS BIGINT) AS df_s,
+       |  CAST(CASE WHEN abs((ma - mb) / sqrt(sp2 *
+       |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+       |    > 1.96 THEN 1 ELSE 0 END AS INT) AS shifted
+       |FROM sp""".stripMargin
 }
