@@ -60,9 +60,19 @@ object Welch {
   }
 
   def tTest(rows: DataFrame, keys: Seq[String], grp: String, x: String)
-      : DataFrame = {
+      : DataFrame =
+    tTestFromPartials(partials(rows, keys, grp, x), keys)
+
+  /** The keys-sized Welch tail over an already-built partials table —
+    * exposed separately because the partials agg is associative
+    * (counts/sums/decimal sums fold exactly), so a STREAMING
+    * complete-mode agg maintains the same table over micro-batches and
+    * this tail turns each snapshot into the live drift readout
+    * (`StreamingSpec` A24s pins streamed == batch).
+    */
+  def tTestFromPartials(p: DataFrame, keys: Seq[String]): DataFrame = {
     val kc: Seq[Column] = keys.map(col)
-    partials(rows, keys, grp, x)
+    p.filter(col("n_a") > 1 && col("n_b") > 1)
       // the formula tree below is mirrored TEXTUALLY by Welch.oracleTail
       // (the DuckDB side) — identical ops over identical exact partials
       // give bit-identical doubles; keep the two in lockstep

@@ -379,6 +379,39 @@ class StreamingSpec extends SparkSpec {
       s"late segment corrupted the fold: $fin")
   }
 
+  test("A24s twin: complete-mode streaming welch partials equal the " +
+    "batch drift gate — the A/B monitor folds live over micro-batches") {
+    val in = mkTmp("welchstream")
+    val ev = Tables.events(spark, sf)
+    ev.repartition(3).write.mode("overwrite").parquet(in)
+    // the A/B boundary is deployment config — known before the stream
+    // starts (q222's declared batch form derives it from min(day); a
+    // live monitor pins the same calendar cut up front)
+    val cut = ev.agg(org.apache.spark.sql.functions.min(
+      graft.ops.Scalars.longDiv("ts", 86400000000000L)))
+      .head().getLong(0) + 7
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val rows = stream.select(col("event_type"),
+        graft.ops.Scalars.longDiv("ts", 86400000000000L).as("day"),
+        graft.ops.Scalars.cents(col("value")).as("x"))
+      .withColumn("grp",
+        when(col("day") < lit(cut), lit(0)).otherwise(lit(1)))
+    val q = graft.ops.Welch.partials(rows, Seq("event_type"), "grp", "x")
+      .writeStream.format("memory").queryName("welch_twin")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+    val streamed = graft.ops.Welch.tTestFromPartials(
+      spark.table("welch_twin").localCheckpoint(true), Seq("event_type"))
+      .orderBy("event_type").collect().map(_.toString)
+    val batch = Queries.byName("q222_welch_ttest").build(spark, sf)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      "streaming-folded welch gate diverges from the batch form")
+  }
+
   test("X97s twin: foreachBatch folds micro-batches into the maintained " +
     "aggregate state; the final table equals the from-scratch aggregation") {
     import graft.pipelines.AggPipeline
