@@ -1850,6 +1850,30 @@ object QueriesCuration {
              |${graft.ops.RankTests.ksOracleTail("event_type")}
              |ORDER BY event_type""".stripMargin)),
 
+    // A29 categorical association — ClickHouse `cramersV` +
+    // `contingency` parity (ops/Association): is the event-type mix
+    // independent of the weekday, and how strongly not, on [0, 1]?
+    // The STRENGTH companion of the drift/independence tests
+    // (q207/q222/q226/q227 answer "did it change"; this answers "how
+    // coupled are these two categorical axes"). Fixed-point χ² core
+    // (per-cell `(1e6·o²) DIV (r·c)` — both engines floor identically,
+    // q207 precedent) + identical-IEEE-tree V and C doubles — full
+    // oracle. Weekday = epoch-day % 7 (non-negative domain).
+    // Scale shape: one corpus count agg to the types×7 cells table;
+    // marginals and coefficients run on category-sized rows via
+    // broadcasts.
+    Q("q228_cramers_v",
+      (s, d) => graft.ops.Association.cramers(
+        events(s, d).select(col("event_type"),
+          (Scalars.longDiv("ts", 86400000000000L) % 7).as("dow")),
+        "event_type", "dow"),
+      Some(s"""WITH cells AS (
+             |  SELECT event_type AS ka,
+             |    (epoch_ns(ts) // 86400000000000) % 7 AS kb,
+             |    CAST(count(*) AS BIGINT) AS o
+             |  FROM events GROUP BY 1, 2),
+             |${graft.ops.Association.oracleTail}""".stripMargin)),
+
     // X95 temperature-rebalanced language mixture (α = 0.5; Conneau &
     // Lample 2019's multilingual sampling, the standard fix for
     // high-resource languages crowding out the tail): sampling weights
