@@ -1054,6 +1054,38 @@ object QueriesOlap {
              |  epoch_ns(ts) // 86400000000000 AS day,
              |  least(CAST(count(DISTINCT user_id) AS BIGINT), 17) AS u16
              |FROM events GROUP BY 1, 2
-             |ORDER BY event_type, day""".stripMargin))
+             |ORDER BY event_type, day""".stripMargin)),
+
+    // A30 higher moments — ClickHouse `skewPop`/`kurtPop` parity
+    // (ops/Moments): population skewness and kurtosis of value cents
+    // per event_type — the distribution-SHAPE summary beside q62's
+    // stddev/corr tier (lopsidedness and tail weight — the readout
+    // that decides whether mean-based gates like q222 are even
+    // appropriate). Exact power sums (Σx BIGINT; Σx²/Σx³/Σx⁴
+    // DECIMAL(38,0) — x⁴ of 5-digit cents exceeds a long PER ROW, so
+    // the powers are built by decimal multiplication and the sums
+    // widen exactly; the oracle replays them in HUGEINT), then the
+    // central-moment ratios as one identical IEEE tree → bit-identical
+    // doubles, full oracle.
+    Q("q230_moments",
+      (s, d) => graft.ops.Moments.skewKurt(
+        Tables.events(s, d).select(col("event_type"),
+          graft.ops.Scalars.cents(col("value")).as("x")),
+        Seq("event_type"), "x")
+        .orderBy("event_type"),
+      Some(s"""WITH e AS (
+             |  SELECT event_type,
+             |    ${graft.ops.Scalars.centsSql("value")} AS x
+             |  FROM events),
+             |p AS (
+             |  SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    sum(CAST(x AS HUGEINT) * x) AS sx2,
+             |    sum(CAST(x AS HUGEINT) * x * x) AS sx3,
+             |    sum(CAST(x AS HUGEINT) * x * x * x) AS sx4
+             |  FROM e GROUP BY 1),
+             |${graft.ops.Moments.oracleTail("event_type")}
+             |ORDER BY event_type""".stripMargin))
   )
 }

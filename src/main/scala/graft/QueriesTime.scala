@@ -1751,7 +1751,49 @@ object QueriesTime {
              |  min(value) AS low, arg_max(value, ord) AS close,
              |  CAST(count(*) AS BIGINT) AS n_events,
              |  ${Scalars.moneySumSql("value")} AS vol
-             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // T38 interval-union length — ClickHouse `intervalLengthSum` parity:
+    // per event_type, the total time COVERED when every event opens a
+    // fixed 1-hour activity window [ts, ts+1h) — overlaps merged, the
+    // sweep-line union. The coverage readout behind "how continuously is
+    // this feed active" (T19's streaks count days; this measures the
+    // union at full timestamp resolution). Exact integer ns: with
+    // intervals sorted by start, each row adds min(ts − prev_ts, L) and
+    // the first adds L — the union length with no segment
+    // materialization (the q55 sessionize gap identity). Duplicate
+    // timestamps contribute 0 whatever the tie order, so the statistic
+    // is deterministic; the coverage ratio is the identical-IEEE-tree
+    // double over (covered, span).
+    // Scale shape: one per-type lag window over (type, ts) fact rows —
+    // keyed, never global (§7.5 #7; the q55 cost class) — then a
+    // map-side-combinable sum. 2 columns through the exchange.
+    Q("q229_interval_cover",
+      (s, d) => intervalCover(
+        events(s, d).select(col("event_type"), col("ts"), col("event_id")),
+        3600L * 1000000000L)
+        .orderBy("event_type"),
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_ns(ts) AS ts, event_id
+             |  FROM events),
+             |l AS (
+             |  SELECT event_type, ts,
+             |    lag(ts) OVER (PARTITION BY event_type
+             |      ORDER BY ts, event_id) AS prev_ts
+             |  FROM e),
+             |p AS (
+             |  SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(sum(CASE WHEN prev_ts IS NULL THEN 3600000000000
+             |      ELSE least(ts - prev_ts, 3600000000000) END)
+             |      AS BIGINT) AS covered_ns,
+             |    CAST(max(ts) - min(ts) + 3600000000000 AS BIGINT)
+             |      AS span_ns
+             |  FROM l GROUP BY 1)
+             |SELECT event_type, n_events, covered_ns, span_ns,
+             |  CAST(covered_ns AS DOUBLE) / CAST(span_ns AS DOUBLE)
+             |    AS coverage
+             |FROM p ORDER BY event_type""".stripMargin))
   )
 
   /** T33 corpus-sized stage of q204: the (event_type, day) OHLC agg.
@@ -1760,6 +1802,30 @@ object QueriesTime {
     * with constant partial state, so the complete-mode sink table equals
     * the batch agg exactly (`StreamingSpec` T33s pins it).
     */
+  /** T38 interval-union length over point events opening fixed-length
+    * [ts, ts+L) windows: per type, each sorted row adds
+    * min(ts − prev_ts, L) and the first adds L — the sweep-line union
+    * with no segment materialization (the q55 gap identity). Duplicate
+    * timestamps contribute 0 whatever the tie order, so the statistic
+    * is tie-order-deterministic. One keyed lag window over (type, ts)
+    * + a map-side-combinable sum.
+    */
+  private[graft] def intervalCover(ev: org.apache.spark.sql.DataFrame,
+      lenNs: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("contrib",
+        when(col("prev_ts").isNull, lit(lenNs))
+          .otherwise(least(col("ts") - col("prev_ts"), lit(lenNs))))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("contrib").as("covered_ns"),
+        (max("ts") - min("ts") + lit(lenNs)).as("span_ns"))
+      .withColumn("coverage", expr(
+        "CAST(covered_ns AS DOUBLE) / CAST(span_ns AS DOUBLE)"))
+  }
+
   private[graft] def typeDayOhlc(
       ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val e = ev.withColumn("ts_us", Scalars.longDiv("ts", 1000L))

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Moments
+
+/** A30 skewPop/kurtPop (ops/Moments) + T38 intervalLengthSum
+  * (QueriesTime.intervalCover): hand-derived values, symmetry and
+  * degenerate-group behavior, and partition invariance of the exact
+  * power sums.
+  */
+class MomentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("moments hand-derived: a symmetric two-point group has skew 0 " +
+      "and kurtosis exactly 1") {
+    val df = Seq(("g", 1L), ("g", 3L)).toDF("k", "x")
+    val r = Moments.skewKurt(df, Seq("k"), "x")
+      .as[(String, Long, Double, Double)].head()
+    // mu=2, m2=1, m3=0, m4=1 — all exact in double
+    assert(r == (("g", 2L, 0.0, 1.0)), r)
+  }
+
+  test("moments hand-derived: a right-skewed group matches the closed " +
+      "form computed from the same power sums") {
+    val xs = Seq(1L, 1L, 1L, 2L, 10L)
+    val df = xs.map(("g", _)).toDF("k", "x")
+    val r = Moments.skewKurt(df, Seq("k"), "x")
+      .as[(String, Long, Double, Double)].head()
+    val n = xs.size.toDouble
+    val mu = xs.sum / n
+    val m2 = xs.map(x => x * x).sum / n - mu * mu
+    val m3 = xs.map(x => x * x * x).sum / n -
+      3.0 * mu * (xs.map(x => x * x).sum / n) + 2.0 * mu * mu * mu
+    val m4 = xs.map(x => x.toDouble * x * x * x).sum / n -
+      4.0 * mu * (xs.map(x => x * x * x).sum / n) +
+      6.0 * mu * mu * (xs.map(x => x * x).sum / n) -
+      3.0 * mu * mu * mu * mu
+    assert(math.abs(r._3 - m3 / (math.sqrt(m2) * m2)) < 1e-12, r)
+    assert(math.abs(r._4 - m4 / (m2 * m2)) < 1e-12, r)
+    assert(r._3 > 1.0, "right-skewed fixture must read positive skew")
+  }
+
+  test("degenerate groups are filtered: n < 2 and zero variance") {
+    val df = Seq(("single", 5L), ("flat", 7L), ("flat", 7L), ("flat", 7L),
+      ("ok", 1L), ("ok", 2L)).toDF("k", "x")
+    val ks = Moments.skewKurt(df, Seq("k"), "x")
+      .select("k").as[String].collect().toSeq
+    assert(ks == Seq("ok"), ks)
+  }
+
+  test("partition invariance: 1-way and 8-way agree bit-for-bit " +
+      "(decimal power sums merge exactly)") {
+    val rows = (0 until 3000).map(i => (s"k${i % 3}", 50L + (i * 7 % 97)))
+    def run(parts: Int) = Moments.skewKurt(
+        rows.toDF("k", "x").repartition(parts), Seq("k"), "x")
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(run(1) == run(8) && run(1).size == 3)
+  }
+
+  test("interval cover hand-derived: events at 0, 30min, 5h with a 1h " +
+      "window cover exactly 2.5h of a 6h span") {
+    val h = 3600L * 1000000000L
+    val ev = Seq(("g", 0L, 1L), ("g", h / 2, 2L), ("g", 5 * h, 3L))
+      .toDF("event_type", "ts", "event_id")
+    val r = QueriesTime.intervalCover(ev, h)
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(r._1 == "g" && r._2 == 3)
+    assert(r._3 == h * 5 / 2, r)     // 1h + 30min + 1h
+    assert(r._4 == 6 * h, r)
+    assert(r._5 == (h * 5 / 2).toDouble / (6 * h), r)
+  }
+
+  test("interval cover: duplicate timestamps add zero and a fully " +
+      "overlapping burst covers exactly one window") {
+    val h = 3600L * 1000000000L
+    val ev = (1L to 10L).map(i => ("b", 1000L, i))
+      .toDF("event_type", "ts", "event_id")
+    val r = QueriesTime.intervalCover(ev, h)
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(r._3 == h && r._4 == h && r._5 == 1.0, r)
+  }
+
+  test("declared q229/q230: one row per event_type, finite, in range") {
+    val cover = Queries.byName("q229_interval_cover").build(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(cover.nonEmpty)
+    cover.foreach { case (et, n, cov, span, ratio) =>
+      assert(cov > 0 && cov <= span && ratio > 0 && ratio <= 1,
+        s"$et: $cov/$span")
+    }
+    val mom = Queries.byName("q230_moments").build(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(mom.nonEmpty)
+    mom.foreach { case (et, n, sk, ku) =>
+      assert(!sk.isNaN && !ku.isNaN && ku > 0, s"$et: $sk $ku")
+    }
+  }
+}
