@@ -96,6 +96,27 @@ object QueriesCuration {
        |  FROM events),
        |d0 AS (SELECT min(day) AS d0 FROM e),""".stripMargin
 
+  /** DuckDB rendition of [[graft.ops.Welch.partials]] over the week
+    * split — the `p` CTE shared verbatim by q222 and q225 (one copy, so
+    * the exact-partials contract can't drift between the two oracles).
+    */
+  private def weekSplitPartialsSql: String =
+    """p AS (
+      |  SELECT event_type,
+      |    CAST(count(CASE WHEN day < d0 + 7 THEN 1 END)
+      |      AS BIGINT) AS n_a,
+      |    CAST(count(CASE WHEN day >= d0 + 7 THEN 1 END)
+      |      AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN day < d0 + 7 THEN x END)
+      |      AS BIGINT) AS sx_a,
+      |    CAST(sum(CASE WHEN day >= d0 + 7 THEN x END)
+      |      AS BIGINT) AS sx_b,
+      |    sum(CASE WHEN day < d0 + 7
+      |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_a,
+      |    sum(CASE WHEN day >= d0 + 7
+      |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_b
+      |  FROM e, d0 GROUP BY event_type),""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // X92 rendezvous (highest-random-weight) shard assignment +
@@ -1743,27 +1764,8 @@ object QueriesCuration {
       (s, d) => graft.ops.Welch
         .tTest(weekSplitCents(s, d), Seq("event_type"), "grp", "x")
         .orderBy("event_type"),
-      Some(s"""WITH e AS (
-             |  SELECT event_type,
-             |    epoch_ns(ts) // 86400000000000 AS day,
-             |    ${Scalars.centsSql("value")} AS x
-             |  FROM events),
-             |d0 AS (SELECT min(day) AS d0 FROM e),
-             |p AS (
-             |  SELECT event_type,
-             |    CAST(count(CASE WHEN day < d0 + 7 THEN 1 END)
-             |      AS BIGINT) AS n_a,
-             |    CAST(count(CASE WHEN day >= d0 + 7 THEN 1 END)
-             |      AS BIGINT) AS n_b,
-             |    CAST(sum(CASE WHEN day < d0 + 7 THEN x END)
-             |      AS BIGINT) AS sx_a,
-             |    CAST(sum(CASE WHEN day >= d0 + 7 THEN x END)
-             |      AS BIGINT) AS sx_b,
-             |    sum(CASE WHEN day < d0 + 7
-             |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_a,
-             |    sum(CASE WHEN day >= d0 + 7
-             |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_b
-             |  FROM e, d0 GROUP BY event_type),
+      Some(s"""$weekSplitSqlPrefix
+             |$weekSplitPartialsSql
              |${graft.ops.Welch.oracleTail("event_type")}
              |ORDER BY event_type""".stripMargin)),
 
@@ -1777,21 +1779,7 @@ object QueriesCuration {
         .studentTTest(weekSplitCents(s, d), Seq("event_type"), "grp", "x")
         .orderBy("event_type"),
       Some(s"""$weekSplitSqlPrefix
-             |p AS (
-             |  SELECT event_type,
-             |    CAST(count(CASE WHEN day < d0 + 7 THEN 1 END)
-             |      AS BIGINT) AS n_a,
-             |    CAST(count(CASE WHEN day >= d0 + 7 THEN 1 END)
-             |      AS BIGINT) AS n_b,
-             |    CAST(sum(CASE WHEN day < d0 + 7 THEN x END)
-             |      AS BIGINT) AS sx_a,
-             |    CAST(sum(CASE WHEN day >= d0 + 7 THEN x END)
-             |      AS BIGINT) AS sx_b,
-             |    sum(CASE WHEN day < d0 + 7
-             |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_a,
-             |    sum(CASE WHEN day >= d0 + 7
-             |      THEN CAST(x * x AS DECIMAL(38,0)) END) AS sxx_b
-             |  FROM e, d0 GROUP BY event_type),
+             |$weekSplitPartialsSql
              |${graft.ops.Welch.studentOracleTail("event_type")}
              |ORDER BY event_type""".stripMargin)),
 
@@ -1873,6 +1861,46 @@ object QueriesCuration {
              |    CAST(count(*) AS BIGINT) AS o
              |  FROM events GROUP BY 1, 2),
              |${graft.ops.Association.oracleTail}""".stripMargin)),
+
+    // A31 bias-corrected Cramér's V — ClickHouse `cramersVBiasCorrected`
+    // parity (Bergsma 2013): plain V overstates association on finite
+    // samples (E[χ²] > 0 under exact independence); the correction
+    // subtracts the independence expectation and shrinks the dimensions
+    // before normalizing. Closed-form over the SAME exact
+    // (n, n_a, n_b, chi2_ppm) core q228 builds — one more IEEE tree on
+    // the 1-row table, zero extra corpus work (ops/Association
+    // .cramersCorrected; bcOracleTail is the textual mirror).
+    Q("q232_cramers_v_bc",
+      (s, d) => graft.ops.Association.cramersCorrected(
+        events(s, d).select(col("event_type"),
+          (Scalars.longDiv("ts", 86400000000000L) % 7).as("dow")),
+        "event_type", "dow"),
+      Some(s"""WITH cells AS (
+             |  SELECT event_type AS ka,
+             |    (epoch_ns(ts) // 86400000000000) % 7 AS kb,
+             |    CAST(count(*) AS BIGINT) AS o
+             |  FROM events GROUP BY 1, 2),
+             |${graft.ops.Association.bcOracleTail}""".stripMargin)),
+
+    // A32 known-variance mean z-test — ClickHouse `meanZTest` parity
+    // (ops/Welch.meanZTest): when each window's variance is a KNOWN
+    // constant (a calibrated metric with an established noise floor),
+    // the mean comparison is exactly normal — z = (m̄_a − m̄_b) /
+    // sqrt(σ²_a/n_a + σ²_b/n_b). Rides the q222 partials contract
+    // VERBATIM (same one corpus agg; Σx² unused), with the variances as
+    // literal strings so the Spark expr and oracle SQL stay in textual
+    // lockstep. σ² = 1e9 cents² ≈ the uniform-value noise floor of the
+    // events table (range²/12 for ~$1k values).
+    Q("q233_mean_ztest",
+      (s, d) => graft.ops.Welch.meanZTest(
+        weekSplitCents(s, d), Seq("event_type"), "grp", "x",
+        "1000000000.0", "1000000000.0")
+        .orderBy("event_type"),
+      Some(s"""$weekSplitSqlPrefix
+             |$weekSplitPartialsSql
+             |${graft.ops.Welch.zOracleTail("event_type",
+                "1000000000.0", "1000000000.0")}
+             |ORDER BY event_type""".stripMargin)),
 
     // X95 temperature-rebalanced language mixture (α = 0.5; Conneau &
     // Lample 2019's multilingual sampling, the standard fix for

@@ -1765,12 +1765,16 @@ object QueriesTime {
     // timestamps contribute 0 whatever the tie order, so the statistic
     // is deterministic; the coverage ratio is the identical-IEEE-tree
     // double over (covered, span).
-    // Scale shape: one per-type lag window over (type, ts) fact rows —
-    // keyed, never global (§7.5 #7; the q55 cost class) — then a
-    // map-side-combinable sum. 2 columns through the exchange.
+    // Scale shape: one map-side-combinable count agg contracts facts to
+    // DISTINCT (type, ts) — duplicates add min(0, L) = 0, so the
+    // contraction is result-identical by the gap identity (q164
+    // dedup-before-window precedent) — then the per-type lag window runs
+    // over the contracted table (bounded by distinct timestamps, never
+    // corpus/|types| fact rows) and a final agg. 2 columns through the
+    // exchange.
     Q("q229_interval_cover",
       (s, d) => intervalCover(
-        events(s, d).select(col("event_type"), col("ts"), col("event_id")),
+        events(s, d).select(col("event_type"), col("ts")),
         3600L * 1000000000L)
         .orderBy("event_type"),
       Some("""WITH e AS (
@@ -1793,7 +1797,55 @@ object QueriesTime {
              |SELECT event_type, n_events, covered_ns, span_ns,
              |  CAST(covered_ns AS DOUBLE) / CAST(span_ns AS DOUBLE)
              |    AS coverage
-             |FROM p ORDER BY event_type""".stripMargin))
+             |FROM p ORDER BY event_type""".stripMargin)),
+
+    // T39 peak concurrency — ClickHouse `maxIntersections` /
+    // `maxIntersectionsPosition` parity, T38's natural pair: per
+    // event_type, the MAXIMUM number of simultaneously-open 1-hour
+    // windows [ts, ts+1h) and the earliest timestamp where that peak is
+    // reached (T38 asks "how much time is covered"; this asks "how deep
+    // does the overlap stack" — the concurrency/capacity readout).
+    // Exact integer sweep-line: every event contributes a +1 boundary at
+    // ts and a −1 at ts+1h; boundaries CONTRACT to distinct (type, t)
+    // with summed net delta BEFORE the window (the q229 discipline —
+    // result-identical because the prefix sum at distinct-t granularity
+    // hits the same values the fine close-before-open sweep does:
+    // within one t the count dips then rises, and both endpoints are
+    // prefix values), then one keyed running sum + max + argmin-t. The
+    // close-before-open tie rule (a window closing exactly when another
+    // opens does NOT overlap it) is the half-open-interval semantics
+    // and falls out of the net-delta contraction for free.
+    // Scale shape: one map-side-combinable boundary agg (bounded by
+    // distinct timestamps ×2, never fact rows), one keyed lag-class
+    // window over the contracted table, a types-sized broadcast back
+    // for the argmin. 2 columns through every exchange.
+    Q("q231_max_intersections",
+      (s, d) => maxIntersections(
+        events(s, d).select(col("event_type"), col("ts")),
+        3600L * 1000000000L)
+        .orderBy("event_type"),
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_ns(ts) AS ts FROM events),
+             |b AS (
+             |  SELECT event_type, t, CAST(sum(d) AS BIGINT) AS d FROM (
+             |    SELECT event_type, ts AS t, 1 AS d FROM e
+             |    UNION ALL
+             |    SELECT event_type, ts + 3600000000000 AS t, -1 AS d
+             |    FROM e) u
+             |  GROUP BY 1, 2),
+             |c AS (
+             |  SELECT event_type, t,
+             |    CAST(sum(d) OVER (PARTITION BY event_type ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM b),
+             |p AS (SELECT event_type, max(cum) AS peak FROM c GROUP BY 1)
+             |SELECT c.event_type, CAST(p.peak AS BIGINT) AS peak,
+             |  CAST(min(c.t) AS BIGINT) AS peak_ts
+             |FROM c JOIN p ON c.event_type = p.event_type
+             |  AND c.cum = p.peak
+             |GROUP BY 1, 2
+             |ORDER BY c.event_type""".stripMargin))
   )
 
   /** T33 corpus-sized stage of q204: the (event_type, day) OHLC agg.
@@ -1805,25 +1857,60 @@ object QueriesTime {
   /** T38 interval-union length over point events opening fixed-length
     * [ts, ts+L) windows: per type, each sorted row adds
     * min(ts − prev_ts, L) and the first adds L — the sweep-line union
-    * with no segment materialization (the q55 gap identity). Duplicate
-    * timestamps contribute 0 whatever the tie order, so the statistic
-    * is tie-order-deterministic. One keyed lag window over (type, ts)
-    * + a map-side-combinable sum.
+    * with no segment materialization (the q55 gap identity).
+    *
+    * The lag window runs over the DISTINCT (type, ts) contraction, not
+    * fact rows: a duplicate timestamp contributes min(0, L) = 0 by the
+    * gap identity, so pre-aggregating to (type, ts, count) first is
+    * result-identical by construction (the q164 dedup-before-window
+    * precedent) — and it bounds each per-type sort partition by distinct
+    * timestamps instead of corpus/|types| (with ~5 types, a fact-row
+    * window means 5 corpus-fifth-sized sort partitions at 100 TB; the
+    * contraction is also what makes the statistic tie-order-
+    * deterministic without an event_id tiebreak). One map-side-
+    * combinable count agg, one keyed lag window over the contracted
+    * table, one final agg.
     */
   private[graft] def intervalCover(ev: org.apache.spark.sql.DataFrame,
       lenNs: Long): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("ts"), col("event_id"))
-    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+    val h = ev.groupBy("event_type", "ts").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy(col("ts"))
+    h.withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("contrib",
         when(col("prev_ts").isNull, lit(lenNs))
           .otherwise(least(col("ts") - col("prev_ts"), lit(lenNs))))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
+      .agg(sum("c").as("n_events"),
         sum("contrib").as("covered_ns"),
         (max("ts") - min("ts") + lit(lenNs)).as("span_ns"))
       .withColumn("coverage", expr(
         "CAST(covered_ns AS DOUBLE) / CAST(span_ns AS DOUBLE)"))
+  }
+
+  /** T39 peak concurrency over point events opening fixed-length
+    * [ts, ts+L) windows — ClickHouse `maxIntersections(Position)`: the
+    * sweep-line max of the open-window count, with the earliest peak
+    * timestamp. Boundaries (+1 at ts, −1 at ts+L) contract to distinct
+    * (type, t) net deltas before the keyed running-sum window — exact
+    * under half-open (close-before-open) semantics because the dip-
+    * then-rise inside one t has both its endpoints among the distinct-t
+    * prefix values; see q231's scaladoc. Peak join is a types-sized
+    * broadcast.
+    */
+  private[graft] def maxIntersections(ev: org.apache.spark.sql.DataFrame,
+      lenNs: Long): org.apache.spark.sql.DataFrame = {
+    val bounds = ev
+      .select(col("event_type"), col("ts").as("t"), lit(1L).as("d"))
+      .unionAll(ev.select(col("event_type"),
+        (col("ts") + lit(lenNs)).as("t"), lit(-1L).as("d")))
+      .groupBy("event_type", "t").agg(sum("d").as("d"))
+    val w = Window.partitionBy("event_type").orderBy("t")
+    val cum = bounds.withColumn("cum", sum("d").over(w))
+    val peak = cum.groupBy("event_type").agg(max("cum").as("peak"))
+    cum.join(broadcast(peak), Seq("event_type"))
+      .filter(col("cum") === col("peak"))
+      .groupBy("event_type")
+      .agg(max("peak").as("peak"), min("t").as("peak_ts"))
   }
 
   private[graft] def typeDayOhlc(

@@ -37,12 +37,21 @@ object Moments {
 
   def skewKurt(rows: DataFrame, keys: Seq[String], x: String): DataFrame = {
     val kc: Seq[Column] = keys.map(col)
-    val xd = col(x).cast(DecimalType(38, 0))
-    val x2 = (col(x) * col(x)).cast(DecimalType(38, 0))
+    // |x| >= ~1e9 overflows the DECIMAL(38,0) x^4 per-row power, which
+    // in non-ANSI Spark NULLs silently while DuckDB's HUGEINT raises —
+    // enforce the documented window loudly PER ROW (the q209/Association
+    // guard pattern: assert_true folded in as a +0 term)
+    val xg = col(x) + coalesce(
+      assert_true(abs(col(x)) < lit(1000000000L),
+        lit("Moments.skewKurt: |x| >= 1e9 overflows the DECIMAL(38,0) " +
+          "x^4 per-row power — rescale the measure or widen the fold"))
+        .cast("long"), lit(0L))
+    val xd = xg.cast(DecimalType(38, 0))
+    val x2 = (xg * xg).cast(DecimalType(38, 0))
     rows.groupBy(kc: _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col(x)).as("sx"),
+        sum(xg).as("sx"),
         sum(x2).as("sx2"),
         sum((x2 * xd).cast(DecimalType(38, 0))).as("sx3"),
         sum((x2 * x2).cast(DecimalType(38, 0))).as("sx4"))

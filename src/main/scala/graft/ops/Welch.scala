@@ -86,6 +86,10 @@ object Welch {
       .withColumn("vb", expr(
         "(CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * mb) / " +
           "CAST(n_b - 1 AS DOUBLE)"))
+      // both samples constant => se_a + se_b = 0 => t/df NaN; drop the
+      // degenerate keys (the RankTests sigma2 > 0 gate) — both engines
+      // decide va + vb > 0 on the same bit-identical doubles
+      .filter(expr("va + vb > 0"))
       .withColumn("se_a", expr("va / CAST(n_a AS DOUBLE)"))
       .withColumn("se_b", expr("vb / CAST(n_b AS DOUBLE)"))
       .withColumn("t_stat", expr("(ma - mb) / sqrt(se_a + se_b)"))
@@ -119,7 +123,7 @@ object Welch {
        |se AS (
        |  SELECT *, va / CAST(n_a AS DOUBLE) AS se_a,
        |    vb / CAST(n_b AS DOUBLE) AS se_b
-       |  FROM v)
+       |  FROM v WHERE va + vb > 0)
        |SELECT $keyCols, n_a, n_b,
        |  (ma - mb) / sqrt(se_a + se_b) AS t_stat,
        |  ((se_a + se_b) * (se_a + se_b)) /
@@ -155,6 +159,9 @@ object Welch {
       .withColumn("sp2", expr(
         "(CAST(n_a - 1 AS DOUBLE) * va + CAST(n_b - 1 AS DOUBLE) * vb)" +
           " / CAST(n_a + n_b - 2 AS DOUBLE)"))
+      // pooled variance 0 (both samples constant) => t NaN; drop — same
+      // bit-identical-double decision on both sides
+      .filter(expr("sp2 > 0"))
       .withColumn("t_stat", expr(
         "(ma - mb) / sqrt(sp2 * (1.0 / CAST(n_a AS DOUBLE) + " +
           "1.0 / CAST(n_b AS DOUBLE)))"))
@@ -164,6 +171,57 @@ object Welch {
       .select(kc ++ Seq(col("n_a"), col("n_b"), col("t_stat"),
         col("df_s"), col("shifted")): _*)
   }
+
+  /** Mean z-test with KNOWN population variances — ClickHouse
+    * `meanZTest(pop_var_x, pop_var_y, ...)` parity: when the variance of
+    * each window is a known constant (a calibrated metric, a monitored
+    * stream with an established noise floor), the mean comparison needs
+    * no variance estimate and the statistic is exactly normal:
+    * z = (m̄_a − m̄_b) / sqrt(σ²_a/n_a + σ²_b/n_b).
+    *
+    * Rides [[partials]] verbatim (the Σx² column is simply unused — the
+    * partials table is the ONE corpus agg the whole test family shares);
+    * the variances arrive as LITERAL STRINGS (e.g. "1000000000.0") so
+    * the Spark expr and the oracle SQL stay in textual lockstep — the
+    * same IEEE-tree contract as [[tTest]] ([[zOracleTail]] mirrors).
+    * Known variances must be positive, so no degenerate-key filter is
+    * needed beyond the n > 1 partials gate.
+    */
+  def meanZTest(rows: DataFrame, keys: Seq[String], grp: String, x: String,
+      varA: String, varB: String): DataFrame = {
+    val kc: Seq[Column] = keys.map(col)
+    partials(rows, keys, grp, x)
+      .withColumn("ma", expr(
+        "CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"))
+      .withColumn("mb", expr(
+        "CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)"))
+      .withColumn("z_stat", expr(
+        s"(ma - mb) / sqrt($varA / CAST(n_a AS DOUBLE) + " +
+          s"$varB / CAST(n_b AS DOUBLE))"))
+      .withColumn("shifted",
+        expr("CAST(CASE WHEN abs(z_stat) > 1.96 THEN 1 ELSE 0 END AS INT)"))
+      .select(kc ++ Seq(col("n_a"), col("n_b"), col("z_stat"),
+        col("shifted")): _*)
+  }
+
+  /** DuckDB rendition of the known-variance z form over the same `p`
+    * partials relation — the textual mirror of [[meanZTest]].
+    */
+  def zOracleTail(keyCols: String, varA: String, varB: String): String =
+    s"""m AS (
+       |  SELECT *,
+       |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+       |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb
+       |  FROM p WHERE n_a > 1 AND n_b > 1),
+       |z AS (
+       |  SELECT *,
+       |    (ma - mb) / sqrt($varA / CAST(n_a AS DOUBLE) +
+       |      $varB / CAST(n_b AS DOUBLE)) AS z_stat
+       |  FROM m)
+       |SELECT $keyCols, n_a, n_b, z_stat,
+       |  CAST(CASE WHEN abs(z_stat) > 1.96 THEN 1 ELSE 0 END AS INT)
+       |    AS shifted
+       |FROM z""".stripMargin
 
   /** DuckDB rendition of the Student pooled form over the same `p`
     * partials relation — the textual mirror of [[studentTTest]].
@@ -193,5 +251,5 @@ object Welch {
        |  CAST(CASE WHEN abs((ma - mb) / sqrt(sp2 *
        |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
        |    > 1.96 THEN 1 ELSE 0 END AS INT) AS shifted
-       |FROM sp""".stripMargin
+       |FROM sp WHERE sp2 > 0""".stripMargin
 }

@@ -55,6 +55,45 @@ class AssociationSpec extends SparkSpec {
     assert(run(1) == run(8) && run(1).size == 1)
   }
 
+  test("bias-corrected V: perfect association stays ~1, independence " +
+      "clamps to 0 exactly, mid case replays the Bergsma closed form") {
+    // perfect 2x2 (n = 100): phi2c = 1 - 1/99, min(r~,c~) - 1 = 1 - 1/99
+    // -> V+ = 1 up to the one rounding between (2 - q) - 1 and 1 - q
+    val perfect = (Seq.fill(40)(("x", "p")) ++ Seq.fill(60)(("y", "q")))
+      .toDF("a", "b")
+    val rp = Association.cramersCorrected(perfect, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(math.abs(rp._5 - 1.0) < 1e-12, rp)
+    // exact independence: chi2_ppm = 0 -> phi2c = max(0 - eps, 0) = 0
+    // -> V+ = 0 exactly
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r");
+      _ <- 1 to 10 } yield (a, b)).toDF("a", "b")
+    val ri = Association.cramersCorrected(indep, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(ri._4 == 0L && ri._5 == 0.0, ri)
+    // mid case (the q228 hand-derived cells): chi2_ppm = 2e7, n = 80,
+    // R = C = 2 -> V+ = sqrt((0.25 - 1/79) / (1 - 1/79))
+    val mid = (Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))).toDF("a", "b")
+    val rm = Association.cramersCorrected(mid, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    val expected = math.sqrt((0.25 - 1.0 / 79) / (1.0 - 1.0 / 79))
+    assert(rm._4 == 20000000L && math.abs(rm._5 - expected) < 1e-12, rm)
+    // corrected < plain on the same cells (the direction of the bias)
+    val plain = Association.cramers(mid, "a", "b")
+      .as[(Long, Long, Long, Long, Double, Double)].head()._5
+    assert(rm._5 < plain, (rm._5, plain))
+  }
+
+  test("bias-corrected V partition invariance: 1-way and 8-way agree " +
+      "bit-for-bit") {
+    val pairs = (0 until 3000).map(i => (s"a${i % 4}", s"b${i % 7}"))
+    def run(parts: Int) = Association.cramersCorrected(
+        pairs.toDF("a", "b").repartition(parts), "a", "b")
+      .collect().map(_.toString).toSeq
+    assert(run(1) == run(8) && run(1).size == 1)
+  }
+
   test("declared q228: one row, coefficients inside [0, 1]") {
     val r = Queries.byName("q228_cramers_v").build(spark, sf)
       .as[(Long, Long, Long, Long, Double, Double)].collect()

@@ -81,6 +81,34 @@ class MomentsSpec extends SparkSpec {
     assert(r._3 == h && r._4 == h && r._5 == 1.0, r)
   }
 
+  test("max intersections hand-derived: stacked windows peak at the " +
+      "deepest overlap, earliest peak position reported") {
+    // 1h windows opening at 0, 30min, 45min, 3h: at t = 45min three are
+    // open ([0,1h), [30m,90m), [45m,105m)) — peak 3 at exactly 45min
+    val h = 3600L * 1000000000L
+    val ev = Seq(("g", 0L), ("g", h / 2), ("g", h * 3 / 4), ("g", 3 * h))
+      .toDF("event_type", "ts")
+    val r = QueriesTime.maxIntersections(ev, h)
+      .as[(String, Long, Long)].head()
+    assert(r == (("g", 3L, h * 3 / 4)), r)
+  }
+
+  test("max intersections: half-open close-before-open (a window ending " +
+      "exactly when another opens does not overlap it) and duplicate " +
+      "bursts count full depth") {
+    val h = 3600L * 1000000000L
+    // [0, 1h) and [1h, 2h): never simultaneously open — peak 1 at t=0
+    val abut = Seq(("a", 0L), ("a", h)).toDF("event_type", "ts")
+    val ra = QueriesTime.maxIntersections(abut, h)
+      .as[(String, Long, Long)].head()
+    assert(ra == (("a", 1L, 0L)), ra)
+    // 10 events at one timestamp: all 10 windows open together
+    val burst = (1 to 10).map(_ => ("b", 1000L)).toDF("event_type", "ts")
+    val rb = QueriesTime.maxIntersections(burst, h)
+      .as[(String, Long, Long)].head()
+    assert(rb == (("b", 10L, 1000L)), rb)
+  }
+
   test("declared q229/q230: one row per event_type, finite, in range") {
     val cover = Queries.byName("q229_interval_cover").build(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect()

@@ -1665,4 +1665,154 @@ class PlanSpec extends SparkSpec {
       s"corpus-sized window in the downsample:\n${p.take(900)}")
     assert(p.contains("partial_"), s"no map-side combine:\n${p.take(600)}")
   }
+
+  /** Initial physical plan with the AQE wrapper peeled (q104 pattern),
+    * for structural (node-level) assertions the toString can't carry.
+    */
+  private def innerExec(name: String): org.apache.spark.sql.execution.SparkPlan =
+    Queries.byName(name).build(spark, sf).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  /** Every Window in `name`'s plan must be KEYED (non-empty partition
+    * spec — never a global order) and run over an AGGREGATED input (a
+    * HashAggregate somewhere below it — the histogram/contraction table,
+    * never raw fact rows). The classic scale-killer for the rank tests
+    * and the sweep-line is a window whose input is the events scan.
+    */
+  private def assertWindowsOverAggregate(name: String): Unit = {
+    val windows = innerExec(name).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"$name: expected a window in the plan")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"$name: GLOBAL window (empty partition spec) — single-task sort")
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined,
+        s"$name: window input is not aggregated — it sorts FACT rows:\n$w")
+    }
+  }
+
+  test("q225 student-t: min-day split broadcast, one partial+final agg, " +
+      "no window, no cartesian (the q222 contract on the shared partials)") {
+    val p = plan("q225_student_ttest")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"min-day threshold not broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus re-shuffled for a 1-row join:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine on the t-test partials:\n${p.take(600)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in a pure partial+final-agg test:\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges corpus exchanges:\n${p.take(800)}")
+  }
+
+  test("q226 MWU: rank windows run per-key over the aggregated value " +
+      "HISTOGRAM (partial agg before the exchange), never fact rows") {
+    assertWindowsOverAggregate("q226_mannwhitney_u")
+    val p = plan("q226_mannwhitney_u")
+    assert(p.contains("partial"),
+      s"histogram built without map-side combine:\n${p.take(600)}")
+  }
+
+  test("q227 KS: ECDF windows run per-key over the aggregated value " +
+      "HISTOGRAM (partial agg before the exchange), never fact rows") {
+    assertWindowsOverAggregate("q227_ks_test")
+    val p = plan("q227_ks_test")
+    assert(p.contains("partial"),
+      s"histogram built without map-side combine:\n${p.take(600)}")
+  }
+
+  test("q228 cramers V: marginals ride broadcasts against the " +
+      "category-bounded cells table — one corpus agg, no SMJ, no window") {
+    val p = plan("q228_cramers_v")
+    assert(p.contains("BroadcastHashJoin"),
+      s"marginal joins lost their broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"SMJ on the category-sized cells/marginals:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the coefficient tail:\n${p.take(800)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in a pure agg+broadcast op:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"cells agg without map-side combine:\n${p.take(600)}")
+  }
+
+  test("q229 interval cover: the lag window runs over the DISTINCT " +
+      "(type, ts) contraction — duplicates add 0 by the gap identity — " +
+      "never over fact rows; contraction and final sum map-side combine") {
+    assertWindowsOverAggregate("q229_interval_cover")
+    val p = plan("q229_interval_cover")
+    assert(p.contains("partial"),
+      s"(type, ts) contraction without map-side combine:\n${p.take(600)}")
+    // only the 2 needed columns reach the scan
+    assert(p.contains("ReadSchema: struct<ts:") &&
+      !p.contains("value#") && !p.contains("user_id#"),
+      s"scan not pruned to (ts, event_type):\n${p.take(800)}")
+  }
+
+  test("q231 max intersections: the running-sum window runs over the " +
+      "DISTINCT boundary contraction (never fact rows), peak joins back " +
+      "as a types-sized broadcast") {
+    assertWindowsOverAggregate("q231_max_intersections")
+    val p = plan("q231_max_intersections")
+    assert(p.contains("BroadcastHashJoin"),
+      s"peak join lost its broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"SMJ for a types-sized peak table:\n${p.take(900)}")
+    assert(p.contains("partial"),
+      s"boundary contraction without map-side combine:\n${p.take(600)}")
+    assert(p.contains("ReadSchema: struct<ts:") &&
+      !p.contains("value#") && !p.contains("user_id#"),
+      s"scan not pruned to (ts, event_type):\n${p.take(800)}")
+  }
+
+  test("q232 bias-corrected V: same shape contract as q228 — broadcast " +
+      "marginals, one corpus agg, no SMJ, no window") {
+    val p = plan("q232_cramers_v_bc")
+    assert(p.contains("BroadcastHashJoin"),
+      s"marginal joins lost their broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"SMJ on the category-sized cells/marginals:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the coefficient tail:\n${p.take(800)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in a pure agg+broadcast op:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"cells agg without map-side combine:\n${p.take(600)}")
+  }
+
+  test("q233 mean z-test: the q222 contract on the shared partials — " +
+      "broadcast min-day split, one partial+final agg, no window") {
+    val p = plan("q233_mean_ztest")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"min-day threshold not broadcast:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus re-shuffled for a 1-row join:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine on the z-test partials:\n${p.take(600)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in a pure partial+final-agg test:\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges corpus exchanges:\n${p.take(800)}")
+  }
+
+  test("q230 moments: one partial+final decimal power-sum agg over a " +
+      "2-column scan — no window, no join") {
+    val p = plan("q230_moments")
+    assert(p.contains("partial"),
+      s"power sums without map-side combine:\n${p.take(600)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in a pure-agg op:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"join in a pure-agg op:\n${p.take(600)}")
+    assert(!p.contains("user_id#") && !p.contains("event_id#"),
+      s"scan reads unconsumed columns:\n${p.take(900)}")
+  }
 }

@@ -57,6 +57,34 @@ class WelchSpec extends SparkSpec {
     assert(keys == Seq("b"))
   }
 
+  test("zero-variance keys (both samples constant) are dropped, not NaN " +
+      "— in both the Welch and the pooled Student form") {
+    // key "c": both samples all-constant -> va + vb = 0 (and sp2 = 0)
+    // -> t/df would be NaN without the gate; key "b" is the live control
+    val df = rows(Seq(("c", 0, 5L), ("c", 0, 5L), ("c", 1, 9L),
+      ("c", 1, 9L),
+      ("b", 0, 1L), ("b", 0, 2L), ("b", 1, 3L), ("b", 1, 4L)))
+    val welch = Welch.tTest(df, Seq("k"), "grp", "x")
+      .select("k").as[String].collect().toSeq
+    assert(welch == Seq("b"), welch)
+    val student = Welch.studentTTest(df, Seq("k"), "grp", "x")
+      .select("k").as[String].collect().toSeq
+    assert(student == Seq("b"), student)
+  }
+
+  test("meanZTest hand-derived: known variances give the exact normal " +
+      "statistic, riding the same partials") {
+    // A = {10, 20} (mean 15), B = {40, 60} (mean 50), sigma^2 = 100 both:
+    // z = (15 - 50) / sqrt(100/2 + 100/2) = -3.5 -> flagged
+    val df = rows(Seq(("g", 0, 10L), ("g", 0, 20L),
+      ("g", 1, 40L), ("g", 1, 60L)))
+    val r = Welch.meanZTest(df, Seq("k"), "grp", "x", "100.0", "100.0")
+      .select("n_a", "n_b", "z_stat", "shifted")
+      .as[(Long, Long, Double, Int)].head()
+    assert(r._1 == 2 && r._2 == 2)
+    assert(r._3 == -3.5 && r._4 == 1, r)
+  }
+
   test("partition invariance: 1-way and 8-way runs agree bit-for-bit " +
       "(exact integer/decimal partials, identical IEEE tail)") {
     val base = rows((0 until 999).map(i =>
