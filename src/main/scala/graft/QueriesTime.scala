@@ -1845,7 +1845,48 @@ object QueriesTime {
              |FROM c JOIN p ON c.event_type = p.event_type
              |  AND c.cum = p.peak
              |GROUP BY 1, 2
-             |ORDER BY c.event_type""".stripMargin))
+             |ORDER BY c.event_type""".stripMargin)),
+
+    // T40 exponential moving average of the daily event rate —
+    // ClickHouse `exponentialMovingAverage(halflife)` parity with the
+    // integer decay-table discipline (T24's q168 precedent: NO pow()/
+    // exp() — IEEE transcendentals diverge cross-engine in the last
+    // ulp): halflife = 1 day on the day grain makes every weight an
+    // EXACT power of two, 2^(day − d_max), built by bit shift in both
+    // engines. Contributions older than 40 days (< 2^−40 of the newest
+    // weight) truncate — part of the statistic's definition, replayed
+    // in the oracle. ema = Σ n_d·2^(40−age) / Σ 2^(40−age): both sums
+    // exact BIGINT (41 terms × 2^40 × n_d with n_d < 2^21 loudly
+    // guarded stays inside 2^63), the ratio is ONE correctly-rounded
+    // double division — bit-identical, full oracle. The recency-
+    // weighted rate readout beside T37 (trend) and T24 (decay score).
+    // Scale shape: corpus-sized work ends at the shared T31
+    // (type, day) partial+final agg; d_max joins back as a types-sized
+    // broadcast; the shifted sums run on types×41 rows.
+    Q("q234_ema_rate",
+      (s, d) => emaFromDaily(typeDailyCounts(events(s, d))),
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type, max(day) AS d_max
+             |  FROM daily GROUP BY 1),
+             |w AS (
+             |  SELECT daily.event_type, n,
+             |    (CAST(1 AS BIGINT) << CAST(40 - (d_max - day) AS INT))
+             |      AS w
+             |  FROM daily JOIN m ON daily.event_type = m.event_type
+             |  WHERE d_max - day <= 40),
+             |p AS (
+             |  SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n_days_used,
+             |    CAST(sum(n * w) AS BIGINT) AS num,
+             |    CAST(sum(w) AS BIGINT) AS den
+             |  FROM w GROUP BY 1)
+             |SELECT event_type, n_days_used, num, den,
+             |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ema_rate
+             |FROM p ORDER BY event_type""".stripMargin))
   )
 
   /** T33 corpus-sized stage of q204: the (event_type, day) OHLC agg.
@@ -1911,6 +1952,42 @@ object QueriesTime {
       .filter(col("cum") === col("peak"))
       .groupBy("event_type")
       .agg(max("peak").as("peak"), min("t").as("peak_ts"))
+  }
+
+  /** T40 EMA of the daily rate over a MATERIALIZED (event_type, day, n)
+    * table — ClickHouse `exponentialMovingAverage` parity, halflife =
+    * 1 day, 40-day truncation: weights are exact powers of two by bit
+    * shift (no pow — the q168 integer decay-table discipline), the
+    * final ratio one correctly-rounded double division. Runs on
+    * types×days rows; d_max rides a types-sized broadcast. Like
+    * fanoFromDaily/trendFromDaily this is also a CONSUMER of the X97
+    * maintained aggregate state (no fact scan needed).
+    */
+  private[graft] def emaFromDaily(
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dmax = daily.groupBy("event_type").agg(max("day").as("d_max"))
+    daily.join(broadcast(dmax), "event_type")
+      .withColumn("age", col("d_max") - col("day"))
+      .filter(col("age") <= 40)
+      // 41 terms × 2^40 × n_d needs n_d < 2^21 to keep the weighted
+      // sum inside a long — loud guard (q209 pattern); a hotter day
+      // means a coarser grain or a DECIMAL(38,0) widening
+      .withColumn("guard", coalesce(
+        assert_true(col("n") < lit(2097152L),
+          lit("emaFromDaily: daily count >= 2^21 overflows the " +
+            "shifted weight sum — rescale the grain or widen the fold"))
+          .cast("long"), lit(0L)))
+      .withColumn("w",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - age AS INT))") +
+          col("guard"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_used"),
+        sum(col("n") * col("w")).as("num"),
+        sum(col("w")).as("den"))
+      // IEEE tail mirrored textually by the q234 oracle — in lockstep
+      .withColumn("ema_rate", expr(
+        "CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"))
+      .orderBy("event_type")
   }
 
   private[graft] def typeDayOhlc(

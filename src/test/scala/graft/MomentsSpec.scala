@@ -109,6 +109,36 @@ class MomentsSpec extends SparkSpec {
     assert(rb == (("b", 10L, 1000L)), rb)
   }
 
+  test("ema hand-derived: halflife-1-day power-of-two weights, 40-day " +
+      "truncation — counts (4, 2, 1) on consecutive days average to " +
+      "exactly 3.0, an ancient day contributes nothing") {
+    val daily = Seq(("g", 100L, 4L), ("g", 99L, 2L), ("g", 98L, 1L),
+      ("g", 30L, 1000000L)) // age 70 > 40: truncated out
+      .toDF("event_type", "day", "n")
+    val r = QueriesTime.emaFromDaily(daily)
+      .as[(String, Long, Long, Long, Double)].head()
+    // num = 4*2^40 + 2*2^39 + 1*2^38, den = 2^40 + 2^39 + 2^38
+    assert(r._2 == 3 && r._3 == (4L << 40) + (2L << 39) + (1L << 38), r)
+    assert(r._4 == (1L << 40) + (1L << 39) + (1L << 38), r)
+    assert(r._5 == 3.0, r) // (16+4+1)/(4+2+1) = 21/7 exactly
+  }
+
+  test("ema: a single-day history degenerates to that day's count and " +
+      "a gap-y history weights recent days geometrically more") {
+    val one = Seq(("s", 7L, 42L)).toDF("event_type", "day", "n")
+    val r1 = QueriesTime.emaFromDaily(one)
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(r1._2 == 1 && r1._5 == 42.0, r1)
+    // days d_max and d_max-10: weights 2^40 and 2^30 — the newer count
+    // dominates 1024:1
+    val gap = Seq(("t", 20L, 100L), ("t", 10L, 100000L))
+      .toDF("event_type", "day", "n")
+    val r2 = QueriesTime.emaFromDaily(gap)
+      .as[(String, Long, Long, Long, Double)].head()
+    val expected = (100.0 * 1024 + 100000.0) / (1024 + 1)
+    assert(math.abs(r2._5 - expected) < 1e-9, r2)
+  }
+
   test("declared q229/q230: one row per event_type, finite, in range") {
     val cover = Queries.byName("q229_interval_cover").build(spark, sf)
       .as[(String, Long, Long, Long, Double)].collect()

@@ -1804,6 +1804,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"$exchanges corpus exchanges:\n${p.take(800)}")
   }
 
+  test("q234 ema: corpus work ends at the (type, day) partial+final " +
+      "agg, d_max rides a broadcast, no window, no SMJ") {
+    val p = plan("q234_ema_rate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d_max join lost its broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"SMJ for a types-sized d_max table:\n${p.take(900)}")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in a pure agg+broadcast op:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"daily agg without map-side combine:\n${p.take(600)}")
+    assert(p.contains("ReadSchema: struct<ts:") &&
+      !p.contains("value#") && !p.contains("user_id#"),
+      s"scan not pruned to (ts, event_type):\n${p.take(800)}")
+  }
+
   test("q230 moments: one partial+final decimal power-sum agg over a " +
       "2-column scan — no window, no join") {
     val p = plan("q230_moments")
