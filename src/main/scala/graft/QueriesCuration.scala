@@ -69,6 +69,44 @@ object QueriesCuration {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** A34 experiment sizing — ClickHouse `minSampleSizeConversion` /
+    * `minSampleSizeContinuous` parity; see q237's scaladoc for the
+    * z-literal and exact-partials discipline. Input: (event_type,
+    * x cents); the conversion event is x ≥ 10000 (a ≥ $100 purchase),
+    * mde = 0.05 absolute lift / 500 cents mean shift, α = 0.05,
+    * power = 0.80.
+    */
+  private[graft] def minSampleSizes(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("x") >= 10000L, lit(1))).as("k"),
+        sum(col("x")).as("sx"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"))
+      .filter(col("n") > 1)
+      // the trees below are mirrored textually by the q237 oracle —
+      // identical ops over identical exact partials, in lockstep
+      .withColumn("mean_c", expr(
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("s2", expr(
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * mean_c) / " +
+          "CAST(n - 1 AS DOUBLE)"))
+      .filter(expr("s2 > 0"))
+      .withColumn("p1", expr(
+        "CAST(k AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("n_req_conversion", expr(
+        "((1.9599639845400545e0 + 0.8416212335729143e0) * " +
+          "(1.9599639845400545e0 + 0.8416212335729143e0)) * " +
+          "(p1 * (1.0 - p1) + " +
+          "(p1 + 0.05) * (1.0 - (p1 + 0.05))) / (0.05 * 0.05)"))
+      .withColumn("n_req_continuous", expr(
+        "2.0 * ((1.9599639845400545e0 + 0.8416212335729143e0) * " +
+          "(1.9599639845400545e0 + 0.8416212335729143e0)) * s2 / " +
+          "(500.0 * 500.0)"))
+      .select("event_type", "n", "k", "p1", "n_req_conversion",
+        "s2", "n_req_continuous")
+      .orderBy("event_type")
+
   /** Shared two-sample domain of the drift-gate family (q222/q225/q226/
     * q227): per event, its value cents and grp = 0 for the FIRST WEEK
     * (day < min_day + 7) else 1 — the A/B window split, derived on both
@@ -1901,6 +1939,65 @@ object QueriesCuration {
              |${graft.ops.Welch.zOracleTail("event_type",
                 "1000000000.0", "1000000000.0")}
              |ORDER BY event_type""".stripMargin)),
+
+    // A34 experiment sizing — ClickHouse `minSampleSizeConversion` /
+    // `minSampleSizeContinuous` parity, the PLANNING complement of the
+    // drift-gate family (q222-q233 test a split after the fact; this
+    // reads the observed baseline per event_type and answers "how many
+    // samples per arm does the NEXT A/B test need"): the classical
+    // two-arm formulas at α = 0.05 / power = 0.80 — n_conv =
+    // (z_{α/2}+z_β)²·(p1(1−p1)+p2(1−p2))/mde² for a conversion lift of
+    // mde = 0.05 over the observed rate p1 = P(cents ≥ 10000), and
+    // n_cont = 2(z_{α/2}+z_β)²·s²/mde² for a 500-cent mean shift with
+    // s² the observed sample variance. The z quantiles are fixed DOUBLE
+    // LITERALS (1.9599639845400545e0, 0.8416212335729143e0) — the e0
+    // exponent makes BOTH parsers take the strtod double path (a bare
+    // 17-digit decimal literal would ride DuckDB's DECIMAL(17,16),
+    // whose >2⁵³ numerator does not convert exactly — the q230
+    // digit-string lesson), so no transcendental is ever evaluated; the baselines
+    // come from exact integer partials (n, k, Σx BIGINT, Σx²
+    // DECIMAL(38,0) — the A24 contract) and each output is ONE mirrored
+    // IEEE tree — bit-identical, full oracle. Degenerate types (n < 2
+    // or zero variance) are filtered on both sides' identical doubles.
+    // Scale shape: ONE corpus-sized partial+final agg (four conditional
+    // aggregates on one map-side combine, q222's economics without the
+    // split broadcast); all sizing algebra runs on the types-sized
+    // table. No window, no join.
+    Q("q237_min_sample_size",
+      (s, d) => minSampleSizes(events(s, d).select(col("event_type"),
+        Scalars.cents(col("value")).as("x"))),
+      Some(s"""WITH e AS (
+             |  SELECT event_type, ${Scalars.centsSql("value")} AS x
+             |  FROM events),
+             |p AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(CASE WHEN x >= 10000 THEN 1 END) AS BIGINT)
+             |      AS k,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx
+             |  FROM e GROUP BY 1),
+             |m AS (
+             |  SELECT *, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c
+             |  FROM p WHERE n > 1),
+             |v AS (
+             |  SELECT *,
+             |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * mean_c)
+             |      / CAST(n - 1 AS DOUBLE) AS s2
+             |  FROM m),
+             |r AS (
+             |  SELECT *, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p1
+             |  FROM v WHERE s2 > 0)
+             |SELECT event_type, n, k, p1,
+             |  ((1.9599639845400545e0 + 0.8416212335729143e0) *
+             |    (1.9599639845400545e0 + 0.8416212335729143e0)) *
+             |    (p1 * (1.0 - p1) +
+             |    (p1 + 0.05) * (1.0 - (p1 + 0.05))) / (0.05 * 0.05)
+             |    AS n_req_conversion,
+             |  s2,
+             |  2.0 * ((1.9599639845400545e0 + 0.8416212335729143e0) *
+             |    (1.9599639845400545e0 + 0.8416212335729143e0)) * s2 /
+             |    (500.0 * 500.0) AS n_req_continuous
+             |FROM r ORDER BY event_type""".stripMargin)),
 
     // X95 temperature-rebalanced language mixture (α = 0.5; Conneau &
     // Lample 2019's multilingual sampling, the standard fix for

@@ -1886,8 +1886,307 @@ object QueriesTime {
              |  FROM w GROUP BY 1)
              |SELECT event_type, n_days_used, num, den,
              |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ema_rate
-             |FROM p ORDER BY event_type""".stripMargin))
+             |FROM p ORDER BY event_type""".stripMargin)),
+
+    // T41 greedy non-overlapping sequence counting — ClickHouse
+    // `sequenceCount` parity, the counting twin of T30's boolean
+    // sequenceMatch (q190): per user, how MANY times does the
+    // signup→purchase chain complete, scanning left to right and
+    // consuming each event at most once (CH's greedy automaton)?
+    // Two pattern grains share one reduction: 'adjacent' counts
+    // directly-consecutive s,p pairs (CH '(?1)(?2)'), 'eventual'
+    // counts s ... p with anything between (CH '(?1).*(?2)'). The
+    // greedy automaton for a 2-step chain IS leftmost non-overlapping
+    // regex matching on the per-user symbol string — arm at the first
+    // unconsumed s, fire at the next p — so regexp_count(sq, 's[^p]*p')
+    // replays it exactly (the [^p] makes the match end at the FIRST
+    // p after arming, which is what frees the automaton to re-arm);
+    // both engines' regex scans are leftmost non-overlapping, so the
+    // integer counts agree exactly. Readout per pattern: total matches,
+    // users with ≥ 1 match, and the per-user maximum.
+    // Scale shape: the q190 contract verbatim — ONE corpus-sized
+    // groupBy(user) whose per-group state is the user's own event
+    // symbols (bounded by user activity, the CH per-user window
+    // economics); the regex counting and the 2-row stack run on the
+    // users-sized table. No window, no join.
+    Q("q235_sequence_count",
+      (s, d) => sequenceCounts(events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))),
+      Some("""WITH s AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |      ORDER BY epoch_ns(ts), event_id) AS sq
+             |  FROM events GROUP BY user_id),
+             |c AS (
+             |  SELECT
+             |    CAST(len(regexp_extract_all(sq, 'sp')) AS BIGINT)
+             |      AS adjacent,
+             |    CAST(len(regexp_extract_all(sq, 's[^p]*p')) AS BIGINT)
+             |      AS eventual
+             |  FROM s),
+             |m AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |    CAST(sum(adjacent) AS BIGINT) AS t_adj,
+             |    CAST(sum(CASE WHEN adjacent > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS u_adj,
+             |    CAST(max(adjacent) AS BIGINT) AS m_adj,
+             |    CAST(sum(eventual) AS BIGINT) AS t_evt,
+             |    CAST(sum(CASE WHEN eventual > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS u_evt,
+             |    CAST(max(eventual) AS BIGINT) AS m_evt
+             |  FROM c)
+             |SELECT p.pattern, p.total_matches, p.users_matched,
+             |  p.max_per_user, m.n_users
+             |FROM m, (
+             |  SELECT 'adjacent' AS pattern, t_adj AS total_matches,
+             |    u_adj AS users_matched, m_adj AS max_per_user FROM m
+             |  UNION ALL SELECT 'eventual', t_evt, u_evt, m_evt
+             |  FROM m) p
+             |ORDER BY p.pattern""".stripMargin)),
+
+    // A33 first-to-last slope — ClickHouse `boundingRatio(x, y)` parity:
+    // per event_type, the slope of the line through the (min-ts, value)
+    // and (max-ts, value) points — the cheapest "where did this series
+    // start vs end" readout beside T37's least-squares trend (T37 fits
+    // all points; this reads exactly two). Tie rule (CH leaves it
+    // unspecified — an oracle can't): at the min ts take the MIN cents,
+    // at the max ts the MAX cents, made deterministic WITHOUT a second
+    // pass by exact integer packing — pack = ts·10⁵ + cents is exact in
+    // DECIMAL(38,0)/HUGEINT (ts ~1.7e18 ns × 10⁵ ≪ 10³⁸; cents < 10⁵ by
+    // the Scalars.cents domain), so min(pack)/max(pack) select the
+    // boundary rows and % 10⁵ recovers the values, all in one
+    // partial+final agg. The slope is then ONE mirrored IEEE tree
+    // (cents→dollars, ns→days) over exact integers — bit-identical.
+    // Scale shape: one corpus-sized map-side-combinable agg over a
+    // pruned 3-column scan; the slope algebra runs on the types-sized
+    // table. No window, no join, no second pass.
+    Q("q236_bounding_ratio",
+      (s, d) => boundingRatio(events(s, d).select(col("event_type"),
+        col("ts"), Scalars.cents(col("value")).as("cents"))),
+      Some(s"""WITH e AS (
+             |  SELECT event_type, epoch_ns(ts) AS ts,
+             |    ${Scalars.centsSql("value")} AS cents
+             |  FROM events),
+             |p AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |    min(ts) AS tmin, max(ts) AS tmax,
+             |    min(CAST(ts AS HUGEINT) * 100000 + cents) AS pack_min,
+             |    max(CAST(ts AS HUGEINT) * 100000 + cents) AS pack_max
+             |  FROM e GROUP BY 1),
+             |v AS (
+             |  SELECT event_type, n_events,
+             |    CAST(pack_min % 100000 AS BIGINT) AS v_first,
+             |    CAST(pack_max % 100000 AS BIGINT) AS v_last,
+             |    CAST(tmax - tmin AS BIGINT) AS span_ns
+             |  FROM p WHERE tmax > tmin)
+             |SELECT event_type, n_events, v_first, v_last, span_ns,
+             |  (CAST(v_last - v_first AS DOUBLE) / 100.0) /
+             |    (CAST(span_ns AS DOUBLE) / 86400000000000.0)
+             |    AS slope_per_day
+             |FROM v ORDER BY event_type""".stripMargin)),
+
+    // A35 terminal sparkline render — ClickHouse `sparkbar(width)`
+    // parity: per event_type, the daily-count series compressed into a
+    // 16-bucket bar string — the dataset-card/monitoring glanceable
+    // (X50's dataset card carries numbers; this carries the shape).
+    // All-integer: day = ns DIV 86 400e9, bucket = (day − dmin)·16 DIV
+    // (span), height = ceil(8·n/max_n) via (n·8 + max_n − 1) DIV max_n
+    // ∈ 1..8 for occupied buckets (the type's own max fills the bar —
+    // CH's per-group normalization), empty buckets render '.'. The
+    // glyph is substring('▁▂▃▄▅▆▇█', h, 1) — both engines index by
+    // CHARACTER, so the multibyte block glyphs are safe — and the bar
+    // assembles with the q34/q190 ordered-string convention (declared
+    // output stays a pandas-sortable VARCHAR).
+    // Scale shape: corpus work ends at the shared T31 (type, day)
+    // partial+final agg; the global span is a 1-row broadcast; bucket
+    // re-agg, spine join (types×16, broadcast), and the render all run
+    // on bounded tables. No fact-row window.
+    Q("q238_sparkbar",
+      (s, d) => sparkbar16(typeDailyCounts(
+        events(s, d).select(col("event_type"), col("ts")))),
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |g AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+             |b AS (
+             |  SELECT event_type,
+             |    ((day - dmin) * 16) // (dmax - dmin + 1) AS bucket,
+             |    CAST(sum(n) AS BIGINT) AS nb
+             |  FROM daily, g GROUP BY 1, 2),
+             |mx AS (SELECT event_type, max(nb) AS max_n FROM b GROUP BY 1),
+             |spine AS (
+             |  SELECT mx.event_type, mx.max_n, r.bucket
+             |  FROM mx, (SELECT unnest(range(0, 16)) AS bucket) r),
+             |h AS (
+             |  SELECT spine.event_type, spine.max_n, spine.bucket,
+             |    CASE WHEN b.nb IS NULL THEN 0
+             |      ELSE CAST((b.nb * 8 + spine.max_n - 1) // spine.max_n
+             |        AS INT) END AS h
+             |  FROM spine LEFT JOIN b ON spine.event_type = b.event_type
+             |    AND spine.bucket = b.bucket)
+             |SELECT event_type, CAST(max(max_n) AS BIGINT) AS max_n,
+             |  string_agg(CASE WHEN h = 0 THEN '.'
+             |    ELSE substr('▁▂▃▄▅▆▇█', h, 1) END, ''
+             |    ORDER BY bucket) AS bar
+             |FROM h GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // A36 exact audience set algebra — ClickHouse `groupBitmapAnd/Or/
+    // Xor` parity, the EXACT twin of X34's KMV-sketched overlap (q122
+    // estimates |A∩B| from 256-minima summaries; this computes the
+    // true bitmap algebra): per ordered event-type pair, |A∩B| from a
+    // user-keyed equi-join of the DISTINCT (type, user) contraction,
+    // then |A∪B| = |A|+|B|−|A∩B| and |A⊕B| = |A∪B|−|A∩B| by
+    // inclusion-exclusion (no second join), plus the exact Jaccard in
+    // ppm (integer DIV, non-negative domain). Pairs with an empty
+    // intersection are absent by construction (inner join) — the
+    // declared contract reports co-occurring pairs.
+    // Scale shape: ONE corpus-sized distinct contraction (map-side
+    // combinable, the q167/q139 distinct-first discipline), then a
+    // user-keyed equi-join — bounded by users × types², shuffles on
+    // user so it scales out with executors — with the types-sized size
+    // table broadcast back twice. Raw events never join.
+    Q("q239_bitmap_audience",
+      (s, d) => bitmapAudience(events(s, d)
+        .select(col("event_type"), col("user_id"))),
+      Some("""WITH tu AS (
+             |  SELECT DISTINCT event_type, user_id FROM events),
+             |sz AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS sz
+             |  FROM tu GROUP BY 1),
+             |pr AS (
+             |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |    CAST(count(*) AS BIGINT) AS inter
+             |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+             |    AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT pr.type_a, pr.type_b, sa.sz AS n_a, sb.sz AS n_b,
+             |  pr.inter,
+             |  sa.sz + sb.sz - pr.inter AS uni,
+             |  sa.sz + sb.sz - pr.inter - pr.inter AS xr,
+             |  CAST((1000000 * pr.inter) // (sa.sz + sb.sz - pr.inter)
+             |    AS BIGINT) AS jaccard_ppm
+             |FROM pr JOIN sz sa ON pr.type_a = sa.event_type
+             |  JOIN sz sb ON pr.type_b = sb.event_type
+             |ORDER BY pr.type_a, pr.type_b""".stripMargin))
   )
+
+  /** T41 greedy non-overlapping sequence counts over per-user event
+    * streams — ClickHouse `sequenceCount` parity; see q235's scaladoc
+    * for the regex ≡ greedy-automaton argument. Input: (user_id, ts,
+    * event_id, event_type); output: 2 rows (pattern, total_matches,
+    * users_matched, max_per_user, n_users).
+    */
+  private[graft] def sequenceCounts(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val seqs = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("ini")))),
+        x => x.getField("ini")), "").as("sq"))
+    val c = seqs.select(
+      expr("CAST(regexp_count(sq, 'sp') AS BIGINT)").as("adjacent"),
+      expr("CAST(regexp_count(sq, 's[^p]*p') AS BIGINT)").as("eventual"))
+    val m = c.agg(
+      count(lit(1)).as("n_users"),
+      sum(col("adjacent")).as("t_adj"),
+      sum(when(col("adjacent") > 0, 1L).otherwise(0L)).as("u_adj"),
+      max(col("adjacent")).as("m_adj"),
+      sum(col("eventual")).as("t_evt"),
+      sum(when(col("eventual") > 0, 1L).otherwise(0L)).as("u_evt"),
+      max(col("eventual")).as("m_evt"))
+    m.select(expr(
+        "stack(2, 'adjacent', t_adj, u_adj, m_adj, " +
+          "'eventual', t_evt, u_evt, m_evt) " +
+          "AS (pattern, total_matches, users_matched, max_per_user)"),
+        col("n_users"))
+      .orderBy("pattern")
+  }
+
+  /** A33 first-to-last slope — ClickHouse `boundingRatio` parity; see
+    * q236's scaladoc for the DECIMAL(38,0) ts·10⁵+cents packing that
+    * makes the boundary-row tie rule deterministic in ONE agg. Input:
+    * (event_type, ts epoch-ns, cents ∈ [0, 10⁵)).
+    */
+  private[graft] def boundingRatio(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.withColumn("pack",
+        expr("CAST(ts AS DECIMAL(38,0)) * 100000 + cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("tmin"), max("ts").as("tmax"),
+        min("pack").as("pack_min"), max("pack").as("pack_max"))
+      .filter(col("tmax") > col("tmin"))
+      .withColumn("v_first", expr("CAST(pack_min % 100000 AS BIGINT)"))
+      .withColumn("v_last", expr("CAST(pack_max % 100000 AS BIGINT)"))
+      .withColumn("span_ns", (col("tmax") - col("tmin")).cast("long"))
+      // slope tree mirrored textually by the q236 oracle — in lockstep
+      .withColumn("slope_per_day", expr(
+        "(CAST(v_last - v_first AS DOUBLE) / 100.0) / " +
+          "(CAST(span_ns AS DOUBLE) / 86400000000000.0)"))
+      .select("event_type", "n_events", "v_first", "v_last",
+        "span_ns", "slope_per_day")
+      .orderBy("event_type")
+
+  /** A35 16-bucket sparkline — ClickHouse `sparkbar` parity over a
+    * (event_type, day, n) daily table; see q238's scaladoc. Like
+    * fanoFromDaily/trendFromDaily/emaFromDaily this is a CONSUMER of
+    * the X97 maintained aggregate state — any daily table renders.
+    */
+  private[graft] def sparkbar16(
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val g = daily.agg(min("day").as("dmin"), max("day").as("dmax"))
+    val b = daily.join(broadcast(g))
+      .withColumn("bucket",
+        expr("((day - dmin) * 16) DIV (dmax - dmin + 1)"))
+      .groupBy("event_type", "bucket").agg(sum("n").as("nb"))
+    val mx = b.groupBy("event_type").agg(max("nb").as("max_n"))
+    val spine = mx.select(col("event_type"), col("max_n"),
+      explode(sequence(lit(0), lit(15))).as("bucket"))
+    spine.join(b, Seq("event_type", "bucket"), "left")
+      .withColumn("h", expr("CASE WHEN nb IS NULL THEN 0 ELSE " +
+        "CAST((nb * 8 + max_n - 1) DIV max_n AS INT) END"))
+      .withColumn("ch", expr("CASE WHEN h = 0 THEN '.' ELSE " +
+        "substring('▁▂▃▄▅▆▇█', h, 1) END"))
+      .groupBy("event_type")
+      .agg(max("max_n").as("max_n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("bucket"), col("ch")))),
+          x => x.getField("ch")), "").as("bar"))
+      .orderBy("event_type")
+  }
+
+  /** A36 exact audience set algebra — ClickHouse `groupBitmapAnd/Or/
+    * Xor` parity; see q239's scaladoc. Input: (event_type, user_id),
+    * possibly with duplicates — the distinct contraction happens here.
+    */
+  private[graft] def bitmapAudience(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tu = ev.select(col("event_type"), col("user_id")).distinct()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("sz"))
+    val pairs = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("sz", "n_a")), "type_a")
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("sz", "n_b")), "type_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("xr", col("uni") - col("inter"))
+      .withColumn("jaccard_ppm", expr("(1000000 * inter) DIV uni"))
+      .select("type_a", "type_b", "n_a", "n_b", "inter", "uni",
+        "xr", "jaccard_ppm")
+      .orderBy("type_a", "type_b")
+  }
 
   /** T33 corpus-sized stage of q204: the (event_type, day) OHLC agg.
     * Exposed separately because it is also the STREAMING fold of the

@@ -1820,6 +1820,87 @@ class PlanSpec extends SparkSpec {
       s"scan not pruned to (ts, event_type):\n${p.take(800)}")
   }
 
+  test("q235 sequence count: one per-user corpus agg, no window, no " +
+      "join; the regex counting runs on the users-sized table") {
+    val p = plan("q235_sequence_count")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in the per-user fold op:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"join in a pure agg op:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"per-user collect without a partial stage:\n${p.take(600)}")
+    assert(!p.contains("value#") && !p.contains("props#"),
+      s"scan not pruned to (user_id, ts, event_id, event_type):\n" +
+        p.take(800))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges corpus exchanges:\n${p.take(800)}")
+  }
+
+  test("q236 bounding ratio: ONE partial+final agg over a pruned " +
+      "3-column scan — no window, no join, a single corpus exchange") {
+    val p = plan("q236_bounding_ratio")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in a pure agg op:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"join in a one-agg op:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"boundary agg without map-side combine:\n${p.take(600)}")
+    assert(!p.contains("user_id#") && !p.contains("props#") &&
+      !p.contains("event_id#"),
+      s"scan not pruned to (event_type, ts, value):\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges corpus exchanges:\n${p.take(800)}")
+  }
+
+  test("q237 min sample size: the q222 partials economics without the " +
+      "split — one partial+final agg, no window, no join") {
+    val p = plan("q237_min_sample_size")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in a pure partial+final-agg op:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"join in a one-agg op:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"no map-side combine on the sizing partials:\n${p.take(600)}")
+    assert(!p.contains("user_id#") && !p.contains("ts#"),
+      s"scan not pruned to (event_type, value):\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges corpus exchanges:\n${p.take(800)}")
+  }
+
+  test("q238 sparkbar: corpus work ends at the (type, day) partial+" +
+      "final agg; span and spine ride broadcasts; no fact-row window, " +
+      "no SMJ; scan pruned to (event_type, ts)") {
+    val p = plan("q238_sparkbar")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in the render pipeline:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"global span not broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"SMJ on the types-by-16 spine:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian for the 1-row span:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"daily agg without map-side combine:\n${p.take(600)}")
+    assert(p.contains("ReadSchema: struct<ts:") &&
+      !p.contains("value#") && !p.contains("user_id#"),
+      s"scan not pruned to (ts, event_type):\n${p.take(800)}")
+  }
+
+  test("q239 bitmap audience: the pair join consumes the DISTINCT " +
+      "(type, user) contraction (partial agg before it — raw events " +
+      "never join), size lookups ride broadcasts, no window") {
+    val p = plan("q239_bitmap_audience")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in the set-algebra op:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"size joins lost their broadcast:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the pair join:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"distinct contraction without map-side combine:\n${p.take(600)}")
+    assert(!p.contains("value#") && !p.contains("props#") &&
+      !p.contains("ts#"),
+      s"scan not pruned to (event_type, user_id):\n${p.take(800)}")
+  }
+
   test("q230 moments: one partial+final decimal power-sum agg over a " +
       "2-column scan — no window, no join") {
     val p = plan("q230_moments")
