@@ -1086,6 +1086,228 @@ object QueriesOlap {
              |    sum(CAST(x AS HUGEINT) * x * x * x) AS sx4
              |  FROM e GROUP BY 1),
              |${graft.ops.Moments.oracleTail("event_type")}
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // A37 one-way ANOVA — ClickHouse `analysisOfVariance` parity: does
+    // the mean of value cents differ across the event types AT ALL —
+    // the k-group generalization of the two-sample gates (A24/A26 ask
+    // "did THIS split move"; this asks "do the k groups share a mean"),
+    // F = (SSB/(k−1)) / (SSW/(n−k)). Exact per-group partials (n_g,
+    // Σx BIGINT, Σx² DECIMAL(38,0) — the A24 contract); the one
+    // order-sensitive float reduction Σ_g sx_g²/n_g is pinned by an
+    // ORDERED running-sum window over the types-sized group table
+    // (ROWS UNBOUNDED PRECEDING accumulates in ORDER BY order in both
+    // engines, and the terms are ≥ 0 so max(cum) is the final prefix) —
+    // every other sum is exact integer/decimal; Σx² converts through
+    // its exact digit string (the q230 > 2⁵³ lesson); the F tail is ONE
+    // mirrored IEEE tree. Degenerate boards (k < 2, SSW ≤ 0) filtered
+    // on identical doubles.
+    // Scale shape: ONE corpus partial+final agg to the types-sized
+    // table; the ordered window and the F algebra run on k rows (the
+    // global window is k-sized BY CONSTRUCTION, never fact rows).
+    Q("q241_anova",
+      (s, d) => anova(events(s, d).select(col("event_type"),
+        Scalars.cents(col("value")).as("x"))),
+      Some(s"""WITH e AS (
+             |  SELECT event_type, ${Scalars.centsSql("value")} AS x
+             |  FROM events),
+             |g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+             |    CAST(sum(x) AS BIGINT) AS sx,
+             |    sum(CAST(x AS HUGEINT) * x) AS sxx
+             |  FROM e GROUP BY 1),
+             |t AS (
+             |  SELECT *, CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) /
+             |      CAST(n_g AS DOUBLE) AS t_g
+             |  FROM g),
+             |c AS (
+             |  SELECT *, sum(t_g) OVER (ORDER BY event_type
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum_t
+             |  FROM t),
+             |tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(n_g) AS BIGINT) AS n,
+             |    CAST(sum(sx) AS BIGINT) AS s_all,
+             |    sum(sxx) AS sxx_all,
+             |    max(cum_t) AS a_t
+             |  FROM c),
+             |f AS (
+             |  SELECT *,
+             |    a_t - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) /
+             |      CAST(n AS DOUBLE) AS ssb,
+             |    CAST(CAST(sxx_all AS VARCHAR) AS DOUBLE) - a_t AS ssw,
+             |    CAST(k - 1 AS BIGINT) AS df1,
+             |    CAST(n - k AS BIGINT) AS df2
+             |  FROM tot WHERE k > 1)
+             |SELECT k, n, df1, df2, ssb, ssw,
+             |  (ssb / CAST(df1 AS DOUBLE)) / (ssw / CAST(df2 AS DOUBLE))
+             |    AS f_stat,
+             |  CAST(CASE WHEN (ssb / CAST(df1 AS DOUBLE)) /
+             |    (ssw / CAST(df2 AS DOUBLE)) > 2.37 THEN 1 ELSE 0 END
+             |    AS INT) AS significant
+             |FROM f WHERE ssw > 0""".stripMargin)),
+
+    // A38 correlation/covariance MATRIX — ClickHouse `corrMatrix` /
+    // `covarSampMatrix` parity: all 6 pairwise Pearson correlations and
+    // sample covariances over the four lineitem measures (quantity,
+    // price, discount, tax cents) from ONE pass — the multi-measure
+    // generalization of q62's single corr/covar pair. Exact partials:
+    // n, four Σx BIGINT, four Σx² and six Σxy DECIMAL(38,0) (price² at
+    // 1e14 per row needs decimal; every sum is exact and associative),
+    // all 15 aggregates on one map-side combine. Each matrix cell is
+    // then ONE mirrored IEEE tree over the 1-row partials table —
+    // corr = (n·Σxy − ΣxΣy)/(sqrt(n·Σx²−(Σx)²)·sqrt(n·Σy²−(Σy)²)) —
+    // with every DECIMAL partial converted through its exact digit
+    // string (the q230 > 2⁵³ lesson; the BIGINT Σx stay < 2⁵³ and
+    // convert directly). Both engines evaluate the SAME tree generated
+    // from one template (corrTree/covarTree below), so the doubles
+    // match bit-for-bit — full hash oracle, no tolerance band.
+    // Scale shape: ONE corpus-sized partial+final agg over a pruned
+    // 4-column scan; the 6-pair stack runs on one row.
+    Q("q242_corr_matrix",
+      (s, d) => corrMatrix(lineitem(s, d).select(
+        col("l_quantity").cast("long").as("q"),
+        Scalars.cents(col("l_extendedprice")).as("p"),
+        Scalars.cents(col("l_discount")).as("dd"),
+        Scalars.cents(col("l_tax")).as("tt"))),
+      Some(s"""WITH m AS (
+             |  SELECT CAST(l_quantity AS BIGINT) AS q,
+             |    ${Scalars.centsSql("l_extendedprice")} AS p,
+             |    ${Scalars.centsSql("l_discount")} AS dd,
+             |    ${Scalars.centsSql("l_tax")} AS tt
+             |  FROM lineitem),
+             |part AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(q) AS BIGINT) AS s_q,
+             |    CAST(sum(p) AS BIGINT) AS s_p,
+             |    CAST(sum(dd) AS BIGINT) AS s_d,
+             |    CAST(sum(tt) AS BIGINT) AS s_t,
+             |    sum(CAST(q AS HUGEINT) * q) AS ss_qq,
+             |    sum(CAST(p AS HUGEINT) * p) AS ss_pp,
+             |    sum(CAST(dd AS HUGEINT) * dd) AS ss_dd,
+             |    sum(CAST(tt AS HUGEINT) * tt) AS ss_tt,
+             |    sum(CAST(q AS HUGEINT) * p) AS ss_qp,
+             |    sum(CAST(q AS HUGEINT) * dd) AS ss_qd,
+             |    sum(CAST(q AS HUGEINT) * tt) AS ss_qt,
+             |    sum(CAST(p AS HUGEINT) * dd) AS ss_pd,
+             |    sum(CAST(p AS HUGEINT) * tt) AS ss_pt,
+             |    sum(CAST(dd AS HUGEINT) * tt) AS ss_dt
+             |  FROM m)
+             |SELECT u.pair, u.corr, u.covar_samp, part.n
+             |FROM part, (
+             |${corrPairs.map { case (tag, sx, sy, sxx, syy, sxy) =>
+                s"  SELECT '$tag' AS pair, " +
+                  s"${corrTree("VARCHAR", sx, sy, sxx, syy, sxy)} AS corr, " +
+                  s"${covarTree("VARCHAR", sx, sy, sxy)} AS covar_samp " +
+                  "FROM part" }.mkString("\n  UNION ALL\n")}
+             |) u
+             |ORDER BY u.pair""".stripMargin))
   )
+
+  /** A37 one-way ANOVA over (event_type, x cents) rows — ClickHouse
+    * `analysisOfVariance` parity; see q241's scaladoc for the
+    * ordered-prefix-sum float discipline.
+    */
+  private[graft] def anova(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val g = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("sx"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"))
+      // one IEEE tree from exact ints — mirrored by the oracle's t CTE
+      .withColumn("t_g", expr(
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)"))
+    // the ONLY order-sensitive float fold: pin it with an ordered
+    // running sum over the k-sized table (terms >= 0 so max(cum) is
+    // the full prefix); everything else folds exactly
+    val w = Window.orderBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum_t", sum("t_g").over(w))
+      .agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+        sum("sx").as("s_all"), sum("sxx").as("sxx_all"),
+        max("cum_t").as("a_t"))
+      .filter(col("k") > 1)
+      .withColumn("ssb", expr(
+        "a_t - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / " +
+          "CAST(n AS DOUBLE)"))
+      .withColumn("ssw", expr(
+        "CAST(CAST(sxx_all AS STRING) AS DOUBLE) - a_t"))
+      .filter(expr("ssw > 0"))
+      .withColumn("df1", (col("k") - 1).cast("long"))
+      .withColumn("df2", (col("n") - col("k")).cast("long"))
+      .withColumn("f_stat", expr(
+        "(ssb / CAST(df1 AS DOUBLE)) / (ssw / CAST(df2 AS DOUBLE))"))
+      .withColumn("significant", expr(
+        "CAST(CASE WHEN f_stat > 2.37 THEN 1 ELSE 0 END AS INT)"))
+      .select("k", "n", "df1", "df2", "ssb", "ssw", "f_stat",
+        "significant")
+  }
+
+  /** A38 corr/covar matrix over (q, p, dd, tt) integer measures —
+    * ClickHouse `corrMatrix`/`covarSampMatrix` parity; see q242's
+    * scaladoc for the exact-partials + digit-string discipline.
+    */
+  private[graft] def corrMatrix(
+      m: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val part = m.agg(
+      count(lit(1)).as("n"),
+      sum("q").as("s_q"), sum("p").as("s_p"),
+      sum("dd").as("s_d"), sum("tt").as("s_t"),
+      sum(expr("CAST(q*q AS DECIMAL(38,0))")).as("ss_qq"),
+      sum(expr("CAST(p*p AS DECIMAL(38,0))")).as("ss_pp"),
+      sum(expr("CAST(dd*dd AS DECIMAL(38,0))")).as("ss_dd"),
+      sum(expr("CAST(tt*tt AS DECIMAL(38,0))")).as("ss_tt"),
+      sum(expr("CAST(q*p AS DECIMAL(38,0))")).as("ss_qp"),
+      sum(expr("CAST(q*dd AS DECIMAL(38,0))")).as("ss_qd"),
+      sum(expr("CAST(q*tt AS DECIMAL(38,0))")).as("ss_qt"),
+      sum(expr("CAST(p*dd AS DECIMAL(38,0))")).as("ss_pd"),
+      sum(expr("CAST(p*tt AS DECIMAL(38,0))")).as("ss_pt"),
+      sum(expr("CAST(dd*tt AS DECIMAL(38,0))")).as("ss_dt"))
+    val withCells = corrPairs.foldLeft(part) {
+      case (df, (tag, sx, sy, sxx, syy, sxy)) => df
+        .withColumn(s"c_$tag",
+          expr(corrTree("STRING", sx, sy, sxx, syy, sxy)))
+        .withColumn(s"v_$tag", expr(covarTree("STRING", sx, sy, sxy)))
+    }
+    withCells.select(expr(
+        "stack(6, " + corrPairs.map { case (tag, _, _, _, _, _) =>
+          s"'$tag', c_$tag, v_$tag" }.mkString(", ") +
+          ") AS (pair, corr, covar_samp)"),
+        col("n"))
+      .orderBy("pair")
+  }
+
+  /** A38 pair list: (tag, Σx, Σy, Σx², Σy², Σxy) column names (lazy:
+    * referenced from `all`'s initializer above its definition site).
+    */
+  private lazy val corrPairs: Seq[(String, String, String, String, String,
+      String)] = Seq(
+    ("qty_price", "s_q", "s_p", "ss_qq", "ss_pp", "ss_qp"),
+    ("qty_disc", "s_q", "s_d", "ss_qq", "ss_dd", "ss_qd"),
+    ("qty_tax", "s_q", "s_t", "ss_qq", "ss_tt", "ss_qt"),
+    ("price_disc", "s_p", "s_d", "ss_pp", "ss_dd", "ss_pd"),
+    ("price_tax", "s_p", "s_t", "ss_pp", "ss_tt", "ss_pt"),
+    ("disc_tax", "s_d", "s_t", "ss_dd", "ss_tt", "ss_dt"))
+
+  /** ONE template generates BOTH engines' Pearson tree (`strTy` is
+    * STRING for Spark, VARCHAR for DuckDB — the digit-string route for
+    * the > 2⁵³ decimal partials, q230 lesson); textual lockstep is by
+    * construction, not by convention.
+    */
+  private def dstr(strTy: String, c: String): String =
+    s"CAST(CAST($c AS $strTy) AS DOUBLE)"
+
+  private def corrTree(strTy: String, sx: String, sy: String,
+      sxx: String, syy: String, sxy: String): String =
+    s"(CAST(n AS DOUBLE) * ${dstr(strTy, sxy)} - " +
+      s"CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE)) / " +
+      s"(sqrt(CAST(n AS DOUBLE) * ${dstr(strTy, sxx)} - " +
+      s"CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE)) * " +
+      s"sqrt(CAST(n AS DOUBLE) * ${dstr(strTy, syy)} - " +
+      s"CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE)))"
+
+  private def covarTree(strTy: String, sx: String, sy: String,
+      sxy: String): String =
+    s"(${dstr(strTy, sxy)} - CAST($sx AS DOUBLE) * " +
+      s"CAST($sy AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
 }

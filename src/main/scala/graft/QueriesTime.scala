@@ -2070,7 +2070,47 @@ object QueriesTime {
              |    AS BIGINT) AS jaccard_ppm
              |FROM pr JOIN sz sa ON pr.type_a = sa.event_type
              |  JOIN sz sb ON pr.type_b = sb.event_type
-             |ORDER BY pr.type_a, pr.type_b""".stripMargin))
+             |ORDER BY pr.type_a, pr.type_b""".stripMargin)),
+
+    // T42 next-node distribution — ClickHouse `sequenceNextNode`
+    // (forward, head) parity: WHAT happens right after the entry event —
+    // per user, the event immediately following the user's FIRST signup
+    // in (ts, event_id) order, aggregated into the "next step from
+    // signup" distribution (T12's funnel asks "did they reach step k";
+    // this asks "where do they actually go next" — the funnel-design
+    // input). Pure integer/string ops on the per-user symbol string:
+    // first signup via strpos/instr (1-based, 0 = absent in BOTH
+    // engines), the next symbol via substr(i+1, 1), '' (signup was the
+    // user's last event) mapped to '(end)' — no regex needed; users
+    // with no signup are excluded (CH returns NULL for them). share_ppm
+    // is the exact integer DIV over the qualifying-user total.
+    // Scale shape: the q190/q235 contract — ONE corpus groupBy(user)
+    // with per-group state bounded by user activity; the distribution
+    // agg and the 1-row total broadcast run on symbols-sized tables
+    // (≤ |event types| + 1 rows). No window.
+    Q("q240_next_node",
+      (s, d) => nextNodeDist(events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))),
+      Some("""WITH s AS (
+             |  SELECT user_id,
+             |    string_agg(substr(event_type, 1, 1), ''
+             |      ORDER BY epoch_ns(ts), event_id) AS sq
+             |  FROM events GROUP BY user_id),
+             |x AS (
+             |  SELECT CASE WHEN substr(sq, strpos(sq, 's') + 1, 1) = ''
+             |      THEN '(end)'
+             |      ELSE substr(sq, strpos(sq, 's') + 1, 1) END AS nxt
+             |  FROM s WHERE strpos(sq, 's') > 0),
+             |c AS (
+             |  SELECT nxt, CAST(count(*) AS BIGINT) AS n_users
+             |  FROM x GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tot FROM c)
+             |SELECT c.nxt, c.n_users, t.tot,
+             |  CAST((1000000 * c.n_users) // t.tot AS BIGINT)
+             |    AS share_ppm
+             |FROM c, t
+             |ORDER BY c.nxt""".stripMargin))
   )
 
   /** T41 greedy non-overlapping sequence counts over per-user event
@@ -2186,6 +2226,33 @@ object QueriesTime {
       .select("type_a", "type_b", "n_a", "n_b", "inter", "uni",
         "xr", "jaccard_ppm")
       .orderBy("type_a", "type_b")
+  }
+
+  /** T42 next-node distribution after the first signup — ClickHouse
+    * `sequenceNextNode(forward, head)` parity; see q240's scaladoc.
+    * Input: (user_id, ts, event_id, event_type).
+    */
+  private[graft] def nextNodeDist(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val seqs = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("ini")))),
+        x => x.getField("ini")), "").as("sq"))
+    val c = seqs
+      .filter(expr("instr(sq, 's') > 0"))
+      .select(expr("CASE WHEN substring(sq, instr(sq, 's') + 1, 1) = ''" +
+        " THEN '(end)' ELSE substring(sq, instr(sq, 's') + 1, 1) END")
+        .as("nxt"))
+      .groupBy("nxt").agg(count(lit(1)).as("n_users"))
+    val t = c.agg(sum("n_users").as("tot"))
+    c.crossJoin(broadcast(t))
+      .withColumn("share_ppm", expr("(1000000 * n_users) DIV tot"))
+      .select("nxt", "n_users", "tot", "share_ppm")
+      .orderBy("nxt")
   }
 
   /** T33 corpus-sized stage of q204: the (event_type, day) OHLC agg.

@@ -143,4 +143,75 @@ class ParitySpec extends SparkSpec {
       .select("event_type").as[String].collect().toSeq
     assert(ks == Seq("ok"), ks)
   }
+
+  test("nextNode hand-derived: s→view reads 'v', signup-as-last reads " +
+      "'(end)', a user without signup is excluded; shares are exact " +
+      "thirds in ppm") {
+    val df = ev(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "view"),
+      (2L, 10L, 3L, "click"), (2L, 20L, 4L, "signup"),
+      (3L, 10L, 5L, "purchase"), (3L, 20L, 6L, "view"),
+      (4L, 10L, 7L, "signup"), (4L, 20L, 8L, "purchase"))
+    val r = QueriesTime.nextNodeDist(df)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("(end)", 1L, 3L, 333333L),
+      ("p", 1L, 3L, 333333L),
+      ("v", 1L, 3L, 333333L)), r)
+  }
+
+  test("nextNode takes the FIRST signup (head semantics), not a later " +
+      "one") {
+    val df = ev(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "click"),
+      (1L, 30L, 3L, "signup"), (1L, 40L, 4L, "view"))
+    val r = QueriesTime.nextNodeDist(df)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("c", 1L, 1L, 1000000L)), r)
+  }
+
+  test("anova hand-derived: groups {1,3} vs {5,7} read SSB 16 / SSW 4 " +
+      "/ F exactly 8 on integer-exact doubles, flagged") {
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L))
+      .toDF("event_type", "x")
+    val r = QueriesOlap.anova(df)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Int)].head()
+    assert(r == ((2L, 4L, 1L, 2L, 16.0, 4.0, 8.0, 1)), r)
+  }
+
+  test("anova degenerates: a single group and an all-within-constant " +
+      "board (SSW = 0) both produce no row") {
+    import org.apache.spark.sql.DataFrame
+    def run(df: DataFrame) = QueriesOlap.anova(df).count()
+    assert(run(Seq(("a", 1L), ("a", 5L)).toDF("event_type", "x")) == 0L)
+    assert(run(Seq(("a", 2L), ("a", 2L), ("b", 9L), ("b", 9L))
+      .toDF("event_type", "x")) == 0L)
+  }
+
+  test("corrMatrix hand-derived: perfectly collinear measures read " +
+      "corr ±1 (to the shared IEEE tree) and the exact sample " +
+      "covariances; all 6 pairs emitted from one pass") {
+    // q = 1,2,3; p = 100q; dd = q; tt = 3 - q (anti-correlated)
+    val df = Seq((1L, 100L, 1L, 2L), (2L, 200L, 2L, 1L),
+      (3L, 300L, 3L, 0L)).toDF("q", "p", "dd", "tt")
+    val r = QueriesOlap.corrMatrix(df)
+      .as[(String, Double, Double, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq("disc_tax", "price_disc", "price_tax",
+      "qty_disc", "qty_price", "qty_tax"), r)
+    val byPair = r.map(x => x._1 -> x).toMap
+    // covar_samp(q, p) = (1400 - 1200)/2 = 100 exactly; covar(q, dd)=1
+    assert(byPair("qty_price")._3 == 100.0, r)
+    assert(byPair("qty_disc")._3 == 1.0 && byPair("qty_tax")._3 == -1.0)
+    // corr via the same IEEE ops: (n*sxy - sx*sy)/(sqrt(..)*sqrt(..))
+    def tree(n: Double, sx: Double, sy: Double, sxx: Double,
+        syy: Double, sxy: Double) =
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(byPair("qty_price")._2 ==
+      tree(3, 6, 600, 14, 140000, 1400), r)
+    assert(byPair("qty_tax")._2 == tree(3, 6, 3, 14, 5, 4), r)
+    assert(math.abs(byPair("qty_price")._2 - 1.0) < 1e-12)
+    assert(math.abs(byPair("qty_tax")._2 + 1.0) < 1e-12)
+    assert(r.forall(_._4 == 3L), r)
+  }
 }

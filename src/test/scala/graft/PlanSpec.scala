@@ -1884,6 +1884,63 @@ class PlanSpec extends SparkSpec {
       s"scan not pruned to (ts, event_type):\n${p.take(800)}")
   }
 
+  test("q240 next node: the q235 shape — one per-user corpus agg, the " +
+      "distribution and 1-row total on symbols-sized tables, no window") {
+    val p = plan("q240_next_node")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in the per-user fold op:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"1-row total not broadcast:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian for the 1-row total:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"per-user collect without a partial stage:\n${p.take(600)}")
+    assert(!p.contains("value#") && !p.contains("props#"),
+      s"scan not pruned to (user_id, ts, event_id, event_type):\n" +
+        p.take(800))
+  }
+
+  test("q241 anova: ONE corpus partial+final agg; the only window is " +
+      "the ordered prefix sum over the AGGREGATED types-sized table " +
+      "(never fact rows); single corpus exchange") {
+    val p = plan("q241_anova")
+    assert(p.contains("partial"),
+      s"group partials without map-side combine:\n${p.take(600)}")
+    // the window input must be the aggregated group table, not the scan
+    val exec = innerExec("q241_anova")
+    val wins = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty, "ordered prefix-sum window missing")
+    wins.foreach { w =>
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+      }.isDefined,
+        s"q241: window input is not aggregated — it sorts FACT rows:\n$w")
+    }
+    assert(!p.contains("user_id#") && !p.contains("props#"),
+      s"scan not pruned to (event_type, value):\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges corpus exchanges:\n${p.take(800)}")
+  }
+
+  test("q242 corr matrix: all 15 exact partials on ONE partial+final " +
+      "agg over a pruned 4-column scan — no window, no join, no " +
+      "second pass") {
+    val p = plan("q242_corr_matrix")
+    assert(!p.contains("windowspecdefinition"),
+      s"window in a pure agg op:\n${p.take(800)}")
+    assert(!p.contains("Join"), s"join in a one-agg op:\n${p.take(800)}")
+    assert(p.contains("partial"),
+      s"moment partials without map-side combine:\n${p.take(600)}")
+    assert(!p.contains("l_orderkey#") && !p.contains("l_comment#") &&
+      !p.contains("l_shipdate#"),
+      s"scan not pruned to the 4 measure columns:\n${p.take(800)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 0, s"$exchanges hash exchanges in a global " +
+      s"agg:\n${p.take(800)}")
+  }
+
   test("q239 bitmap audience: the pair join consumes the DISTINCT " +
       "(type, user) contraction (partial agg before it — raw events " +
       "never join), size lookups ride broadcasts, no window") {
