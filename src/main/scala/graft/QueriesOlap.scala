@@ -1219,10 +1219,14 @@ object QueriesOlap {
         "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)"))
     // the ONLY order-sensitive float fold: pin it with an ordered
     // running sum over the k-sized table (terms >= 0 so max(cum) is
-    // the full prefix); everything else folds exactly
+    // the full prefix); everything else folds exactly. The k-sized
+    // group table is materialized (localCheckpoint) before the
+    // un-partitioned window so the plan itself proves the window input
+    // is bounded (the q137 tiny-table checkpoint precedent; PlanSpec's
+    // registry-wide window gate requires structural evidence).
     val w = Window.orderBy("event_type")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.withColumn("cum_t", sum("t_g").over(w))
+    g.localCheckpoint(true).withColumn("cum_t", sum("t_g").over(w))
       .agg(count(lit(1)).as("k"), sum("n_g").as("n"),
         sum("sx").as("s_all"), sum("sxx").as("sxx_all"),
         max("cum_t").as("a_t"))
