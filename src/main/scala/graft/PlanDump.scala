@@ -20,10 +20,24 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Queries.all.map(_.name)
+    // SPARK_GRAFT_PLAN_DIR: also write each query's explain("formatted")
+    // to <dir>/<query>_<SPARK_GRAFT_PLAN_TAG>.txt (optimization-round
+    // evidence files, e.g. plans/r16/q63_percentiles_before.txt).
+    val outDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "plan")
+    outDir.foreach(d => java.nio.file.Files
+      .createDirectories(java.nio.file.Paths.get(d)))
     names.foreach { n =>
       println(s"===== $n =====")
-      println(Queries.byName(n).build(spark, sfDir)
-        .queryExecution.executedPlan.toString)
+      val qe = Queries.byName(n).build(spark, sfDir).queryExecution
+      println(qe.executedPlan.toString)
+      outDir.foreach { d =>
+        val formatted = qe.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(d, s"${n}_$tag.txt"),
+          formatted.getBytes("UTF-8"))
+      }
     }
     spark.stop()
   }

@@ -606,16 +606,18 @@ object QueriesCuration {
     // distribution state.
     Q("q140_dsir_score",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
+        // bigrams MAP-SIDE (slice-transform, the oracle's own form; the
+        // lead window paid an exchange+sort of the token stream —
+        // guide §2.4); identical bucket multiset
         val bg = fanOut(documents(s, d))
           .select(col("doc_id"), col("source"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .filter(col("w1").isNotNull)
+            split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("source"), explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> concat_ws(' ', slice(t, i, 2)))")).as("bg"))
           .select(col("doc_id"), col("source"),
-            pmod(Scalars.tokenHash(
-              concat_ws(" ", col("w"), col("w1"))), lit(4096L))
-              .as("bucket"))
+            pmod(Scalars.tokenHash(col("bg")), lit(4096L)).as("bucket"))
         val db = bg.groupBy("doc_id", "source", "bucket")
           .agg(count(lit(1)).as("n"))
           .localCheckpoint(true)

@@ -1217,19 +1217,21 @@ object QueriesOlap {
       // one IEEE tree from exact ints — mirrored by the oracle's t CTE
       .withColumn("t_g", expr(
         "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)"))
-    // the ONLY order-sensitive float fold: pin it with an ordered
-    // running sum over the k-sized table (terms >= 0 so max(cum) is
-    // the full prefix); everything else folds exactly. The k-sized
-    // group table is materialized (localCheckpoint) before the
-    // un-partitioned window so the plan itself proves the window input
-    // is bounded (the q137 tiny-table checkpoint precedent; PlanSpec's
-    // registry-wide window gate requires structural evidence).
-    val w = Window.orderBy("event_type")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.localCheckpoint(true).withColumn("cum_t", sum("t_g").over(w))
-      .agg(count(lit(1)).as("k"), sum("n_g").as("n"),
+    // the ONLY order-sensitive float fold: pin it with a LEFT FOLD over
+    // the key-sorted collected (event_type, t_g) list — the identical
+    // sequence of IEEE additions the oracle's ordered running-sum window
+    // performs (ascending event_type, sequential; 0.0 + x == x exactly
+    // for x >= 0), so the double is bit-identical, with NO window and no
+    // second pass: everything lands in ONE partial+final agg whose
+    // collect_list state is k-sized (event-type cardinality) by
+    // construction. Everything else folds exactly (integer/decimal).
+    g.agg(count(lit(1)).as("k"), sum("n_g").as("n"),
         sum("sx").as("s_all"), sum("sxx").as("sxx_all"),
-        max("cum_t").as("a_t"))
+        sort_array(collect_list(struct(col("event_type"), col("t_g"))))
+          .as("ts"))
+      .withColumn("a_t",
+        expr("aggregate(ts, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.t_g)"))
+      .drop("ts")
       .filter(col("k") > 1)
       .withColumn("ssb", expr(
         "a_t - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / " +

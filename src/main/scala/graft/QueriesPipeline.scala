@@ -112,13 +112,14 @@ object QueriesPipeline {
     // partial+final count and a bounded top-20 with a total tiebreak.
     Q("q72_top_bigrams",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
+        // bigrams MAP-SIDE (slice-transform, the oracle's own form; the
+        // lead window paid an exchange+sort of the exploded token
+        // stream — guide §2.4); identical bigram multiset
         fanOut(documents(s, d))
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .filter(col("w1").isNotNull)
-          .select(concat_ws(" ", col("w"), col("w1")).as("bigram"))
+          .select(split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr("transform(sequence(1, size(t) - 1), " +
+            "i -> concat_ws(' ', slice(t, i, 2)))")).as("bigram"))
           .groupBy("bigram")
           .agg(count(lit(1)).as("cnt"))
           .orderBy(col("cnt").desc, col("bigram").asc)
@@ -272,15 +273,16 @@ object QueriesPipeline {
     // report reduces via TakeOrdered.
     Q("q200_bigram_lift",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
+        // adjacent token pairs MAP-SIDE (struct-transform; the lead
+        // window paid an exchange+sort of the token stream — guide §2.4)
         val pairs = fanOut(documents(s, d))
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-          .withColumn("nxt", lead("tok", 1).over(w))
-          .filter(col("nxt").isNotNull)
-          .select((Scalars.tokenHash(col("tok")) % P).as("ha"),
-            (Scalars.tokenHash(col("nxt")) % P).as("hb"),
-            concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+          .select(split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr("transform(sequence(0, size(t) - 2), " +
+            "i -> struct(t[i] AS tok, t[i + 1] AS nxt))")).as("p"))
+          .select((Scalars.tokenHash(col("p.tok")) % P).as("ha"),
+            (Scalars.tokenHash(col("p.nxt")) % P).as("hb"),
+            concat_ws(" ", col("p.tok"), col("p.nxt")).as("gram"))
         val cab = pairs.groupBy("ha", "hb")
           .agg(count(lit(1)).as("cab"), min("gram").as("gram"))
           .localCheckpoint(true)

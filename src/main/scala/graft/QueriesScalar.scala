@@ -415,13 +415,23 @@ object QueriesScalar {
     // data contract); the general from_json form is Scalars.parsePyList,
     // unit-tested. fanOut: per-row parse dominates the 2-column scan.
     Q("q34_parse_array",
-      (s, d) => fanOut(lineitem(s, d)
+      // r16: the list payload is a pure function of (l_returnflag,
+      // l_linestatus) — a 6-value domain — so contract FIRST (one
+      // map-side-combinable corpus agg) and parse once per distinct
+      // payload, multiplying counts back (the q119 dedup-before-
+      // expensive-op rule; guide §1.2 "don't compute things twice").
+      // The fanOut repartition of 600k concatenated strings is gone with
+      // the per-row parse. Output identical: the (arr_str, n) re-agg sums
+      // the combo counts.
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
         .select(concat(lit("['"), col("l_returnflag"), lit("', '"),
-          col("l_linestatus"), lit("']")).as("s")))
-        .select(Scalars.parsePyListFast(col("s")).as("arr"))
+          col("l_linestatus"), lit("']")).as("s"), col("cnt"))
+        .select(Scalars.parsePyListFast(col("s")).as("arr"), col("cnt"))
         .select(array_join(col("arr"), "|").as("arr_str"),
-          size(col("arr")).as("n"))
-        .groupBy("arr_str", "n").agg(count(lit(1)).as("cnt"))
+          size(col("arr")).as("n"), col("cnt"))
+        .groupBy("arr_str", "n").agg(sum("cnt").as("cnt"))
         .orderBy("arr_str"),
       Some("""WITH js AS (
              |  SELECT replace('[''' || l_returnflag || ''', ''' ||

@@ -231,21 +231,25 @@ object QueriesText {
     val mins = MinhashAB.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("h") + lit(b)) % P).as(s"h$i")
     }
-    // Shingles built relationally (posexplode + window lead) rather than via
-    // Scalars.shingles3's array lambda — identical shingle set for docs with
-    // ≥3 words (all testdata docs), but every expression stays small and
-    // codegen-fused. min() is insensitive to duplicate shingles, so no
-    // distinct step is needed before hashing.
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // Shingles built MAP-SIDE (one small slice-transform per doc, the q87
+    // 5-gram idiom and the oracle's own shinglesSql form) and hashed after
+    // the explode. The previous relational form (posexplode + window lead)
+    // computed the identical shingle set but paid a full exchange AND sort
+    // of the exploded corpus token stream for the doc_id-partitioned
+    // window (guide §2.4: remove shuffles outright) — measured on q47 at
+    // sf0.1: 0.98 s → 0.60 s, plan 4 exchanges → 3 with the token-stream
+    // Exchange+Window gone; every signature consumer (q53/q92/q93/q75/
+    // q112/q115/q135/q145/q212) inherits the saving. Docs under 3 words
+    // carry no 3-shingle and are dropped, exactly as the window form's
+    // w2-isNotNull filter did. min() is insensitive to duplicate shingles,
+    // so no distinct step is needed before hashing.
     fanOut(docs)
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead("w", 1).over(w))
-      .withColumn("w2", lead("w", 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"),
-        (Scalars.tokenHash(concat_ws(" ", col("w"), col("w1"), col("w2")))
-          % P).as("h"))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 2), " +
+          "i -> concat_ws(' ', slice(t, i, 3)))")).as("sh"))
+      .select(col("doc_id"), (Scalars.tokenHash(col("sh")) % P).as("h"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
   }

@@ -753,15 +753,14 @@ object QueriesTextAnalysis {
           sha2(col("text"), 256).as("h"))
         val dtext = documents(s, d).select(col("text")).distinct()
           .select(sha2(col("text"), 256).as("h"), col("text"))
-        val w = Window.partitionBy("h").orderBy("pos")
+        // trigrams MAP-SIDE (the q87 slice-transform idiom; the lead
+        // window paid an exchange+sort of the token stream — guide §2.4)
         val grams = fanOut(dtext)
-          .select(col("h"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "wd")))
-          .withColumn("w1", lead("wd", 1).over(w))
-          .withColumn("w2", lead("wd", 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("h"),
-            concat_ws(" ", col("wd"), col("w1"), col("w2")).as("gram"))
+          .select(col("h"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("h"), explode(expr(
+            "transform(sequence(1, size(t) - 2), " +
+              "i -> concat_ws(' ', slice(t, i, 3)))")).as("gram"))
           .withColumn("g", Scalars.tokenHash(col("gram")) % P)
           .localCheckpoint(true)
         val top = grams.groupBy("g")
@@ -1019,9 +1018,17 @@ object QueriesTextAnalysis {
             posexplode(expr(
               "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
           .toDF("word", "freq", "pos", "sym")
-          .localCheckpoint(true)
+        // UNLIKE q201 (whose per-round stats re-read each round's table,
+        // so it must checkpoint every round), this chain is LINEAR — each
+        // round is read exactly once by the next — so the 8 rounds fuse
+        // into ONE job of chained word-partitioned windows on a single
+        // exchange (8 eager materializations gone; guide §1.2 "remove
+        // passes", §2.4 shared partitioning). One checkpoint after the
+        // last round keeps the declared rollup plan window-free (the
+        // PlanSpec gate) and cuts the 16-window lineage before the join.
         for (r <- 1 to 8)
-          syms = bpeRound(syms, bpeMergeRow(merges, r)).localCheckpoint(true)
+          syms = bpeRound(syms, bpeMergeRow(merges, r))
+        syms = syms.localCheckpoint(true)
         val nt = syms.groupBy("word").agg(count(lit(1)).as("nt"))
         wl.join(nt, "word")
           .groupBy("lang")

@@ -614,16 +614,17 @@ object QueriesTextDedup {
         // materialized once (localCheckpoint = the production write of
         // the overlap matrix, q137's precedent); the corpus is provably
         // scanned once (the declared plan carries no file scan at all).
-        val w = Window.partitionBy("doc_id").orderBy("pos")
+        // 3-shingles built MAP-SIDE (slice-transform, the q87 idiom; the
+        // lead-window form paid an exchange+sort of the exploded token
+        // stream — guide §2.4); identical shingle set
         val mat = fanOut(documents(s, d))
-          .select(col("doc_id"), col("source"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .filter(col("w2").isNotNull)
+          .select(col("source"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, size(t) - 2), " +
+              "i -> concat_ws(' ', slice(t, i, 3)))")).as("sh"))
           .select(col("source"),
-            (Scalars.tokenHash(
-              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
+            (Scalars.tokenHash(col("sh")) % P).as("h"))
           .distinct()
           .groupBy("h").agg(sort_array(collect_set(col("source"))).as("ss"))
           .select(explode(col("ss")).as("src_a"), col("ss"))
@@ -704,19 +705,20 @@ object QueriesTextDedup {
         val pcs = ab.select(col("ca").as("ch"))
           .union(ab.select(col("cb"))).distinct()
         val wch = Window.partitionBy("ch").orderBy("doc_id")
-        val w = Window.partitionBy("ch").orderBy("pos")
+        // 3-shingles MAP-SIDE over the representatives (the q87
+        // slice-transform idiom; drops the content-partitioned lead
+        // window's exchange+sort — guide §2.4); identical shingle set
         val sh = fanOut(hashed.join(broadcast(pcs), Seq("ch"))
           .withColumn("rn", row_number().over(wch))
           .filter(col("rn") === 1)
           .select(col("ch"), col("text")))
+          .select(col("ch"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("ch"), explode(expr(
+            "transform(sequence(1, size(t) - 2), " +
+              "i -> concat_ws(' ', slice(t, i, 3)))")).as("sh"))
           .select(col("ch"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("ch"),
-            (Scalars.tokenHash(
-              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
+            (Scalars.tokenHash(col("sh")) % P).as("h"))
           .distinct()
           .localCheckpoint(true)
         val sz = sh.groupBy("ch").agg(count(lit(1)).as("n"))
@@ -806,21 +808,23 @@ object QueriesTextDedup {
     // corpus-sized.
     Q("q149_winnow_fingerprints",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
         val wf = Window.partitionBy("doc_id").orderBy("pos")
           .rowsBetween(Window.currentRow, 3)
-        val wd = Window.partitionBy("doc_id")
         val wfp = Window.partitionBy("fp")
+        // k-grams MAP-SIDE (slice-transform + posexplode; the index IS
+        // the gram position) and max_pos derived as size(t) - 3 before
+        // the explode — drops the lead-window pass AND the per-doc
+        // max window; only the winnow min window (wf) still needs the
+        // doc-ordered sort. Identical fingerprint set.
         val fps = fanOut(documents(s, d))
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("doc_id"), col("pos"),
-            (Scalars.tokenHash(
-              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
-          .withColumn("max_pos", max("pos").over(wd))
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"), (size(col("t")) - 3).as("max_pos"),
+            posexplode(expr("transform(sequence(1, size(t) - 2), " +
+              "i -> concat_ws(' ', slice(t, i, 3)))"))
+              .as(Seq("pos", "sh")))
+          .select(col("doc_id"), col("pos"), col("max_pos"),
+            (Scalars.tokenHash(col("sh")) % P).as("h"))
           .withColumn("min_key",
             min(col("h") * 1048576L + (lit(1048575L) - col("pos")))
               .over(wf))
@@ -887,16 +891,16 @@ object QueriesTextDedup {
     // sources-many groups. The corpus is shingled exactly once.
     Q("q152_source_novelty",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
+        // 3-shingles MAP-SIDE (the q87 slice-transform idiom; the lead
+        // window paid an exchange+sort of the token stream — guide §2.4)
         val sh = fanOut(documents(s, d))
-          .select(col("doc_id"), col("source"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .filter(col("w2").isNotNull)
+          .select(col("source"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, size(t) - 2), " +
+              "i -> concat_ws(' ', slice(t, i, 3)))")).as("sh"))
           .select(col("source"),
-            (Scalars.tokenHash(
-              concat_ws(" ", col("w"), col("w1"), col("w2"))) % P).as("h"))
+            (Scalars.tokenHash(col("sh")) % P).as("h"))
           .repartition(col("h"))
           .dropDuplicates("source", "h")
         sh.withColumn("nsrc",
@@ -957,28 +961,31 @@ object QueriesTextDedup {
         // Which representative wins is invisible: copies have identical
         // text, hence identical grams. BoilerplateInvariantSpec plants
         // copies and pins the report unchanged.
-        val w = Window.partitionBy("doc_id").orderBy("pos")
         val distinctDocs = fanOut(documents(s, d))
           .select(col("doc_id"), col("text"),
             sha2(col("text"), 256).as("ck"))
           .dropDuplicates("ck")
+        // 5-grams MAP-SIDE (the q87 slice-transform idiom; the lead-chain
+        // window paid an exchange+sort of the token stream — guide §2.4)
         val grams = distinctDocs
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-          .withColumn("w1", lead("w", 1).over(w))
-          .withColumn("w2", lead("w", 2).over(w))
-          .withColumn("w3", lead("w", 3).over(w))
-          .withColumn("w4", lead("w", 4).over(w))
-          .filter(col("w4").isNotNull)
-          .select(col("doc_id"),
-            concat_ws(" ", col("w"), col("w1"), col("w2"), col("w3"),
-              col("w4")).as("gram"))
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 5)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 4), " +
+              "i -> concat_ws(' ', slice(t, i, 5)))")).as("gram"))
           .withColumn("g", Scalars.tokenHash(col("gram")) % P)
-        val occ = grams.groupBy("g")
-          .agg(count(lit(1)).as("n_occ"), min("gram").as("gram"))
-        val df = grams.select("g", "doc_id").distinct()
-          .groupBy("g").agg(count(lit(1)).as("n_contents"))
-        occ.join(df, Seq("g"))
+        // ONE pass over the gram stream for both statistics: per-(g, doc)
+        // partials first (map-side combinable), then the per-g rollup —
+        // n_occ = Σ per-doc counts, n_contents = group count, same values
+        // the old occ ⋈ df two-subtree form produced, without computing
+        // the explode twice (the map-side gram build no longer carries a
+        // reusable exchange, so separate consumers would each re-scan)
+        val occDf = grams.groupBy("g", "doc_id")
+          .agg(count(lit(1)).as("cnt"), min("gram").as("gram"))
+          .groupBy("g")
+          .agg(sum("cnt").as("n_occ"), min("gram").as("gram"),
+            count(lit(1)).as("n_contents"))
+        occDf
           .filter(col("n_contents") >= 3)
           .select("gram", "n_occ", "n_contents")
           .orderBy(col("n_occ").desc, col("gram"))
@@ -1381,19 +1388,21 @@ object QueriesTextDedup {
     // one (doc, pos) distinct, and the rollup is sources-many rows.
     Q("q195_boilerplate_strip",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = fanOut(documents(s, d))
+        // 5-grams built MAP-SIDE (slice-transform + posexplode, the q87
+        // idiom; posexplode's 0-based index IS the token position) — the
+        // previous lead-window form paid an exchange + sort of the whole
+        // exploded token stream (guide §2.4); identical gram set.
+        val base = fanOut(documents(s, d))
           .select(col("source"), col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val grams = toks
-          .withColumn("w1", lead("tok", 1).over(w))
-          .withColumn("w2", lead("tok", 2).over(w))
-          .withColumn("w3", lead("tok", 3).over(w))
-          .withColumn("w4", lead("tok", 4).over(w))
-          .filter(col("w4").isNotNull)
+            split(col("text"), " ").as("t"))
+        val grams = base
+          .filter(size(col("t")) >= 5)
+          .select(col("source"), col("doc_id"),
+            posexplode(expr("transform(sequence(1, size(t) - 4), " +
+              "i -> concat_ws(' ', slice(t, i, 5)))"))
+              .as(Seq("pos", "gm")))
           .select(col("source"), col("doc_id"), col("pos"),
-            (Scalars.tokenHash(concat_ws(" ", col("tok"), col("w1"),
-              col("w2"), col("w3"), col("w4"))) % QueriesText.P).as("g"))
+            (Scalars.tokenHash(col("gm")) % QueriesText.P).as("g"))
         // boiler membership df-counts DISTINCT CONTENT (round 12, the
         // q150 rule): the (g, doc)-distinct pairs — already narrow —
         // join the doc→sha2 map and dedup to (g, content) before the
@@ -1418,8 +1427,11 @@ object QueriesTextDedup {
           .distinct()
         val perDoc = covered.groupBy("source", "doc_id")
           .agg(count(lit(1)).as("n_removed"))
-        val totals = toks.groupBy("source")
-          .agg(count(lit(1)).as("n_tokens"),
+        // totals need no token explode at all: Σ size(t) per source is the
+        // same count the exploded stream produced (guide §2.3: aggregate
+        // before you shuffle — the partial agg now ships one row per doc)
+        val totals = base.groupBy("source")
+          .agg(sum(size(col("t"))).as("n_tokens"),
             countDistinct(col("doc_id")).as("n_docs"))
         totals.join(
             perDoc.groupBy("source")

@@ -36,11 +36,14 @@ import org.apache.spark.sql.functions._
   * Determinism: both algorithms compute min() folds over vertex ids —
   * order-independent, so retries/partitionings cannot change the result.
   *
-  * Lineage: every round `localCheckpoint(true)`s its output — without
-  * truncation each round's plan embeds the previous round's twice and the
-  * logical tree grows exponentially (observed OOM just *stringifying* the
-  * plan at ~14 rounds). Local checkpoints trade executor-loss recovery
-  * for that truncation; a production run on a lossy cluster uses reliable
+  * Lineage: every round local-checkpoints its output — without truncation
+  * each round's plan embeds the previous round's twice and the logical
+  * tree grows exponentially (observed OOM just *stringifying* the plan at
+  * ~14 rounds). Checkpoints are eager (lazy
+  * checkpoints were measured in r16 and bought nothing: AQE materializes
+  * interior stages at .rdd time regardless, and the deferred final stage
+  * only reshuffled job boundaries). Local checkpoints trade executor-loss recovery for
+  * that truncation; a production run on a lossy cluster uses reliable
   * `checkpoint()` on a durable dir — same algorithm, one-line swap.
   */
 object ConnectedComponents {
@@ -145,7 +148,7 @@ object ConnectedComponents {
     // materialize the (small relative to the corpus) edge list once — it
     // is re-read every round, and without this the whole upstream
     // pair-generation pipeline (e.g. q92's minhash+band join) would
-    // recompute per round
+    // recompute per round.
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
@@ -167,7 +170,12 @@ object ConnectedComponents {
         .groupBy("v")
         .agg(min("cand").as("component"), min("own").as("prev"))
         .localCheckpoint(true)
-      converged = next.filter(col("component") =!= col("prev")).isEmpty
+      // convergence via ONE full aggregate (count of changed labels) over
+      // the checkpointed round: a single job, where filter().isEmpty ran
+      // escalating take() waves
+      converged = next
+        .agg(count(when(col("component") =!= col("prev"), 1))).head()
+        .getLong(0) == 0L
       labels = next.select("v", "component")
       i += 1
     }

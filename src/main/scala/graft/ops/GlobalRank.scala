@@ -187,9 +187,17 @@ object GlobalRank {
       weight: Column,
       qPpms: Seq[Int]): DataFrame = {
     val spark = df.sparkSession
+    // r16 (guide §2.3): weight-k rows behave exactly like k repeated rows
+    // (spec-pinned), so equal (g, v) rows collapse to one row summing the
+    // weights before the range exchange — a map-side-combinable agg; the
+    // cumulative-weight threshold test is unchanged on the contracted
+    // table (callers pass bounded value domains — q202's doc lengths —
+    // where the contraction is large; for near-unique values use
+    // exactPercentiles' per-row machinery instead).
     val sortedRdd = df
       .select(group.cast("string").as("g"), value.cast("double").as("v"),
         weight.cast("long").as("w"))
+      .groupBy("g", "v").agg(sum("w").as("w"))
       .repartitionByRange(col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .rdd // lazy DAG; eager part = range-bounds sampling only

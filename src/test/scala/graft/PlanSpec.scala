@@ -1901,23 +1901,24 @@ class PlanSpec extends SparkSpec {
         p.take(800))
   }
 
-  test("q241 anova: ONE corpus partial+final agg; the only window is " +
-      "the ordered prefix sum over the AGGREGATED types-sized table " +
-      "(never fact rows); single corpus exchange") {
+  test("q241 anova: ONE corpus partial+final agg; the order-pinned " +
+      "float fold runs as a k-sized sorted-list fold inside the agg " +
+      "(no window at all, never fact rows); single corpus exchange") {
     val p = plan("q241_anova")
     assert(p.contains("partial"),
       s"group partials without map-side combine:\n${p.take(600)}")
-    // the window input must be the aggregated group table, not the scan
+    // r16: the ordered prefix-sum WINDOW was replaced by a left fold over
+    // sort_array(collect_list(...)) in the final agg — the same IEEE
+    // addition sequence with no WindowExec and no second pass; the gate
+    // now pins the stronger shape (any window here is a regression)
     val exec = innerExec("q241_anova")
     val wins = exec.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(wins.nonEmpty, "ordered prefix-sum window missing")
-    wins.foreach { w =>
-      assert(w.child.collectFirst {
-        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
-      }.isDefined,
-        s"q241: window input is not aggregated — it sorts FACT rows:\n$w")
-    }
+    assert(wins.isEmpty,
+      s"q241 regressed to a window for the ordered fold:\n$wins")
+    assert(p.contains("collect_list"),
+      s"order-pinned sorted-list fold missing (no collect_list in the " +
+        s"agg):\n${p.take(800)}")
     assert(!p.contains("user_id#") && !p.contains("props#"),
       s"scan not pruned to (event_type, value):\n${p.take(800)}")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
