@@ -375,23 +375,33 @@ object QueriesText {
     * (three aggs, one vocab²-bounded equi-join, one corpus explode).
     */
   private[graft] def bigramDocScores(s: SparkSession, d: String): DataFrame = {
-    val bg = fanOut(documents(s, d))
+    // r16 (guide §2.3/§2.4): the old form pre-aggregated per (doc, pair)
+    // tf and hung BOTH the model build and the score join off that
+    // (doc_id, pair)-exchanged table — 5 bigram-scale exchanges end to
+    // end. The model only needs PER-PAIR counts (map-side combinable
+    // straight off the explode: c12 per pair, c1 per first word), and the
+    // per-doc score is the plain sum of p_fp over bigram INSTANCES
+    // (Σ tf·p_fp ≡ Σ_instances p_fp), so the (doc, pair) exchange is
+    // dropped entirely: c12 exchange(pair) + tiny l-agg + instances ⋈
+    // model on pair + final (doc_id) agg. The fanOut exchange under both
+    // explode branches is one reused subtree. Values are identical
+    // (n_bigrams = instance count = Σ tf; same integer model).
+    val raw = fanOut(documents(s, d))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(
         expr("transform(sequence(0, size(toks) - 2), " +
           "i -> concat_ws(' ', toks[i], toks[i + 1]))")).as("pair"))
-      .groupBy("doc_id", "pair").agg(count(lit(1)).as("tf"))
+    val c12 = raw.groupBy("pair").agg(count(lit(1)).as("c12"))
       .withColumn("l", expr("split_part(pair, ' ', 1)"))
-    val c12 = bg.groupBy("l", "pair").agg(sum("tf").as("c12"))
     val c1 = c12.groupBy("l").agg(sum("c12").as("c1"))
     val model = c12.join(c1, "l")
       .select(col("pair"),
         expr("CAST(1000000000 * c12 AS BIGINT) DIV c1").as("p_fp"))
-    bg.join(model, "pair")
+    raw.join(model, "pair")
       .groupBy("doc_id")
-      .agg(sum("tf").as("n_bigrams"),
-        sum(col("tf") * col("p_fp")).as("score_fp"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_fp")).as("score_fp"))
   }
 
   /** q139/q145's shared verification stage: every persisted-index band

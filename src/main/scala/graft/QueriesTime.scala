@@ -2312,10 +2312,15 @@ object QueriesTime {
         (col("ts") + lit(lenNs)).as("t"), lit(-1L).as("d")))
       .groupBy("event_type", "t").agg(sum("d").as("d"))
     val w = Window.partitionBy("event_type").orderBy("t")
+    // r16: the per-type peak rides a SECOND window function over the SAME
+    // partitioning (whole-partition max needs no ordering, so no extra
+    // sort and no extra exchange) instead of a separate agg + broadcast
+    // join back — the boundary-table window subtree used to compute twice
+    // (guide §2.4: two operations keyed the same way share one exchange)
     val cum = bounds.withColumn("cum", sum("d").over(w))
-    val peak = cum.groupBy("event_type").agg(max("cum").as("peak"))
-    cum.join(broadcast(peak), Seq("event_type"))
-      .filter(col("cum") === col("peak"))
+      .withColumn("peak",
+        max("cum").over(Window.partitionBy("event_type")))
+    cum.filter(col("cum") === col("peak"))
       .groupBy("event_type")
       .agg(max("peak").as("peak"), min("t").as("peak_ts"))
   }

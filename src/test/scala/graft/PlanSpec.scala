@@ -1758,14 +1758,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q231 max intersections: the running-sum window runs over the " +
-      "DISTINCT boundary contraction (never fact rows), peak joins back " +
-      "as a types-sized broadcast") {
+      "DISTINCT boundary contraction (never fact rows); the peak is a " +
+      "second frame-only window on the SAME partitioning (r16 — no join, " +
+      "no second pass over the boundary subtree)") {
     assertWindowsOverAggregate("q231_max_intersections")
     val p = plan("q231_max_intersections")
-    assert(p.contains("BroadcastHashJoin"),
-      s"peak join lost its broadcast:\n${p.take(900)}")
-    assert(!p.contains("SortMergeJoin"),
-      s"SMJ for a types-sized peak table:\n${p.take(900)}")
+    assert(!p.contains("Join"),
+      s"q231 regressed to a peak join (the whole-partition max window " +
+        s"needs no join):\n${p.take(900)}")
     assert(p.contains("partial"),
       s"boundary contraction without map-side combine:\n${p.take(600)}")
     assert(p.contains("ReadSchema: struct<ts:") &&
