@@ -65,10 +65,14 @@ object QueriesText {
       when(element_at(col("embedding"), j + 1) > 0f, lit(1 << j))
         .otherwise(0)
     }.reduce(_ + _)
+    // r16: materialize the blocked table once — exchange reuse does not
+    // fire across the aliased self-join sides, so the assign stage
+    // (centroid scoring + argmax window) otherwise ran on BOTH sides
     val blocked = AnnIndexPipeline
       .assign(e, AnnIndexPipeline.centroids(e))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cell"), sub.as("sub"))
+      .localCheckpoint(true)
     val x = blocked.select(col("vec_id").as("a_id"),
       col("embedding").as("a_e"), col("nrm").as("a_n"),
       col("cell"), col("sub"))
@@ -156,7 +160,14 @@ object QueriesText {
     * plain longs per doc, never the shingle+md5 pipeline.
     */
   private[graft] def bandPairs(docs: DataFrame): DataFrame =
-    bandPairsFrom(bandKeys(docs))
+    // r16: materialize the band index before the aliased self-join —
+    // once AQE broadcasts one side, the sides' subtrees differ (broadcast
+    // vs shuffle exchange) and NO exchange/stage reuse can fire, so the
+    // whole shingle+signature pipeline ran TWICE (verified on q53's
+    // executed plan: two parquet scans, two Generate+agg chains). The
+    // checkpoint is doc-sized (2 band keys per doc) and is exactly the
+    // table the incremental pipeline persists anyway.
+    bandPairsFrom(bandKeys(docs).localCheckpoint(true))
 
   /** The candidate self-join over an EXISTING `(doc_id, band_key)` table —
     * shared by the from-scratch path ([[bandPairs]]) and consumers of the
@@ -187,6 +198,10 @@ object QueriesText {
     val docNode = withH.join(nodeOf, "h").select("doc_id", "node")
     val nodeBands = bandKeys(documents(s, d)).join(docNode, "doc_id")
       .select(col("node").as("doc_id"), col("band_key")).distinct()
+      // materialized for the same reason as [[bandPairs]] (r16): the
+      // aliased self-join sides cannot share stages once one side
+      // broadcasts, so the contraction pipeline ran twice
+      .localCheckpoint(true)
     bandPairsFrom(nodeBands)
   }
 

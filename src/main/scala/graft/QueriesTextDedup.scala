@@ -835,6 +835,9 @@ object QueriesTextDedup {
           .withColumn("df", count(lit(1)).over(wfp))
           .filter(col("df") >= 2 && col("df") <= 8)
           .select("doc_id", "fp")
+        // (r16 note: like q174, this fp-keyed self-join keeps both sides
+        // as shuffle exchanges where reuse fires — a tried localCheckpoint
+        // was measurably neutral-to-worse and was reverted.)
         shared.select(col("doc_id").as("a_id"), col("fp"))
           .join(shared.select(col("doc_id").as("b_id"), col("fp")),
             Seq("fp"))
@@ -1144,6 +1147,11 @@ object QueriesTextDedup {
           .withColumn("rn", row_number().over(w))
           .filter(expr("rn <= n - (3 * n + 4) DIV 5 + 1"))
           .select("id", "tok", "rn", "n")
+        // (r16 note: a localCheckpoint here was tried and REVERTED —
+        // this self-join keeps both sides as shuffle exchanges, where
+        // reuse DOES fire, and the materialization more than doubled the
+        // measured time; contrast bandPairs, whose broadcast-converted
+        // side defeats reuse.)
         // PPJoin candidate pruning (Xiao et al. 2008) on top of the
         // prefix join: the LENGTH filter (J ≥ 0.6 forces
         // 5·min(na,nb) ≥ 3·max(na,nb)) and the POSITIONAL filter (the

@@ -39,7 +39,11 @@ object QueriesTextGraphMedia {
     // rounds; top-20 via TakeOrdered, never a global sort.
     Q("q167_pagerank_canon",
       (s, d) => {
-        val pairs = contractedPairs(s, d)
+        // materialized (r16, q170's precedent): pairs feeds the ed
+        // checkpoint AND the ranks-init degree table — un-materialized,
+        // the whole contraction + band self-join re-ran for the second
+        // consumer
+        val pairs = contractedPairs(s, d).localCheckpoint(true)
         val edges = pairs
           .select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(pairs
@@ -256,7 +260,11 @@ object QueriesTextGraphMedia {
         val ids = documents(s, d).filter(col("doc_id") < 200)
           .select("doc_id")
         val corpus = Multimodal.syntheticImageCorpus(ids, 100000L)
-        Multimodal.phashNearDup(Multimodal.perceptualHash(corpus), 3)
+        // r16: materialize the tiny (doc_id, fp) table before the
+        // Hamming-band self-join — exchange reuse does not fire across
+        // the aliased sides, so both sides re-ran the PNG encode+decode
+        Multimodal.phashNearDup(
+          Multimodal.perceptualHash(corpus).localCheckpoint(true), 3)
           .orderBy("a_id", "b_id")
       },
       None),
@@ -282,8 +290,11 @@ object QueriesTextGraphMedia {
         val ids = documents(s, d).filter(col("doc_id") < 150)
           .select("doc_id")
         val corpus = MultimodalAv.syntheticAudioCorpus(ids, 100000L)
+        // r16: materialize the fingerprints once (q131's rationale —
+        // the WAV synth+decode otherwise runs on both self-join sides)
         MultimodalAv.hammingNearDup(
-          MultimodalAv.audioFingerprints(corpus), "doc_id", "afp", 3)
+          MultimodalAv.audioFingerprints(corpus).localCheckpoint(true),
+          "doc_id", "afp", 3)
           .orderBy("a_id", "b_id")
       },
       None),
@@ -310,8 +321,11 @@ object QueriesTextGraphMedia {
         val ids = documents(s, d).filter(col("doc_id") < 120)
           .select("doc_id")
         val corpus = MultimodalAv.syntheticVideoCorpus(ids, 100000L)
+        // r16: materialize the frame-hash table once (q131's rationale —
+        // the GIF synth+decode otherwise runs on both self-join sides)
         MultimodalAv.sceneDupPairs(
-          MultimodalAv.sampleFrameHashes(corpus, 2), 3, 2)
+          MultimodalAv.sampleFrameHashes(corpus, 2).localCheckpoint(true),
+          3, 2)
           .orderBy("a_id", "b_id")
       },
       None),
