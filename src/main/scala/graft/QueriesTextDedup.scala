@@ -977,18 +977,17 @@ object QueriesTextDedup {
             "transform(sequence(1, size(t) - 4), " +
               "i -> concat_ws(' ', slice(t, i, 5)))")).as("gram"))
           .withColumn("g", Scalars.tokenHash(col("gram")) % P)
-        // ONE pass over the gram stream for both statistics: per-(g, doc)
-        // partials first (map-side combinable), then the per-g rollup —
-        // n_occ = Σ per-doc counts, n_contents = group count, same values
-        // the old occ ⋈ df two-subtree form produced, without computing
-        // the explode twice (the map-side gram build no longer carries a
-        // reusable exchange, so separate consumers would each re-scan)
-        val occDf = grams.groupBy("g", "doc_id")
-          .agg(count(lit(1)).as("cnt"), min("gram").as("gram"))
-          .groupBy("g")
-          .agg(sum("cnt").as("n_occ"), min("gram").as("gram"),
-            count(lit(1)).as("n_contents"))
-        occDf
+        // the map-side gram build carries no reusable exchange, so the
+        // two consumers below would each recompute the explode; ONE
+        // materialization serves both (measured best of three forms:
+        // the old lead-window build sorted the token stream, and a fused
+        // (g, doc) pre-agg shipped gram strings at (g, doc) grain)
+        val gramsM = grams.localCheckpoint(true)
+        val occ = gramsM.groupBy("g")
+          .agg(count(lit(1)).as("n_occ"), min("gram").as("gram"))
+        val df = gramsM.select("g", "doc_id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("n_contents"))
+        occ.join(df, Seq("g"))
           .filter(col("n_contents") >= 3)
           .select("gram", "n_occ", "n_contents")
           .orderBy(col("n_occ").desc, col("gram"))
