@@ -277,9 +277,15 @@ object QueriesCuration {
       (s, d) => {
         val docs = documents(s, d)
         val corp = docs.filter(col("doc_id") % 100 =!= 0)
+        // fanOut on the two SHINGLE inputs only (one md5 per 5-gram is
+        // the per-row-heavy stage; r17 sf1 measurement: 4.45 s with both
+        // Generate chains inside one scan task). The anti-join's own corp
+        // scan does no per-row work and stays unfanned. In q212's
+        // pipeline the inputs arrive pre-fanned from the corpus snapshot,
+        // so contaminatedDocs itself stays layout-neutral.
         corp.join(
             graft.pipelines.CurationPipeline.contaminatedDocs(
-              corp, docs.filter(col("doc_id") % 100 === 0)),
+              fanOut(corp), fanOut(docs.filter(col("doc_id") % 100 === 0))),
             Seq("doc_id"), "left_anti")
           .groupBy("lang")
           .agg(count(lit(1)).as("kept_docs"))
@@ -334,7 +340,9 @@ object QueriesCuration {
     // total tokens is sum(token counts), so the token stream is read
     // once.
     Q("q89_repetition_filter",
-      (s, d) => documents(s, d)
+      // fanOut: the (doc, tok) partial agg over the exploded stream
+      // otherwise runs inside the one scan task (r17 sf1: 2.1 s)
+      (s, d) => fanOut(documents(s, d))
         .select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("c"))
@@ -721,7 +729,9 @@ object QueriesCuration {
     // never over docs.
     Q("q142_quality_yield",
       (s, d) => {
-        val qd = documents(s, d).select(
+        // fanOut: the quality fingerprint's regexp_replace over full text
+        // is per-row-heavy (r17 sf1: serial scan task)
+        val qd = fanOut(documents(s, d)).select(
           size(split(col("text"), " ")).cast("long").as("n_tok"),
           floor(lit(1e6) *
             (least(size(split(col("text"), " ")).cast("double") / 100.0,
@@ -1115,7 +1125,11 @@ object QueriesCuration {
     // sort; chunking parallelizes per input split, and the fingerprint
     // keeps the emitted rows narrow (no chunk text in the output).
     Q("q127_context_chunks",
-      (s, d) => contextChunks(documents(s, d)).orderBy("doc_id", "chunk_id"),
+      // fanOut at the call site (contextChunks itself stays the
+      // layout-neutral streaming-shared transform): one md5 fingerprint
+      // per chunk is per-row-heavy (r17 sf1: serial scan task)
+      (s, d) => contextChunks(fanOut(documents(s, d)))
+        .orderBy("doc_id", "chunk_id"),
       Some("""WITH t AS (
              |  SELECT doc_id, str_split(text, ' ') AS t,
              |         len(str_split(text, ' ')) AS n FROM documents),
@@ -1301,7 +1315,9 @@ object QueriesCuration {
         val nw = size(split(col("text"), " ")).cast("double")
         val ar = length(regexp_replace(col("text"), "[^a-z]", ""))
           .cast("double") / length(col("text"))
-        val t = documents(s, d).select(
+        // fanOut: the five flag projections (two regexp_replace passes
+        // over full text) are per-row-heavy (r17 sf1: 1.0 s serial)
+        val t = fanOut(documents(s, d)).select(
           (col("lang") === "en").as("p1"),
           (size(split(col("text"), " ")) >= 30).as("p2"),
           (floor(lit(1e6) * ar) >= 810000L).as("p3"),
@@ -1588,9 +1604,11 @@ object QueriesCuration {
     // Nothing but the token pass is corpus-sized.
     Q("q181_filter_kappa",
       (s, d) => {
-        // no fanOut: the explode's downstream groupBy already
-        // redistributes (this file's q87/q89 measured convention)
-        val cc = documents(s, d)
+        // r17: fanOut after all — the downstream groupBy redistributes
+        // the REDUCE side, but the partial (doc, tok) agg still ran
+        // inside the one scan task (sf1 measurement: 1.7 s serial; the
+        // r15 no-fanOut note was an sf0.1 overhead reading)
+        val cc = fanOut(documents(s, d))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
         val wgt = (Scalars.tokenHash(col("tok")) % lit(256L) * lit(2971L)

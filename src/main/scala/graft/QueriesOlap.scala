@@ -39,13 +39,23 @@ object QueriesOlap {
         lineitem(s, d).createOrReplaceTempView("lineitem")
         // exact decimal money sum (Scalars.moneySum rationale): the ()
         // grand total over the whole fact table is exactly the shape whose
-        // double-sum accumulation order flipped a cent at sf1
-        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        // double-sum accumulation order flipped a cent at sf1.
+        // r17 (guide §2.1/§2.3): pre-aggregate by the FULL (rf, ls) key
+        // first — Spark's GROUPING SETS plans an Expand that triples the
+        // fact stream BEFORE the partial agg, so the old form ran the
+        // decimal sum over 3×N rows; the sets now expand a 6-row table.
+        // Exact re-association: counts add, DECIMAL(18,2) partial sums
+        // add exactly (widened to DECIMAL(38,2) before the final double
+        // cast), so the rendered values are bit-identical (oracle-pinned).
+        s.sql("""WITH base AS (
+                |  SELECT l_returnflag, l_linestatus, count(1) AS cnt,
+                |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp
+                |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+                |SELECT coalesce(l_returnflag, 'ALL') AS rf,
                 |       coalesce(l_linestatus, 'ALL') AS ls,
-                |       count(1) AS cnt,
-                |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-                |            AS DOUBLE) AS sum_price
-                |FROM lineitem
+                |       sum(cnt) AS cnt,
+                |       CAST(sum(sp) AS DOUBLE) AS sum_price
+                |FROM base
                 |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
                 |ORDER BY rf, ls""".stripMargin)
       },
@@ -583,7 +593,9 @@ object QueriesOlap {
     // BIGINT past n~1e6 rows/source).
     Q("q160_spearman_agreement",
       (s, d) => {
-        val sigs = documents(s, d).select(col("doc_id"), col("source"),
+        // fanOut: the two quality fingerprints (regexp_replace over full
+        // text) are per-row-heavy (r17 sf1: serial scan task)
+        val sigs = fanOut(documents(s, d)).select(col("doc_id"), col("source"),
           floor(lit(1e6) *
             (least(size(split(col("text"), " ")).cast("double") / 100.0,
               lit(1.0)) * 0.5 +

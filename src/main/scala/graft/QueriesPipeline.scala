@@ -39,7 +39,9 @@ object QueriesPipeline {
     // near-copies). DuckDB replays the fold exactly via list_reduce with a
     // prepended zero seed.
     Q("q70_rolling_hash",
-      (s, d) => documents(s, d)
+      // fanOut: one md5 per token otherwise runs inside the
+      // single-row-group scan task (r17 sf1 measurement: 1.74 s serial)
+      (s, d) => fanOut(documents(s, d))
         .select(col("doc_id"),
           transform(split(col("text"), " "),
             w => Scalars.tokenHash(w) % P).as("hs"))
@@ -69,7 +71,9 @@ object QueriesPipeline {
     Q("q70b_rolling_hash_native",
       (s, d) => {
         graft.ops.RollingHashExpr.register(s)
-        documents(s, d)
+        // fanOut: same serial-scan argument as q70 (the native expression
+        // is ~1.6× faster per row but still one md5 digest per token)
+        fanOut(documents(s, d))
           .select(col("doc_id"),
             call_function("rolling_hash", col("text")).as("rhash"))
           .orderBy("doc_id")

@@ -42,7 +42,9 @@ object QueriesTextAnalysis {
     Q("q43_lang_id",
       (s, d) => {
         val stops = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
-        documents(s, d)
+        // fanOut: the per-row split+filter work otherwise runs inside the
+        // single-row-group scan task (r17 sf1 measurement: 1.48 s serial)
+        fanOut(documents(s, d))
           .select(col("doc_id"), split(col("text"), " ").as("words"))
           .select(col("doc_id"),
             size(col("words")).as("n_words"),
@@ -69,7 +71,9 @@ object QueriesTextAnalysis {
 
     // Quality scoring: length / alpha-ratio / word-count composite.
     Q("q44_quality_score",
-      (s, d) => documents(s, d)
+      // fanOut: the full-text regexp_replace is per-row-heavy (r17 sf1
+      // measurement: 1.54 s inside the one scan task)
+      (s, d) => fanOut(documents(s, d))
         .select(col("doc_id"),
           length(col("text")).as("n_chars_m"),
           size(split(col("text"), " ")).as("n_words"),
@@ -93,7 +97,9 @@ object QueriesTextAnalysis {
 
     // Token counting: whitespace tokens + BPE-ish regex tokens + chars/4.
     Q("q45_token_count",
-      (s, d) => documents(s, d)
+      // fanOut: regexp_extract_all over full text is per-row-heavy (r17
+      // sf1 measurement: 1.88 s inside the one scan task)
+      (s, d) => fanOut(documents(s, d))
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("ws_tokens"),
           size(expr(
@@ -112,7 +118,9 @@ object QueriesTextAnalysis {
     // Document fingerprint: md5 over the sorted distinct vocabulary —
     // rolling-hash-style content signature, identical in both engines.
     Q("q46_fingerprint",
-      (s, d) => documents(s, d)
+      // fanOut: per-doc vocab sort + md5 is per-row-heavy (r17 sf1
+      // measurement: 1.40 s inside the one scan task)
+      (s, d) => fanOut(documents(s, d))
         .select(col("doc_id"),
           sort_array(array_distinct(split(col("text"), " "))).as("vocab"))
         .select(col("doc_id"),
@@ -141,7 +149,9 @@ object QueriesTextAnalysis {
     Q("q103_tfidf_topterms",
       (s, d) => {
         val docs = documents(s, d)
-        val toks = docs.select(col("doc_id"), col("lang"),
+        // fanOut: tf's partial agg over the exploded token stream
+        // otherwise runs inside the one scan task (r17 sf1: 2.9 s)
+        val toks = fanOut(docs).select(col("doc_id"), col("lang"),
           explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy("doc_id", "lang", "tok")
           .agg(count(lit(1)).as("tf"))
@@ -927,13 +937,24 @@ object QueriesTextAnalysis {
     // everything runs over the DISTINCT word table weighted by corpus
     // frequency (vocabulary-sized, Heaps'-law sublinear), never the token
     // stream; the only corpus-proportional stage is the word-frequency
-    // agg (map-side combinable). Each round is one window pass
-    // (partitioned by word — vocab-cardinality parallelism) cut by an
-    // eager localCheckpoint, the q196 iterative idiom, so the lineage
-    // stays flat at any round count. The merge table reaches rounds as a
+    // agg (map-side combinable). The merge table reaches rounds as a
     // broadcast 1-row scalar (never collected to the driver); rounds with
     // no rk-r row degrade to identity via never-matching sentinel chars
     // (U+0001/U+0002 — not producible by the documents generator).
+    // r17 (guide §1.2, the q210 linear-chain analysis carried to its
+    // conclusion): the 8 rounds fuse into ONE job of chained
+    // word-partitioned windows (8 mid-chain eager checkpoints gone), and
+    // ALL nine per-round stats come from ONE aggregate over the FINAL
+    // round-8 table instead of nine per-round jobs. Sound because merged
+    // symbols are inert once created: every merge pair has distinct
+    // single chars, so a 2-char merged symbol can never equal a later
+    // round's ml/mr (single chars) — it is neither consumed nor rewritten
+    // downstream — and all 8 mtok strings are distinct (distinct pairs,
+    // char-concat injective). Hence count(sym = mtok_r) is identical in
+    // s_r and s_8 (merge_occ), and corpus_tokens after round r = the
+    // round-8 total + Σ_{k>r} merge_occ_k (each round-k merge removed
+    // exactly one row per occurrence). BpeEncodeInvariantSpec pins the
+    // equivalence against the literal per-round replay.
     Q("q201_bpe_encode",
       (s, d) => {
         val words = fanOut(documents(s, d))
@@ -947,24 +968,37 @@ object QueriesTextAnalysis {
             posexplode(expr(
               "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
           .toDF("word", "freq", "pos", "sym")
-          .localCheckpoint(true)
-        val stats = Seq.newBuilder[DataFrame]
-        stats += syms.groupBy().agg(sum("freq").as("corpus_tokens"))
-          .select(lit(0).as("round"), lit("").as("merge_tok"),
-            col("corpus_tokens"), lit(0L).as("merge_occ"))
-        for (r <- 1 to 8) {
-          val m = bpeMergeRow(merges, r)
-          syms = bpeRound(syms, m).localCheckpoint(true)
-          stats += syms.crossJoin(broadcast(m))
-            .groupBy().agg(
-              sum("freq").as("corpus_tokens"),
-              sum(when(col("sym") === col("mtok"), col("freq"))
-                .otherwise(lit(0L))).as("merge_occ"),
-              first("mtok").as("mtok"))
-            .select(lit(r).as("round"), col("mtok").as("merge_tok"),
-              col("corpus_tokens"), col("merge_occ"))
-        }
-        stats.result().reduce(_ unionByName _).orderBy("round")
+        for (r <- 1 to 8)
+          syms = bpeRound(syms, bpeMergeRow(merges, r))
+        // one cut after the chain (lineage truncation; also the one
+        // materialization the stats pass below re-reads)
+        syms = syms.localCheckpoint(true)
+        // rank-r merge tokens as one broadcast row ('' when rank absent,
+        // exactly bpeMergeRow's sentinel-degenerate mtok)
+        val mtokCols = (1 to 8).map(r => coalesce(max(when(col("rk") === r,
+          col("pair"))), lit("")).as(s"m$r"))
+        val mtoks = merges.groupBy().agg(mtokCols.head, mtokCols.tail: _*)
+        val occAggs: Seq[org.apache.spark.sql.Column] =
+          sum(col("freq")).as("t8") +:
+            (1 to 8).map(r => sum(when(col("sym") === col(s"m$r"),
+              col("freq")).otherwise(lit(0L))).as(s"occ$r"))
+        val a = syms.crossJoin(broadcast(mtoks))
+          .groupBy().agg(occAggs.head, occAggs.tail: _*)
+          .crossJoin(broadcast(mtoks))
+        def tokensAfter(r: Int): org.apache.spark.sql.Column =
+          (r + 1 to 8).map(k => col(s"occ$k")).foldLeft(col("t8"))(_ + _)
+        val rows = struct(lit(0).as("round"), lit("").as("merge_tok"),
+            tokensAfter(0).as("corpus_tokens"), lit(0L).as("merge_occ")) +:
+          (1 to 8).map(r => struct(lit(r).as("round"),
+            col(s"m$r").as("merge_tok"),
+            tokensAfter(r).as("corpus_tokens"),
+            col(s"occ$r").as("merge_occ")))
+        a.select(explode(array(rows: _*)).as("f"))
+          .select(col("f.round").as("round"),
+            col("f.merge_tok").as("merge_tok"),
+            col("f.corpus_tokens").as("corpus_tokens"),
+            col("f.merge_occ").as("merge_occ"))
+          .orderBy("round")
       },
       Some {
         val stats = (1 to 8).map { r =>

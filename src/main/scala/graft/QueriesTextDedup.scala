@@ -1344,9 +1344,15 @@ object QueriesTextDedup {
         val variants = documents(s, d).filter(col("doc_id") < 100)
           .select(col("source"),
             concat(upper(col("text")), lit(" !!")).as("text"))
-        base.unionByName(variants)
+        // fanOut the CORPUS side only, and hash BEFORE the union: two
+        // sha2 digests + two full-text regex passes per row otherwise run
+        // inside the one scan task (r17 sf1: 2.0 s serial); fanning the
+        // unioned TEXT instead shuffled the full corpus text for no win
+        // (measured 2.3 s) — hash first, union narrow 64-hex rows
+        def hashed(df: org.apache.spark.sql.DataFrame) = df
           .select(col("source"), sha2(col("text"), 256).as("raw_h"),
             sha2(canon(col("text")), 256).as("canon_h"))
+        hashed(fanOut(base)).unionByName(hashed(variants))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("raw_h")).as("distinct_raw"),

@@ -36,15 +36,19 @@ import org.apache.spark.sql.functions._
   * Determinism: both algorithms compute min() folds over vertex ids —
   * order-independent, so retries/partitionings cannot change the result.
   *
-  * Lineage: every round local-checkpoints its output — without truncation
-  * each round's plan embeds the previous round's twice and the logical
-  * tree grows exponentially (observed OOM just *stringifying* the plan at
-  * ~14 rounds). Checkpoints are eager (lazy
-  * checkpoints were measured in r16 and bought nothing: AQE materializes
-  * interior stages at .rdd time regardless, and the deferred final stage
-  * only reshuffled job boundaries). Local checkpoints trade executor-loss recovery for
-  * that truncation; a production run on a lossy cluster uses reliable
-  * `checkpoint()` on a durable dir — same algorithm, one-line swap.
+  * Lineage: [[labelStar]] local-checkpoints every round — without
+  * truncation each round's plan embeds the previous round's twice and the
+  * logical tree grows exponentially (observed OOM just *stringifying* the
+  * plan at ~14 rounds). Checkpoints are eager (lazy checkpoints were
+  * measured in r16 and bought nothing: AQE materializes interior stages
+  * at .rdd time regardless). [[labelMinProp]]'s r17 self-loop form
+  * references the previous round exactly once, so a round is one join +
+  * one agg with no separate own-label pool branch; rounds stay eager
+  * localCheckpoints (caching them partition-aware was measured slower —
+  * see the in-method note). Local checkpoints trade executor-loss
+  * recovery for truncation; a production run on a lossy cluster uses
+  * reliable `checkpoint()` on a durable dir — same algorithm, one-line
+  * swap.
   */
 object ConnectedComponents {
 
@@ -148,32 +152,45 @@ object ConnectedComponents {
     // materialize the (small relative to the corpus) edge list once — it
     // is re-read every round, and without this the whole upstream
     // pair-generation pipeline (e.g. q92's minhash+band join) would
-    // recompute per round.
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // recompute per round. r17 (guide §1.2/§2.4): the neighborhood view
+    // carries ONE marked SELF-LOOP row per vertex, so a round is a single
+    // join + a single partial/final agg — min(component) over the
+    // neighborhood ∪ self IS the new label, min(component) over the self
+    // row alone IS the previous label for the convergence count. The old
+    // shape unioned a separate `pool` branch, referencing the labels
+    // table twice and paying one more exchange (≈1 scheduler job) per
+    // round per closure consumer.
+    // (r17 note: caching sym/rounds hash-partitioned on the join key —
+    // to let consecutive rounds share the edge exchange, guide §2.4 —
+    // was measured SLOWER at sf1 than eager row-RDD checkpoints: the
+    // columnar cache encode/decode cost more than the exchanges it
+    // saved; q212's closure read 2.66 s cp-everything vs 3.28 s with a
+    // cached dst-partitioned sym vs 3.88 s all-cached. Checkpoints kept.)
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = und.select(col("src"), col("dst"), lit(false).as("self"))
+      .union(und.select(col("src"), col("src").as("dst"),
+        lit(true).as("self")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("v")).distinct()
-      .withColumn("component", col("v"))
-      .localCheckpoint(true)
+    var labels = sym.filter(col("self"))
+      .select(col("src").as("v"), col("src").as("component"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // neighbor labels flow along edges; own previous label rides the
-      // pool in a second column (exactly one non-null per vertex), so the
-      // same min-agg yields both the new label and the old one
-      val prop = sym.join(labels, sym("dst") === labels("v"))
-        .select(sym("src").as("v"), col("component").as("cand"),
-          lit(null).cast("long").as("own"))
-      val pool = labels.select(col("v"), col("component").as("cand"),
-        col("component").as("own"))
-      val next = pool.union(prop)
-        .groupBy("v")
-        .agg(min("cand").as("component"), min("own").as("prev"))
+      val next = sym.join(labels, sym("dst") === labels("v"))
+        .groupBy(sym("src"))
+        .agg(min("component").as("component"),
+          min(when(col("self"), col("component"))).as("prev"))
+        .select(col("src").as("v"), col("component"), col("prev"))
         .localCheckpoint(true)
-      // convergence via ONE full aggregate (count of changed labels) over
-      // the checkpointed round: a single job, where filter().isEmpty ran
-      // escalating take() waves
-      converged = next
+      // convergence via ONE full aggregate (count of changed labels):
+      // a single job, where filter().isEmpty ran escalating take()
+      // waves. Round 1 skips the check outright (r17): any edge (a, b)
+      // with a != b relabels its larger endpoint to a smaller id in
+      // round 1, so the check can only return "converged" on a
+      // self-loop-only graph — and there the skip merely defers
+      // detection to round 2's check over an unchanged (tiny) table.
+      converged = i > 0 && next
         .agg(count(when(col("component") =!= col("prev"), 1))).head()
         .getLong(0) == 0L
       labels = next.select("v", "component")

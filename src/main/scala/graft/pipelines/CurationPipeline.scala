@@ -63,14 +63,28 @@ object CurationPipeline {
   }
 
   /** Stage 2 — near-dup survivors: q93's representative rule over the
-    * DedupPipeline closure (one labels materialization, shared).
-    * `(doc_id)` of survivors; non-colliding docs survive as their own
-    * cluster.
+    * DedupPipeline closure. `(doc_id)` of survivors; non-colliding docs
+    * survive as their own cluster.
+    *
+    * r17 (guide §1.2/§2.4): the labels table is consumed ONCE here, so
+    * the extra `localCheckpoint` it carried (a leftover of
+    * DedupPipeline.run's two-consumer shape) was a pure job; and since
+    * only survivor doc_ids are needed (not q93's ordered dump), the
+    * per-cluster rank window is replaced by the aggregation-form argmax
+    * (q158's max(struct) idiom — map-side combinable, no window
+    * exchange+sort). Same rule: longest text wins, doc_id tiebreak.
+    * CurationPipelineSpec pins equality with q93's representative set.
     */
-  def dedupSurvivors(corpus: DataFrame): DataFrame =
-    DedupPipeline.representatives(
-      corpus, DedupPipeline.labels(corpus).localCheckpoint(true))
-      .select(col("doc_id"))
+  def dedupSurvivors(corpus: DataFrame): DataFrame = {
+    val l = DedupPipeline.labels(corpus)
+    corpus.select(col("doc_id"), col("n_chars"))
+      .join(l, col("doc_id") === l("v"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .groupBy("cluster")
+      .agg(max(struct(col("n_chars").as("n_chars"),
+        (-col("doc_id")).as("nd"))).as("w"))
+      .select((-col("w.nd")).as("doc_id"))
+  }
 
   /** Stage 3 — q87's benchmark decontamination, doc-level: corpus docs
     * sharing any 5-gram with the benchmark set. Benchmark shingles

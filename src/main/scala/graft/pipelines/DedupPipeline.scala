@@ -76,7 +76,9 @@ object DedupPipeline {
     * a lossy cluster use `checkpoint()`/a parquet write instead.
     */
   def run(docs: DataFrame): DedupOutputs = {
-    val l = labels(docs).localCheckpoint(true)
+    // labelMinProp already returns a materialized (checkpointed) table
+    // (r17) — re-checkpointing it here was one pure job per run
+    val l = labels(docs)
     DedupOutputs(l, sizeHistogram(l), representatives(docs, l))
   }
 

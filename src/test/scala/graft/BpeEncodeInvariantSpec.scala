@@ -105,4 +105,51 @@ class BpeEncodeInvariantSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(3)).sum > 0, "no merge ever fired")
   }
+
+  test("q201 one-pass stats equal the literal per-round replay (r17 " +
+      "restructure: merged symbols are inert, so counting mtok_r in the " +
+      "FINAL table reproduces every round's corpus_tokens/merge_occ)") {
+    val dir = Files.createTempDirectory("bpedocs2").toString
+    val texts = Seq(
+      (1L, "the cat sat on the mat and the rat ate there"),
+      (2L, "the thin hen then heard the other weather zz zz zz"),
+      (3L, "banana bandana cabana the the the on on on on"))
+    texts.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // literal replay: the pre-r17 shape — checkpoint each round, compute
+    // (corpus_tokens, merge_occ) with a per-round aggregate
+    val words = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val merges = QueriesTextAnalysis.bpeMineMerges(words, 8)
+      .localCheckpoint(true)
+    var syms = words
+      .select(col("word"), col("freq"),
+        posexplode(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+      .toDF("word", "freq", "pos", "sym")
+      .localCheckpoint(true)
+    val replay = Seq.newBuilder[(Int, String, Long, Long)]
+    replay += ((0, "",
+      syms.agg(sum("freq")).head().getLong(0), 0L))
+    for (r <- 1 to 8) {
+      val m = QueriesTextAnalysis.bpeMergeRow(merges, r)
+      syms = QueriesTextAnalysis.bpeRound(syms, m).localCheckpoint(true)
+      val row = syms.crossJoin(broadcast(m))
+        .agg(sum("freq"),
+          sum(when(col("sym") === col("mtok"), col("freq"))
+            .otherwise(lit(0L))),
+          first("mtok")).head()
+      replay += ((r, row.getString(2), row.getLong(0), row.getLong(1)))
+    }
+    val got = Queries.byName("q201_bpe_encode").build(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == replay.result(), s"one-pass stats diverge:\n" +
+      s"got    $got\nreplay ${replay.result()}")
+  }
 }
