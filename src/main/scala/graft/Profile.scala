@@ -59,13 +59,26 @@ object Profile {
         }
       })
 
+    // r17 fix: the noop write runs its OWN QueryExecution — reading
+    // lastDf.queryExecution.executedPlan dumped the UN-executed initial
+    // plan (isFinalPlan=false: no AQEShuffleRead nodes, no metrics). A
+    // QueryExecutionListener captures the write's executed plan instead.
+    @volatile var lastExecuted: SparkPlan = null
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = { lastExecuted = qe.executedPlan }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     names.foreach { n =>
       val q = Queries.byName(n)
       // warmup (codegen compile); bench-faithful timing = build + write
       q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
       var best = Double.MaxValue
       var bestBuild = Double.MaxValue
-      var lastDf: org.apache.spark.sql.DataFrame = null
       var (nj, ns, nt) = (0, 0, 0)
       (1 to runs).foreach { r =>
         val (j0, s0, t0c) = (jobs.get(), stages.get(), tasks.get())
@@ -74,14 +87,20 @@ object Profile {
         val tb = (System.nanoTime() - t0) / 1e9
         df.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best) { best = dt; bestBuild = tb; lastDf = df }
+        if (dt < best) { best = dt; bestBuild = tb }
         if (r == runs) {
           nj = jobs.get() - j0; ns = stages.get() - s0; nt = tasks.get() - t0c
         }
       }
       println(f"===== $n  best=$best%.3f s (build-phase $bestBuild%.3f s, " +
         f"jobs=$nj stages=$ns tasks=$nt) =====")
-      dump(lastDf.queryExecution.executedPlan, 0)
+      // bounded wait: the listener bus is async (ADVICE r16 #2)
+      var waited = 0
+      while (lastExecuted == null && waited < 5000) {
+        Thread.sleep(50); waited += 50
+      }
+      if (lastExecuted != null) dump(lastExecuted, 0)
+      lastExecuted = null
     }
     spark.stop()
   }

@@ -1235,26 +1235,31 @@ object QueriesCuration {
               concat_ws(" ", slice(col("t"), col("start"), lit(8))))
               .as("fp"))
         val wFirst = Window.partitionBy("fp").orderBy("doc_id", "start")
+        // r17 (guide §2.3/§1.2): dup positions contract to ONE sorted
+        // array per doc (collect_set dedups, so the separate distinct
+        // exchange is gone), and the reassembly runs MAP-SIDE over the
+        // per-doc token array the scan already carries — the old form
+        // exploded the whole token stream, probed every token through a
+        // join, and re-collected + sorted 100% of the corpus tokens per
+        // doc in an ObjectHashAggregate. Shuffled bytes now: dup-doc
+        // position arrays only, never the token stream.
         val dupPos = wins
           .withColumn("rn", row_number().over(wFirst))
           .filter(col("rn") >= 2)
           .select(col("doc_id"),
             explode(expr("sequence(start, least(start + 7, n))"))
               .as("pos"))
-          .distinct()
-        val tokPos = toks
-          .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
-          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-        tokPos
-          .join(dupPos.withColumn("dup", lit(true)),
-            Seq("doc_id", "pos"), "left")
-          .withColumn("dup", coalesce(col("dup"), lit(false)))
           .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"),
-            sum(when(col("dup"), 1L).otherwise(0L)).as("dup_tok"),
-            expr("array_join(transform(filter(array_sort(" +
-              "collect_list(struct(pos, dup, tok))), x -> NOT x.dup)," +
-              " x -> x.tok), ' ')").as("text_dedup"))
+          .agg(sort_array(collect_set(col("pos"))).as("dups"))
+        toks
+          .join(dupPos, Seq("doc_id"), "left")
+          .withColumn("dups",
+            coalesce(col("dups"), typedLit(Array.empty[Int])))
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_tok"),
+            size(col("dups")).cast("long").as("dup_tok"),
+            expr("array_join(filter(t, (x, i) -> " +
+              "NOT array_contains(dups, i + 1)), ' ')").as("text_dedup"))
           .orderBy("doc_id")
       },
       Some("""WITH t AS (

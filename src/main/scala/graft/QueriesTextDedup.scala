@@ -692,25 +692,34 @@ object QueriesTextDedup {
         // set intersection runs once per distinct UNEQUAL content pair,
         // equal-content pairs short-circuit to full containment, and
         // the verdict fans back out through the (doc → content) tags.
-        val hashed = documents(s, d).select(col("doc_id"), col("text"),
-          sha2(col("text"), 256).as("ch"))
+        // r17 (guide §1.2/§2.4): sha2 over the full text used to be
+        // recomputed on THREE separate single-task scans (the doc→content
+        // tag for each pair side plus the representative pass) — one
+        // fanned-out narrow (doc_id, ch) checkpoint computes it once,
+        // in parallel. Representative-per-content = min(doc_id), an
+        // aggregate instead of the rn=1 window (same doc: ties are exact
+        // duplicates of the text anyway); its text is fetched by ONE
+        // broadcast join against the corpus scan.
+        val ids = fanOut(documents(s, d))
+          .select(col("doc_id"), sha2(col("text"), 256).as("ch"))
+          .localCheckpoint(true)
         val pairs = bandPairsFrom(
           graft.pipelines.DedupPipeline.cachedFold(s, d).bands)
-        val withA = hashed
+        val withA = ids
           .select(col("doc_id").as("a_id"), col("ch").as("ca"))
           .join(broadcast(pairs), Seq("a_id"))
-        val ab = hashed
+        val ab = ids
           .select(col("doc_id").as("b_id"), col("ch").as("cb"))
           .join(broadcast(withA), Seq("b_id"))
         val pcs = ab.select(col("ca").as("ch"))
           .union(ab.select(col("cb"))).distinct()
-        val wch = Window.partitionBy("ch").orderBy("doc_id")
+        val repIds = ids.join(broadcast(pcs), Seq("ch"))
+          .groupBy("ch").agg(min("doc_id").as("doc_id"))
         // 3-shingles MAP-SIDE over the representatives (the q87
         // slice-transform idiom; drops the content-partitioned lead
         // window's exchange+sort — guide §2.4); identical shingle set
-        val sh = fanOut(hashed.join(broadcast(pcs), Seq("ch"))
-          .withColumn("rn", row_number().over(wch))
-          .filter(col("rn") === 1)
+        val sh = fanOut(documents(s, d)
+          .join(broadcast(repIds), Seq("doc_id"))
           .select(col("ch"), col("text")))
           .select(col("ch"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 3)
@@ -1408,6 +1417,11 @@ object QueriesTextDedup {
         val base = fanOut(documents(s, d))
           .select(col("source"), col("doc_id"),
             split(col("text"), " ").as("t"))
+        // r17: materialized ONCE (the q150 single-pass gram rule) — the
+        // boiler membership ends in a BROADCAST side, so no exchange or
+        // stage reuse can fire across its two consumers and the whole
+        // 5-gram md5 build ran TWICE (measured: the gram pipeline is the
+        // query's hottest stage, ~22 s CPU per pass at sf1)
         val grams = base
           .filter(size(col("t")) >= 5)
           .select(col("source"), col("doc_id"),
@@ -1416,6 +1430,7 @@ object QueriesTextDedup {
               .as(Seq("pos", "gm")))
           .select(col("source"), col("doc_id"), col("pos"),
             (Scalars.tokenHash(col("gm")) % QueriesText.P).as("g"))
+          .localCheckpoint(true)
         // boiler membership df-counts DISTINCT CONTENT (round 12, the
         // q150 rule): the (g, doc)-distinct pairs — already narrow —
         // join the doc→sha2 map and dedup to (g, content) before the
