@@ -1125,10 +1125,12 @@ object QueriesCuration {
     // sort; chunking parallelizes per input split, and the fingerprint
     // keeps the emitted rows narrow (no chunk text in the output).
     Q("q127_context_chunks",
-      // fanOut at the call site (contextChunks itself stays the
-      // layout-neutral streaming-shared transform): one md5 fingerprint
-      // per chunk is per-row-heavy (r17 sf1: serial scan task)
-      (s, d) => contextChunks(fanOut(documents(s, d)))
+      // size-adaptive fanOut at the call site (contextChunks itself stays
+      // the layout-neutral streaming-shared transform): one md5 per CHUNK
+      // (1/48th of the token stream) is moderate per-row work — the
+      // exchange pays off at sf1 (0.87 -> 0.59 floor) but costs more than
+      // it spreads at sf0.1 (0.21 -> 0.42, r17 closing run 1)
+      (s, d) => contextChunks(fanOutOver(documents(s, d)))
         .orderBy("doc_id", "chunk_id"),
       Some("""WITH t AS (
              |  SELECT doc_id, str_split(text, ' ') AS t,

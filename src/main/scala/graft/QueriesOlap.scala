@@ -593,9 +593,10 @@ object QueriesOlap {
     // BIGINT past n~1e6 rows/source).
     Q("q160_spearman_agreement",
       (s, d) => {
-        // fanOut: the two quality fingerprints (regexp_replace over full
-        // text) are per-row-heavy (r17 sf1: serial scan task)
-        val sigs = fanOut(documents(s, d)).select(col("doc_id"), col("source"),
+        // size-adaptive fanOut: ONE regexp_replace pass per row is
+        // moderate work — wins at sf1 (floor 1.67 -> 1.47), loses at
+        // sf0.1 (0.65 -> 1.09, r17 closing run 1)
+        val sigs = fanOutOver(documents(s, d)).select(col("doc_id"), col("source"),
           floor(lit(1e6) *
             (least(size(split(col("text"), " ")).cast("double") / 100.0,
               lit(1.0)) * 0.5 +

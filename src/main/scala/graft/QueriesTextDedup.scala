@@ -700,7 +700,7 @@ object QueriesTextDedup {
         // aggregate instead of the rn=1 window (same doc: ties are exact
         // duplicates of the text anyway); its text is fetched by ONE
         // broadcast join against the corpus scan.
-        val ids = fanOut(documents(s, d))
+        val ids = fanOutOver(documents(s, d))
           .select(col("doc_id"), sha2(col("text"), 256).as("ch"))
           .localCheckpoint(true)
         val pairs = bandPairsFrom(
@@ -1353,15 +1353,17 @@ object QueriesTextDedup {
         val variants = documents(s, d).filter(col("doc_id") < 100)
           .select(col("source"),
             concat(upper(col("text")), lit(" !!")).as("text"))
-        // fanOut the CORPUS side only, and hash BEFORE the union: two
-        // sha2 digests + two full-text regex passes per row otherwise run
-        // inside the one scan task (r17 sf1: 2.0 s serial); fanning the
-        // unioned TEXT instead shuffled the full corpus text for no win
-        // (measured 2.3 s) — hash first, union narrow 64-hex rows
+        // size-adaptive fanOut on the CORPUS side only, hashing BEFORE
+        // the union: two sha2 digests + two full-text regex passes per
+        // row otherwise run inside the one scan task (r17 sf1: 2.0 s
+        // serial); fanning the unioned TEXT instead shuffled the full
+        // corpus text for no win (measured 2.3 s) — hash first, union
+        // narrow 64-hex rows. Size-gated because at sf0.1 the exchange
+        // cost exceeded the serial map it spread (0.49 -> 0.72 floor).
         def hashed(df: org.apache.spark.sql.DataFrame) = df
           .select(col("source"), sha2(col("text"), 256).as("raw_h"),
             sha2(canon(col("text")), 256).as("canon_h"))
-        hashed(fanOut(base)).unionByName(hashed(variants))
+        hashed(fanOutOver(base)).unionByName(hashed(variants))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             countDistinct(col("raw_h")).as("distinct_raw"),
